@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Test-table access for the TPC-H-ish star schema + `events`/`documents`/
+  * `embeddings` at `/root/testdata/sf*` (see TESTDATA.md).
+  *
+  * Every query in [[SparkEntry.queries]] receives the scale-factor dir and
+  * loads through here, so the scan path is uniform: columnar Parquet with
+  * Catalyst predicate pushdown and column pruning — the Spark-native
+  * replacement for the reference's per-index Elasticsearch scans
+  * (reference: flow/scripts/insert_owid.py:28-30 writes one ES index per
+  * source; we read one Parquet table per name).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
+    // rejects outright (PARQUET_TYPE_ILLEGAL); read nanos as long and
+    // rebuild a microsecond timestamp. Set lazily here so any session
+    // (driver-created or ours) gets it before the first schema read.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.col("ts").divide(1000L).cast("long")))
+    else df
+  }
+
+  /** Common SparkSession config for mains (local mode, UTC, AQE on). */
+  def session(appName: String): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+}

@@ -1,0 +1,431 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Core relational operator surface (SURVEY.md §2.4-§2.9): filters, joins
+  * (broadcast-dim / fact-fact / semi / anti), hash aggregation, rollup,
+  * windows, top-k, set ops — each paired with ANSI SQL for the DuckDB
+  * oracle.
+  *
+  * Determinism rules used throughout (the driver hash-compares values):
+  *  - money sums go through DECIMAL(18,2) so the aggregate is exact and
+  *    order-independent, then ONE cast to DOUBLE on both engines;
+  *  - no raw TimestampType in outputs — DATE or formatted strings only
+  *    (Spark writes instants as UTC-adjusted parquet, DuckDB returns naive
+  *    timestamps; DATE/strings are unambiguous);
+  *  - every top-k / window ordering carries a unique tiebreaker key.
+  *
+  * Reference shapes: aggregations A1/A3/A4/A5/A6 (SURVEY §2.6, from
+  * README.md:22-28 Kibana dashboards), joins J1/J2 (insert_owid.py:255-277
+  * dim lookup), sorts O1-O3 (crawl_google_news.py:75, SearchUI.js:51).
+  */
+object Relational {
+
+  private val dec = DecimalType(18, 2)
+
+  /** TPC-H Q1 shape — grouped counter sums, the A1 "world map totals"
+    * aggregation (reference: Kibana maps colored by confirmed/vaccinated,
+    * README.md:22-28). Hash agg with partial aggregation map-side. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    import spark.implicits._
+    val price = $"l_extendedprice".cast(dec)
+    val disc = $"l_discount".cast(dec)
+    val tax = $"l_tax".cast(dec)
+    li.groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum($"l_quantity").cast("long").as("sum_qty"),
+        sum(price).cast("double").as("sum_base_price"),
+        sum(price * (lit(1).cast(dec) - disc)).cast("double").as("sum_disc_price"),
+        sum(price * (lit(1).cast(dec) - disc) * (lit(1).cast(dec) + tax))
+          .cast("double").as("sum_charge"),
+        (sum($"l_quantity") / count(lit(1))).as("avg_qty"),
+        (sum(price).cast("double") / count(lit(1))).as("avg_price"),
+        (sum(disc).cast("double") / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  val pricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+      |  SUM(l_quantity) / COUNT(*) AS avg_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Projection + predicate pushdown to the parquet scan (SURVEY §2.4 F1
+    * validity-filter shape; Catalyst pushes both into the FileScan). */
+  def filterScan(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    import spark.implicits._
+    li.filter($"l_shipdate" >= lit("1997-01-01") && $"l_shipdate" < lit("1998-01-01")
+        && $"l_discount".between(0.05, 0.07) && $"l_quantity" < 24)
+      .select($"l_orderkey", $"l_linenumber", $"l_extendedprice",
+        date_format($"l_shipdate", "yyyy-MM-dd").as("ship_date"))
+  }
+
+  val filterScanSql: String =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice,
+      |  strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q6 shape — single-row global aggregate over a pushed filter. */
+  def revenueAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    import spark.implicits._
+    li.filter($"l_shipdate" >= lit("1997-01-01") && $"l_shipdate" < lit("1998-01-01")
+        && $"l_discount".between(0.05, 0.07) && $"l_quantity" < 24)
+      .agg(
+        sum($"l_extendedprice".cast(dec) * $"l_discount".cast(dec))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  val revenueAggSql: String =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  /** Broadcast dim join chain (J1, insert_owid.py:255-277's name→geo
+    * lookup re-expressed): fact ⋈ broadcast(nation) ⋈ broadcast(region),
+    * then grouped counters + exact avg. At 100 TB the dims stay broadcast
+    * (25 / 5 rows); only the customer scan is distributed. */
+  def dimJoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+    val nation = Tables.load(spark, dir, "nation")
+    val region = Tables.load(spark, dir, "region")
+    import spark.implicits._
+    cust
+      .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        (sum($"c_acctbal".cast(dec)).cast("double") / count(lit(1))).as("avg_acctbal"))
+  }
+
+  val dimJoinAggSql: String =
+    """SELECT r_name, n_name, COUNT(*) AS n_customers,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_acctbal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name""".stripMargin
+
+  /** Fact-fact shuffle join (orders ⋈ lineitem on orderkey) + grouped
+    * revenue. At scale: both sides hash-partition on the join key; AQE
+    * handles skew. */
+  def factFactJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val ord = Tables.load(spark, dir, "orders")
+    import spark.implicits._
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(
+        countDistinct($"o_orderkey").as("n_orders"),
+        count(lit(1)).as("n_items"),
+        sum($"l_extendedprice".cast(dec) * (lit(1).cast(dec) - $"l_discount".cast(dec)))
+          .cast("double").as("revenue"))
+  }
+
+  val factFactJoinSql: String =
+    """SELECT o_orderpriority,
+      |  COUNT(DISTINCT o_orderkey) AS n_orders,
+      |  COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** Left-semi join — the J2 "only rows with a resolved dim match" shape
+    * (parse_insert.py:108-110 drops unresolved locations). */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+    val ord = Tables.load(spark, dir, "orders")
+    import spark.implicits._
+    cust.join(ord.filter($"o_orderstatus" === "F"),
+        $"c_custkey" === $"o_custkey", "left_semi")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
+  val semiJoinSql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_customers
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      |GROUP BY c_mktsegment""".stripMargin
+
+  /** Left-anti join — the QA query for unmatched keys (SURVEY §2.5:
+    * parse_insert.py:90-92 logs geocode misses). */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+    val ord = Tables.load(spark, dir, "orders")
+    import spark.implicits._
+    cust.join(ord.filter($"o_totalprice" > 300000),
+        $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+  }
+
+  val antiJoinSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)""".stripMargin
+
+  /** Top-k with deterministic tiebreak — A4 "latest N" (README.md:22-24
+    * latest-news panel; SearchUI.js:51 page size). Physical plan:
+    * TakeOrderedAndProject (per-partition partial top-k, then merge). */
+  def topkOrders(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(spark, dir, "orders")
+    import spark.implicits._
+    ord.orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      .select($"o_orderkey", $"o_totalprice", $"o_orderpriority")
+      .limit(10)
+  }
+
+  val topkOrdersSql: String =
+    """SELECT o_orderkey, o_totalprice, o_orderpriority
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin
+
+  /** Last-row-per-group via row_number window — A5 "current totals per
+    * location given validity interval" (SURVEY §2.6). */
+  def lastOrderPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(spark, dir, "orders")
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+    ord.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"o_custkey", $"o_orderkey",
+        date_format($"o_orderdate", "yyyy-MM-dd").as("order_date"))
+  }
+
+  val lastOrderPerCustomerSql: String =
+    """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date
+      |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+      |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |      FROM orders) WHERE rn = 1""".stripMargin
+
+  /** Running cumulative sum per group — SURVEY §2.7 "cumulative from
+    * deltas" (the OWID daily-delta inverse, insert_owid.py:39). */
+  def runningSum(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    import spark.implicits._
+    val w = Window.partitionBy($"l_suppkey")
+      .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    li.select($"l_suppkey", $"l_orderkey", $"l_linenumber",
+      sum($"l_quantity").over(w).cast("long").as("running_qty"))
+  }
+
+  val runningSumSql: String =
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  CAST(SUM(l_quantity) OVER (PARTITION BY l_suppkey
+      |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_qty
+      |FROM lineitem""".stripMargin
+
+  /** lag() day-over-day delta — SURVEY §2.7 analytic shape. */
+  def dailyDelta(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(spark, dir, "orders")
+    import spark.implicits._
+    val daily = ord.groupBy(date_format($"o_orderdate", "yyyy-MM-dd").as("d"))
+      .agg(count(lit(1)).as("n"))
+    daily.withColumn("delta",
+      $"n" - lag($"n", 1).over(Window.orderBy($"d")))
+  }
+
+  val dailyDeltaSql: String =
+    """SELECT d, n, n - lag(n, 1) OVER (ORDER BY d) AS delta
+      |FROM (SELECT strftime(o_orderdate, '%Y-%m-%d') AS d, COUNT(*) AS n
+      |      FROM orders GROUP BY 1)""".stripMargin
+
+  /** Date-histogram — A3 (Kibana time-sliced dashboards, README.md:22-28).
+    * Hour buckets as formatted strings (timestamp output would be
+    * UTC-adjusted parquet vs naive DuckDB). */
+  def dateHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    import spark.implicits._
+    ev.groupBy(
+        date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:00").as("hour_bucket"),
+        $"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"value".cast(dec)).cast("double").as("sum_value"))
+  }
+
+  val dateHistogramSql: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour_bucket,
+      |  event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** ROLLUP over the region→nation hierarchy (SURVEY §2.6 engine
+    * requirement: hierarchical rollup for region→country). */
+  def rollupHierarchy(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+    val nation = Tables.load(spark, dir, "nation")
+    val region = Tables.load(spark, dir, "region")
+    import spark.implicits._
+    cust
+      .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+      .rollup($"r_name", $"n_name")
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
+  val rollupHierarchySql: String =
+    """SELECT r_name, n_name, COUNT(*) AS n_customers
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)""".stripMargin
+
+  /** EXCEPT — §2.9 set-op surface (nations with customers but no
+    * suppliers). Spark EXCEPT == SQL EXCEPT (distinct semantics). */
+  def exceptNations(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+    val supp = Tables.load(spark, dir, "supplier")
+    import spark.implicits._
+    cust.select($"c_nationkey".as("nationkey"))
+      .except(supp.select($"s_nationkey".as("nationkey")))
+  }
+
+  val exceptNationsSql: String =
+    """SELECT c_nationkey AS nationkey FROM customer
+      |EXCEPT
+      |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin
+
+  /** INTERSECT + UNION in one plan — §2.9 (the reference's `news_*`
+    * union-by-schema index patterns, SearchUI.js:6). */
+  def setOpsCombo(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+    val supp = Tables.load(spark, dir, "supplier")
+    import spark.implicits._
+    val both = cust.select($"c_nationkey".as("nationkey"))
+      .intersect(supp.select($"s_nationkey".as("nationkey")))
+      .withColumn("side", lit("both"))
+    val union = cust.select($"c_nationkey".as("nationkey")).distinct()
+      .unionByName(supp.select($"s_nationkey".as("nationkey")).distinct())
+      .distinct().withColumn("side", lit("any"))
+    both.unionByName(union)
+  }
+
+  val setOpsComboSql: String =
+    """SELECT nationkey, 'both' AS side FROM
+      |  (SELECT c_nationkey AS nationkey FROM customer
+      |   INTERSECT SELECT s_nationkey FROM supplier)
+      |UNION ALL
+      |SELECT nationkey, 'any' AS side FROM
+      |  (SELECT DISTINCT c_nationkey AS nationkey FROM customer
+      |   UNION SELECT DISTINCT s_nationkey FROM supplier)""".stripMargin
+
+  /** Exact distinct cardinality per group — A6 per-source stats
+    * (README.md:163-165 index management). */
+  def distinctCounts(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    import spark.implicits._
+    li.groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_partkey").as("n_parts"),
+        countDistinct($"l_suppkey").as("n_supps"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  val distinctCountsSql: String =
+    """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+      |  COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** Grid-cell bucketing — the A2 geo-grid shape (mapping.py:12 geo_point
+    * → Kibana map tiles) applied to a numeric domain: floor-divide into
+    * cells, aggregate per cell. */
+  def gridCells(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+    import spark.implicits._
+    cust.groupBy(floor($"c_acctbal" / 1000).cast("long").as("cell"))
+      .agg(
+        count(lit(1)).as("n"),
+        min($"c_acctbal").as("min_bal"),
+        max($"c_acctbal").as("max_bal"))
+  }
+
+  val gridCellsSql: String =
+    """SELECT CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS cell, COUNT(*) AS n,
+      |  MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal
+      |FROM customer GROUP BY 1""".stripMargin
+
+  /** Regex field extraction + cast + bucketing — P-ops composite
+    * (regexp_extract P4/P10, cast-with-default P7) over the events JSON
+    * props column. */
+  def regexExtract(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    import spark.implicits._
+    val k = regexp_extract($"props", "\"k\": (\\d+)", 1).cast("long")
+    ev.select(coalesce(k, lit(-1L)).as("k"))
+      .groupBy(floor($"k" / 10).cast("long").as("k_bucket"))
+      .agg(count(lit(1)).as("n"), max($"k").as("max_k"))
+  }
+
+  val regexExtractSql: String =
+    """SELECT CAST(FLOOR(k / 10) AS BIGINT) AS k_bucket, COUNT(*) AS n,
+      |  MAX(k) AS max_k
+      |FROM (SELECT COALESCE(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT), -1) AS k
+      |      FROM events)
+      |GROUP BY 1""".stripMargin
+
+  /** All (name -> impl) pairs in this module. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_pricing_summary" -> (pricingSummary _),
+    "rel_filter_scan" -> (filterScan _),
+    "rel_revenue_agg" -> (revenueAgg _),
+    "rel_dim_join_agg" -> (dimJoinAgg _),
+    "rel_factfact_join" -> (factFactJoin _),
+    "rel_semi_join" -> (semiJoin _),
+    "rel_anti_join" -> (antiJoin _),
+    "rel_topk_orders" -> (topkOrders _),
+    "rel_last_per_group" -> (lastOrderPerCustomer _),
+    "rel_running_sum" -> (runningSum _),
+    "rel_daily_delta" -> (dailyDelta _),
+    "rel_date_histogram" -> (dateHistogram _),
+    "rel_rollup" -> (rollupHierarchy _),
+    "rel_except" -> (exceptNations _),
+    "rel_setops_combo" -> (setOpsCombo _),
+    "rel_distinct_counts" -> (distinctCounts _),
+    "rel_grid_cells" -> (gridCells _),
+    "rel_regex_extract" -> (regexExtract _))
+
+  val oracles: Map[String, String] = Map(
+    "rel_pricing_summary" -> pricingSummarySql,
+    "rel_filter_scan" -> filterScanSql,
+    "rel_revenue_agg" -> revenueAggSql,
+    "rel_dim_join_agg" -> dimJoinAggSql,
+    "rel_factfact_join" -> factFactJoinSql,
+    "rel_semi_join" -> semiJoinSql,
+    "rel_anti_join" -> antiJoinSql,
+    "rel_topk_orders" -> topkOrdersSql,
+    "rel_last_per_group" -> lastOrderPerCustomerSql,
+    "rel_running_sum" -> runningSumSql,
+    "rel_daily_delta" -> dailyDeltaSql,
+    "rel_date_histogram" -> dateHistogramSql,
+    "rel_rollup" -> rollupHierarchySql,
+    "rel_except" -> exceptNationsSql,
+    "rel_setops_combo" -> setOpsComboSql,
+    "rel_distinct_counts" -> distinctCountsSql,
+    "rel_grid_cells" -> gridCellsSql,
+    "rel_regex_extract" -> regexExtractSql)
+}

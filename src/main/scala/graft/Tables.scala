@@ -25,9 +25,12 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events")
+      // Exact integer division (`div`), not double `/`: epoch-nanos
+      // (~1.7e18) exceed double's 2^53 precision, so `/ 1000` loses 1µs on
+      // ~12% of rows.
       df.withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.col("ts").divide(1000L).cast("long")))
+          org.apache.spark.sql.functions.expr("ts div 1000")))
     else df
   }
 

@@ -384,7 +384,7 @@ object Relational {
   val regexExtractSql: String =
     """SELECT CAST(FLOOR(k / 10) AS BIGINT) AS k_bucket, COUNT(*) AS n,
       |  MAX(k) AS max_k
-      |FROM (SELECT COALESCE(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT), -1) AS k
+      |FROM (SELECT COALESCE(TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT), -1) AS k
       |      FROM events)
       |GROUP BY 1""".stripMargin
 

@@ -19,8 +19,17 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
-    # stringify for a deterministic total order incl. NaN/None
-    key = df.astype(str)
+    # Sort key: round floats (so last-bit engine differences can't reorder
+    # rows) and zero-pad numerics (so the lexicographic sort is numeric).
+    key = pd.DataFrame(index=df.index)
+    for c in df.columns:
+        col = df[c]
+        if col.dtype.kind == "f":
+            key[c] = col.round(6).map(lambda v: f"{v:+025.6f}")
+        elif col.dtype.kind in "iu":
+            key[c] = col.map(lambda v: f"{v:+021d}")
+        else:
+            key[c] = col.astype(str)
     idx = key.sort_values(by=list(df.columns), kind="mergesort").index
     return df.loc[idx].reset_index(drop=True)
 

@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (vec_id, embedding
+  * FLOAT[64], label) — the ANN surface of a training-data pipeline.
+  *
+  * Two tiers:
+  *  - [[bruteTopk]]: exact cosine top-k. The candidate set is
+  *    |queries| × N with the (tiny) query side broadcast — a single
+  *    narrow pass over the data, no shuffle of the embedding column;
+  *    per-query top-k via a rank window partitioned by query. This is
+  *    the correctness baseline and is already the right plan when the
+  *    query batch is small.
+  *  - [[lshBucketTopk]]: the 100 TB scale path — random-hyperplane LSH.
+  *    Each vector gets a sign-bit bucket from 8 fixed hyperplanes
+  *    (dataset vectors 0..7, so the "model" is deterministic and
+  *    reproducible in the DuckDB oracle); search touches ONLY the
+  *    query's bucket (a keyed equi-join on the bucket id, ~N/256 of the
+  *    data), never the full corpus.
+  *
+  * Scores are computed in double (float→double widening is exact) and
+  * rounded to 6 decimals in BOTH engines so cross-engine float-sum
+  * association differences (~1e-15) cannot flip a hash compare; rank
+  * ties broken by vec_id.
+  *
+  * The reference has no vector surface at all — this is part of the
+  * training-data extension mandated by the brief (SURVEY.md §2 addendum).
+  */
+object VectorSearch {
+
+  /** element-wise dot product of two double arrays, sequential fold. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def asDouble(c: Column): Column = transform(c, _.cast("double"))
+
+  private def cosine(a: Column, b: Column): Column =
+    round(dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b))), 6)
+
+  /** DuckDB equivalents of the helpers above (same fold, same rounding). */
+  private def sqlDot(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a)+1), i -> $a[i]*$b[i]))"
+  private def sqlCos(a: String, b: String): String =
+    s"round(${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})), 6)"
+
+  /** Exact cosine top-10 for query vectors vec_id < 5. */
+  def bruteTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), cosine(col("qv"), col("v")).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("score"), col("rank"))
+  }
+
+  val bruteTopkSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+       |s AS (SELECT q_id, vec_id, ${sqlCos("qv", "v")} AS score
+       |      FROM e CROSS JOIN q WHERE vec_id <> q_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |        ORDER BY score DESC, vec_id ASC) AS rank FROM s)
+       |SELECT q_id, vec_id AS neighbor_id, score, CAST(rank AS BIGINT) AS rank
+       |FROM r WHERE rank <= 10""".stripMargin
+
+  /** LSH-bucketed approximate top-5 for query vectors 100..104: sign-bit
+    * bucket from 8 hyperplanes, candidates restricted to the query's
+    * bucket via a keyed join. */
+  def lshBucketTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val planes = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("j"), col("v").as("pv"))
+    // bucket id = Σ_j (dot(v, plane_j) > 0) << j  — one narrow pass,
+    // planes broadcast; at 100 TB this is a map-side computation.
+    val buckets = emb.crossJoin(broadcast(planes))
+      .groupBy(col("vec_id"))
+      .agg(sum(when(dot(col("v"), col("pv")) > 0,
+        pow(lit(2.0), col("j").cast("double")).cast("long")).otherwise(0L)).as("bucket"))
+    val embB = emb.join(buckets, "vec_id")
+    val q = embB.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket").as("qbucket"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    embB.join(broadcast(q),
+        col("bucket") === col("qbucket") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), cosine(col("qv"), col("v")).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("score"), col("rank"))
+  }
+
+  val lshBucketTopkSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |p AS (SELECT vec_id AS j, v AS pv FROM e WHERE vec_id < 8),
+       |bk AS (SELECT e.vec_id,
+       |         SUM(CASE WHEN ${sqlDot("e.v", "p.pv")} > 0
+       |             THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS bucket
+       |       FROM e CROSS JOIN p GROUP BY e.vec_id),
+       |eb AS (SELECT e.vec_id, e.v, bk.bucket FROM e JOIN bk ON e.vec_id = bk.vec_id),
+       |q AS (SELECT vec_id AS q_id, v AS qv, bucket AS qbucket FROM eb
+       |      WHERE vec_id >= 100 AND vec_id < 105),
+       |s AS (SELECT q_id, eb.vec_id, ${sqlCos("qv", "eb.v")} AS score
+       |      FROM eb JOIN q ON eb.bucket = q.qbucket AND eb.vec_id <> q.q_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |        ORDER BY score DESC, vec_id ASC) AS rank FROM s)
+       |SELECT q_id, vec_id AS neighbor_id, score, CAST(rank AS BIGINT) AS rank
+       |FROM r WHERE rank <= 5""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_embed_topk" -> (bruteTopk _),
+    "llm_embed_ann_lsh" -> (lshBucketTopk _))
+
+  val oracles: Map[String, String] = Map(
+    "llm_embed_topk" -> bruteTopkSql,
+    "llm_embed_ann_lsh" -> lshBucketTopkSql)
+}

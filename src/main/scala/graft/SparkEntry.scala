@@ -23,12 +23,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.LlmDedup.queries ++
-      graft.queries.VectorSearch.queries
+      graft.queries.VectorSearch.queries ++
+      graft.queries.TextAnalysis.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
       graft.queries.LlmDedup.oracles ++
-      graft.queries.VectorSearch.oracles
+      graft.queries.VectorSearch.oracles ++
+      graft.queries.TextAnalysis.oracles
 }

@@ -1,0 +1,205 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Text-analysis operators over `documents`: full-text search, language
+  * ID, quality scoring, token counting, fingerprinting — the text side of
+  * a training-data pipeline, plus the reference's search surface.
+  *
+  * All per-doc work here is narrow (no join, no shuffle until the final
+  * small aggregation), so every operator is a single distributed pass at
+  * 100 TB; doubles that get re-aggregated go through DECIMAL so group
+  * sums are order-independent and hash-reproducible.
+  *
+  * Reference tie-ins:
+  *  - [[searchTopk]] = the news app's `multi_match best_fields` query +
+  *    top-8 pagination (news_app/app/app/src/SearchUI.js:15-33,51): per
+  *    field a token-overlap score, document score = max over fields,
+  *    deterministic tiebreak, page-2 slice.
+  *  - language/quality/token/fingerprint are the capability extension the
+  *    brief mandates (no equivalent in the reference).
+  */
+object TextAnalysis {
+
+  private def toks(text: Column): Column =
+    split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
+
+  private val toksSql =
+    "string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')"
+
+  // --------------------------------------------------------------- search
+
+  /** Best-fields full-text search with pagination: query tokens scored
+    * per field (text tokens, source key), document score = max over
+    * fields (ES `best_fields`), page 2 of size 8 (ranks 9..16). */
+  def searchTopk(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val qtoks = array(lit("spark"), lit("join"), lit("src3"))
+    val t = toks(col("text"))
+    val sText = size(filter(qtoks, q => array_contains(t, q))).cast("long")
+    val sSource = size(filter(qtoks, q => q === col("source"))).cast("long")
+    val w = Window.orderBy(col("score").desc, col("doc_id").asc)
+    docs.select(col("doc_id"), greatest(sText, sSource).as("score"))
+      .filter(col("score") >= 1)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") >= 9 && col("rank") <= 16)
+  }
+
+  val searchTopkSql: String =
+    s"""WITH s AS (
+       |  SELECT doc_id,
+       |    greatest(
+       |      len(list_filter(['spark','join','src3'], q -> list_contains($toksSql, q))),
+       |      len(list_filter(['spark','join','src3'], q -> q = source))) AS score
+       |  FROM documents),
+       |r AS (SELECT doc_id, score,
+       |        row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+       |      FROM s WHERE score >= 1)
+       |SELECT doc_id, score, CAST(rank AS BIGINT) AS rank
+       |FROM r WHERE rank BETWEEN 9 AND 16""".stripMargin
+
+  // -------------------------------------------------------------- lang id
+
+  private val lexicons: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "en" -> Seq("the", "a", "of", "to", "and"),
+    "es" -> Seq("el", "los", "de", "y", "es"),
+    "fr" -> Seq("le", "la", "de", "un", "et"))
+
+  /** Stopword-lexicon language ID (distinct-hit count per language,
+    * argmax with deterministic alphabetical priority), reported as a
+    * confusion matrix against the labeled `lang`. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val t = toks(col("text"))
+    val scores = lexicons.map { case (l, ws) =>
+      l -> size(filter(array(ws.map(lit): _*), w => array_contains(t, w)))
+    }
+    val m = greatest(scores.map(_._2): _*)
+    val pred = when(m === 0, lit("unknown"))
+      .otherwise(scores.foldRight(lit("zz"): Column) { case ((l, s), e) =>
+        when(s === m, lit(l)).otherwise(e)
+      })
+    docs.select(col("lang"), pred.as("pred_lang"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val langIdSql: String = {
+    val scoreDefs = lexicons.map { case (l, ws) =>
+      s"len(list_filter([${ws.map(w => s"'$w'").mkString(",")}], w -> list_contains($toksSql, w))) AS s_$l"
+    }.mkString(",\n    ")
+    val m = s"greatest(${lexicons.map("s_" + _._1).mkString(", ")})"
+    val pred = lexicons.foldRight("'zz'") { case ((l, _), e) =>
+      s"CASE WHEN s_$l = m THEN '$l' ELSE $e END"
+    }
+    s"""WITH s AS (SELECT lang, $scoreDefs FROM documents),
+       |p AS (SELECT lang, CASE WHEN m = 0 THEN 'unknown' ELSE $pred END AS pred_lang
+       |      FROM (SELECT *, $m AS m FROM s))
+       |SELECT lang, pred_lang, COUNT(*) AS n FROM p GROUP BY lang, pred_lang""".stripMargin
+  }
+
+  // -------------------------------------------------------------- quality
+
+  /** Quality scoring: type-token ratio + stopword ratio per doc, bucketed;
+    * per-bucket averages go through DECIMAL(18,9) so the re-aggregation is
+    * order-independent. */
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val t = toks(col("text"))
+    val en = array(lexicons.toMap.apply("en").map(lit): _*)
+    val perDoc = docs.select(
+      (size(array_distinct(t)).cast("double") / size(t)).as("ttr"),
+      (size(filter(t, w => array_contains(en, w))).cast("double") / size(t)).as("stop_ratio"))
+    val dec9 = "decimal(18,9)"
+    perDoc
+      .withColumn("bucket",
+        when(col("ttr") >= 0.8, "high").when(col("ttr") >= 0.5, "mid").otherwise("low"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("ttr").cast(dec9)).cast("double") / count(lit(1))).as("avg_ttr"),
+        (sum(col("stop_ratio").cast(dec9)).cast("double") / count(lit(1))).as("avg_stop_ratio"))
+  }
+
+  val qualitySql: String =
+    s"""WITH d AS (SELECT
+       |    CAST(len(list_distinct($toksSql)) AS DOUBLE) / len($toksSql) AS ttr,
+       |    CAST(len(list_filter($toksSql, w -> list_contains(['the','a','of','to','and'], w))) AS DOUBLE)
+       |      / len($toksSql) AS stop_ratio
+       |  FROM documents),
+       |b AS (SELECT *, CASE WHEN ttr >= 0.8 THEN 'high'
+       |                     WHEN ttr >= 0.5 THEN 'mid' ELSE 'low' END AS bucket
+       |      FROM d)
+       |SELECT bucket, COUNT(*) AS n_docs,
+       |  CAST(SUM(CAST(ttr AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS avg_ttr,
+       |  CAST(SUM(CAST(stop_ratio AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS avg_stop_ratio
+       |FROM b GROUP BY bucket""".stripMargin
+
+  // --------------------------------------------------------- token stats
+
+  /** Token counting per source: whitespace tokens + BPE-ish regex tokens
+    * (letter runs / digit runs / single punctuation marks). */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val ws = size(toks(col("text"))).cast("long")
+    val bpe = size(regexp_extract_all(lower(col("text")),
+      lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long")
+    docs.select(col("source"), ws.as("ws_toks"), bpe.as("bpe_toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws_toks")).as("sum_ws_toks"),
+        sum(col("bpe_toks")).as("sum_bpe_toks"),
+        max(col("bpe_toks")).as("max_bpe_toks"))
+  }
+
+  val tokenStatsSql: String =
+    s"""SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(len($toksSql)) AS BIGINT) AS sum_ws_toks,
+       |  CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS BIGINT) AS sum_bpe_toks,
+       |  MAX(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS max_bpe_toks
+       |FROM documents GROUP BY source""".stripMargin
+
+  // -------------------------------------------------------- fingerprint
+
+  /** Rolling char-16-gram fingerprint (winnowing-lite): md5 each 16-char
+    * window at stride 4 over normalized text, keep the minimum — a
+    * locality-robust document signature computed in one narrow pass. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    docs.select(col("doc_id"), norm.as("s"))
+      .select(col("doc_id"),
+        when(length(col("s")) >= 16,
+          array_min(transform(sequence(lit(1), length(col("s")) - 15, lit(4)),
+            i => md5(col("s").substr(i, lit(16))))))
+          .otherwise(md5(col("s"))).as("fp"))
+  }
+
+  val fingerprintSql: String =
+    """WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+      |           FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN len(s) >= 16
+      |       THEN list_aggregate(list_transform(range(1, len(s)-14, 4),
+      |              i -> md5(substr(s, i, 16))), 'min')
+      |       ELSE md5(s) END AS fp
+      |FROM n""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt_search_topk" -> (searchTopk _),
+    "txt_lang_id" -> (langId _),
+    "txt_quality" -> (quality _),
+    "txt_token_stats" -> (tokenStats _),
+    "txt_fingerprint" -> (fingerprint _))
+
+  val oracles: Map[String, String] = Map(
+    "txt_search_topk" -> searchTopkSql,
+    "txt_lang_id" -> langIdSql,
+    "txt_quality" -> qualitySql,
+    "txt_token_stats" -> tokenStatsSql,
+    "txt_fingerprint" -> fingerprintSql)
+}

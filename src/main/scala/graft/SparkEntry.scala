@@ -24,7 +24,8 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.LlmDedup.queries ++
       graft.queries.VectorSearch.queries ++
-      graft.queries.TextAnalysis.queries
+      graft.queries.TextAnalysis.queries ++
+      graft.queries.Ingestion.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -32,5 +33,6 @@ object SparkEntry {
     graft.queries.Relational.oracles ++
       graft.queries.LlmDedup.oracles ++
       graft.queries.VectorSearch.oracles ++
-      graft.queries.TextAnalysis.oracles
+      graft.queries.TextAnalysis.oracles ++
+      graft.queries.Ingestion.oracles
 }

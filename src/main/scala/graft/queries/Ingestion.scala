@@ -1,0 +1,150 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ingest.CasesIngest
+
+/** Correctness queries over the EP1 ingestion pipeline
+  * ([[graft.ingest.CasesIngest]]); the DuckDB oracles replicate the whole
+  * pipeline — synonym coalesce, 3-format date parse with ISO-week
+  * expansion, geo-dim melt + first-wins dedup + alias/poison join,
+  * validity filter — in SQL over `read_csv` on the same fixture files, so
+  * every normalization rule is independently cross-checked.
+  */
+object Ingestion {
+
+  private val a = s"${CasesIngest.FixtureDir}/contamination_a.csv"
+  private val b = s"${CasesIngest.FixtureDir}/vaccination_b.csv"
+  private val lk = CasesIngest.LookupPath
+
+  /** Shared oracle prefix: raw union → normalize → dates → alias/poison →
+    * casts → dim melt/dedup → canonical join. */
+  private val canonCte: String = {
+    val wkMon =
+      """make_date(CAST(substr(d0,1,4) AS INT),1,4)
+        |       - CAST(isodow(make_date(CAST(substr(d0,1,4) AS INT),1,4)) - 1 AS INT)
+        |       + (CAST(regexp_extract(d0,'W(\d+)',1) AS INT) - 1) * 7""".stripMargin
+    s"""raw AS (
+       |  SELECT * FROM read_csv('$a', delim=',', header=true, all_varchar=true, filename=true)
+       |  UNION ALL BY NAME
+       |  SELECT * FROM read_csv('$b', delim=';', header=true, all_varchar=true, filename=true)),
+       |norm AS (SELECT
+       |    coalesce(nullif(trim(YearWeekISO),''), nullif(trim(dateRep),'')) AS date_raw,
+       |    coalesce(nullif(trim(ReportingCountry),''), nullif(trim(countriesAndTerritories),'')) AS loc_raw,
+       |    coalesce(nullif(trim(NumberDosesReceived),''), nullif(trim(cases),'')) AS val_raw,
+       |    coalesce(nullif(trim(population),''), nullif(trim(popData2020),'')) AS pop_raw,
+       |    regexp_extract(filename, '([^/]+)${"$"}', 1) AS fname
+       |  FROM raw),
+       |d1 AS (SELECT *, replace(date_raw, '/', '-') AS d0 FROM norm),
+       |d2 AS (SELECT *,
+       |    CASE WHEN regexp_matches(d0, '^\\d{4}-W\\d{1,2}${"$"}') THEN $wkMon
+       |         WHEN regexp_matches(d0, '^\\d{2}-\\d{2}-\\d{4}${"$"}') THEN strptime(d0, '%d-%m-%Y')::DATE
+       |         WHEN regexp_matches(d0, '^\\d{4}-\\d{2}-\\d{2}${"$"}') THEN strptime(d0, '%Y-%m-%d')::DATE
+       |    END AS date_start,
+       |    CASE WHEN regexp_matches(d0, '^\\d{4}-W\\d{1,2}${"$"}') THEN $wkMon + 6 END AS wk_end
+       |  FROM d1),
+       |d3 AS (SELECT *, COALESCE(wk_end, date_start) AS date_end,
+       |    CASE WHEN loc_raw='World' THEN NULL
+       |         WHEN loc_raw='EL' THEN 'Greece' ELSE loc_raw END AS loc,
+       |    COALESCE(TRY_CAST(val_raw AS BIGINT), 0) AS v,
+       |    TRY_CAST(pop_raw AS BIGINT) AS pop,
+       |    (fname LIKE 'vacc%') AS is_vacc
+       |  FROM d2),
+       |lk0 AS (SELECT * FROM read_csv('$lk', header=true, all_varchar=true)),
+       |melt AS (
+       |  SELECT nullif(trim(Province_State),'') AS name, TRY_CAST(UID AS BIGINT) AS uid,
+       |         iso2, TRY_CAST(Lat AS DOUBLE) AS lat, TRY_CAST(Long_ AS DOUBLE) AS lon FROM lk0
+       |  UNION ALL
+       |  SELECT nullif(trim(Country_Region),''), TRY_CAST(UID AS BIGINT),
+       |         iso2, TRY_CAST(Lat AS DOUBLE), TRY_CAST(Long_ AS DOUBLE) FROM lk0
+       |  UNION ALL
+       |  SELECT nullif(trim(Combined_Key),''), TRY_CAST(UID AS BIGINT),
+       |         iso2, TRY_CAST(Lat AS DOUBLE), TRY_CAST(Long_ AS DOUBLE) FROM lk0),
+       |dim AS (SELECT * FROM melt
+       |        WHERE name IS NOT NULL AND lat IS NOT NULL AND lon IS NOT NULL
+       |        QUALIFY row_number() OVER (PARTITION BY name ORDER BY uid ASC) = 1),
+       |canon AS (SELECT va.fname AS filename, dim.name AS location_name,
+       |    dim.iso2 AS iso_code2, dim.lat, dim.lon,
+       |    va.date_start, va.date_end, va.pop AS max_population,
+       |    CASE WHEN NOT va.is_vacc THEN va.v END AS confirmed,
+       |    CASE WHEN va.is_vacc THEN va.v END AS vaccinated,
+       |    CASE WHEN va.pop IS NOT NULL AND va.pop <> 0
+       |         THEN CAST(va.v AS DOUBLE) / CAST(va.pop AS DOUBLE) * 100 END AS percentage,
+       |    CASE WHEN va.is_vacc THEN 'vaccination' ELSE 'contamination' END AS source_index
+       |  FROM d3 va JOIN dim ON va.loc = dim.name
+       |  WHERE va.date_start IS NOT NULL)""".stripMargin
+  }
+
+  private def canonOut(df: DataFrame): DataFrame =
+    df.select(
+      col("filename"), col("location_name"), col("iso_code2"),
+      date_format(col("date_start"), "yyyy-MM-dd").as("date_start"),
+      date_format(col("date_end"), "yyyy-MM-dd").as("date_end"),
+      col("confirmed"), col("vaccinated"), col("max_population"), col("percentage"))
+
+  /** The canonical normalized rows (P1 projection over the whole EP1
+    * chain) — one row per surviving input record. */
+  def casesNorm(spark: SparkSession, dir: String): DataFrame =
+    canonOut(CasesIngest.canonicalCases(spark))
+
+  val casesNormSql: String =
+    s"""WITH $canonCte
+       |SELECT filename, location_name, iso_code2,
+       |  strftime(date_start, '%Y-%m-%d') AS date_start,
+       |  strftime(date_end, '%Y-%m-%d') AS date_end,
+       |  confirmed, vaccinated, max_population, percentage
+       |FROM canon""".stripMargin
+
+  /** A1 over the ingested lake: totals per country (the Kibana world-map
+    * query over our own ingestion output). */
+  def casesByCountry(spark: SparkSession, dir: String): DataFrame =
+    CasesIngest.canonicalCases(spark)
+      .groupBy(col("iso_code2"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("confirmed")).as("sum_confirmed"),
+        sum(col("vaccinated")).as("sum_vaccinated"),
+        min(date_format(col("date_start"), "yyyy-MM-dd")).as("first_date"),
+        max(date_format(col("date_end"), "yyyy-MM-dd")).as("last_date"))
+
+  val casesByCountrySql: String =
+    s"""WITH $canonCte
+       |SELECT iso_code2, COUNT(*) AS n_rows,
+       |  CAST(SUM(confirmed) AS BIGINT) AS sum_confirmed,
+       |  CAST(SUM(vaccinated) AS BIGINT) AS sum_vaccinated,
+       |  MIN(strftime(date_start, '%Y-%m-%d')) AS first_date,
+       |  MAX(strftime(date_end, '%Y-%m-%d')) AS last_date
+       |FROM canon GROUP BY iso_code2""".stripMargin
+
+  /** K2 exercised end-to-end: write the canonical table as a partitioned
+    * Parquet lake (overwrite = the atomic swap), read it back, aggregate
+    * per partition — the reference's index-pattern stats (A6) over our
+    * partition layout. */
+  def lakeRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val lake = s"${System.getProperty("java.io.tmpdir")}/graft_lake_rt"
+    CasesIngest.writeLake(CasesIngest.canonicalCases(spark), lake)
+    spark.read.parquet(lake)
+      .groupBy(col("source_index"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(coalesce(col("confirmed"), lit(0L)) + coalesce(col("vaccinated"), lit(0L)))
+          .as("total_value"))
+  }
+
+  val lakeRoundtripSql: String =
+    s"""WITH $canonCte
+       |SELECT source_index, COUNT(*) AS n_rows,
+       |  CAST(SUM(COALESCE(confirmed, 0) + COALESCE(vaccinated, 0)) AS BIGINT) AS total_value
+       |FROM canon GROUP BY source_index""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ing_cases_norm" -> (casesNorm _),
+    "ing_cases_by_country" -> (casesByCountry _),
+    "ing_lake_roundtrip" -> (lakeRoundtrip _))
+
+  val oracles: Map[String, String] = Map(
+    "ing_cases_norm" -> casesNormSql,
+    "ing_cases_by_country" -> casesByCountrySql,
+    "ing_lake_roundtrip" -> lakeRoundtripSql)
+}

@@ -25,7 +25,8 @@ object SparkEntry {
       graft.queries.LlmDedup.queries ++
       graft.queries.VectorSearch.queries ++
       graft.queries.TextAnalysis.queries ++
-      graft.queries.Ingestion.queries
+      graft.queries.Ingestion.queries ++
+      graft.queries.Geo.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -34,5 +35,6 @@ object SparkEntry {
       graft.queries.LlmDedup.oracles ++
       graft.queries.VectorSearch.oracles ++
       graft.queries.TextAnalysis.oracles ++
-      graft.queries.Ingestion.oracles
+      graft.queries.Ingestion.oracles ++
+      graft.queries.Geo.oracles
 }

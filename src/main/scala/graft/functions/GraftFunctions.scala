@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** Registration of graft's native expressions.
+  *
+  * Two paths:
+  *  - [[GraftExtensions]] — the production path: set
+  *    `spark.sql.extensions=graft.functions.GraftExtensions` (or
+  *    `builder.withExtensions`) and the functions exist in every session
+  *    derived from that config.
+  *  - [[GraftFunctions.register]] — imperative, idempotent registration
+  *    into an already-running session (used by the query catalog so the
+  *    harness works regardless of who built the session).
+  */
+object GraftFunctions {
+
+  /** geohash_encode(lat, lon[, precision]) — precision must be a literal. */
+  private def geohashBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(lat, lon) => GeohashEncode(lat, lon, 6)
+    case Seq(lat, lon, Literal(p: Int, _)) => GeohashEncode(lat, lon, p)
+    case _ => throw new IllegalArgumentException(
+      "geohash_encode(lat, lon[, precision-literal])")
+  }
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("geohash_encode"),
+      new ExpressionInfo(classOf[GeohashEncode].getName, "geohash_encode"),
+      geohashBuilder _))
+
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    all.foreach { case (ident, _, builder) =>
+      registry.createOrReplaceTempFunction(ident.funcName, builder, "built-in")
+    }
+  }
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
+}

@@ -26,7 +26,8 @@ object SparkEntry {
       graft.queries.VectorSearch.queries ++
       graft.queries.TextAnalysis.queries ++
       graft.queries.Ingestion.queries ++
-      graft.queries.Geo.queries
+      graft.queries.Geo.queries ++
+      graft.queries.Streaming.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -36,5 +37,6 @@ object SparkEntry {
       graft.queries.VectorSearch.oracles ++
       graft.queries.TextAnalysis.oracles ++
       graft.queries.Ingestion.oracles ++
-      graft.queries.Geo.oracles
+      graft.queries.Geo.oracles ++
+      graft.queries.Streaming.oracles
 }

@@ -1,0 +1,37 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.NewsStream
+
+/** Batch correctness query over the streaming news pipeline's sink: the
+  * whole EP2 chain (readStream JSON → watermark + (link,date) dedup →
+  * AvailableNow parquet sink) runs to completion, then the sink is read
+  * back. The DuckDB oracle applies the equivalent dedup (DISTINCT over
+  * the projected row — the fixture's duplicates are byte-identical rows,
+  * so the survivor set is engine-independent) directly on the landing
+  * JSON. */
+object Streaming {
+
+  private val landing = "/root/repo/fixtures/news_landing"
+
+  def newsDedup(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_news_rt"
+    NewsStream.freshRun(spark, landing, scratch)
+      .select(col("link"), col("title"), col("lang"),
+        col("source.crawler").as("crawler"),
+        date_format(col("date"), "yyyy-MM-dd HH:mm").as("event_time"))
+  }
+
+  val newsDedupSql: String =
+    s"""SELECT DISTINCT link, title, lang, source.crawler AS crawler,
+       |  strftime(CAST(date AS TIMESTAMP), '%Y-%m-%d %H:%M') AS event_time
+       |FROM read_json('$landing/*.json')""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_news_dedup" -> (newsDedup _))
+
+  val oracles: Map[String, String] = Map(
+    "stream_news_dedup" -> newsDedupSql)
+}

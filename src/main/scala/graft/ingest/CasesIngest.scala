@@ -103,20 +103,9 @@ object CasesIngest {
       col("filename"))
 
     // P4: normalize slashes, then the 3-format cascade; ISO week expands
-    // to a [monday, monday+6] validity interval.
-    val d0 = regexp_replace(col("date_raw"), "/", "-")
-    val isWeek = d0.rlike("^\\d{4}-W\\d{1,2}$")
-    val isFr = d0.rlike("^\\d{2}-\\d{2}-\\d{4}$")
-    val isIso = d0.rlike("^\\d{4}-\\d{2}-\\d{2}$")
-    val y = substring(d0, 1, 4).cast("int")
-    val wk = regexp_extract(d0, "W(\\d+)", 1).cast("int")
-    val jan4 = make_date(y, lit(1), lit(4))
-    val week1Mon = date_sub(jan4, weekday(jan4)) // weekday: 0=Monday
-    val weekStart = date_add(week1Mon, (wk - 1) * 7)
-    val dateStart = when(isWeek, weekStart)
-      .when(isFr, to_date(d0, "dd-MM-yyyy"))
-      .when(isIso, to_date(d0, "yyyy-MM-dd"))
-    val dateEnd = when(isWeek, date_add(weekStart, 6)).otherwise(dateStart)
+    // to a [monday, monday+6] validity interval (see [[DateParse]]).
+    val dateStart = DateParse.dateStart(col("date_raw"))
+    val dateEnd = DateParse.dateEnd(col("date_raw"))
 
     // J3 alias rewrite + P5 World-poisoning before the probe.
     val loc = when(col("loc_raw") === "World", lit(null))

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GeohashUtil, GraftFunctions}
+
+/** Geohash expression: published known values, boundary behavior, prefix
+  * property, and the registered codegen expression end-to-end. */
+class GeohashSpec extends SparkSpec {
+
+  private def enc(lat: Double, lon: Double, p: Int): String =
+    GeohashUtil.encode(lat, lon, p).toString
+
+  test("published known value: (57.64911, 10.40744) -> u4pruy") {
+    // Classic worked example from the public geohash spec.
+    assert(enc(57.64911, 10.40744, 6) === "u4pruy")
+    assert(enc(57.64911, 10.40744, 11) === "u4pruydqqvj")
+  }
+
+  test("origin and corners") {
+    assert(enc(0.0, 0.0, 4) === "s000")
+    assert(enc(-90.0, -180.0, 4) === "0000")
+  }
+
+  test("prefix property: longer precision extends shorter (500 seeded samples)") {
+    val rnd = new scala.util.Random(42)
+    (1 to 500).foreach { _ =>
+      val lat = rnd.nextDouble() * 180 - 90
+      val lon = rnd.nextDouble() * 360 - 180
+      assert(enc(lat, lon, 8).startsWith(enc(lat, lon, 5)),
+        s"prefix violated at ($lat, $lon)")
+    }
+  }
+
+  test("registered expression runs inside a DataFrame plan") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val out = Seq((57.64911, 10.40744)).toDF("lat", "lon")
+      .select(call_function("geohash_encode", $"lat", $"lon", lit(6)).as("g"))
+      .collect()(0).getString(0)
+    assert(out === "u4pruy")
+  }
+
+  test("null inputs propagate null") {
+    GraftFunctions.register(spark)
+    val out = spark.sql(
+      "SELECT geohash_encode(CAST(NULL AS DOUBLE), CAST(1.0 AS DOUBLE), 4) AS g")
+      .collect()(0)
+    assert(out.isNullAt(0))
+  }
+}

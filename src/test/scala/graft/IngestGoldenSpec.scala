@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ingest.CasesIngest
+
+/** Golden end-to-end ingestion test (SURVEY §5.2 item 2): the fixture
+  * CSVs through the full EP1 chain, asserting the reference-quirk
+  * semantics row by row. */
+class IngestGoldenSpec extends SparkSpec {
+
+  private lazy val canon = CasesIngest.canonicalCases(spark).cache()
+
+  test("dialect sniffing picks the right delimiter per file") {
+    assert(CasesIngest.sniffDelimiter(s"${CasesIngest.FixtureDir}/contamination_a.csv") === ",")
+    assert(CasesIngest.sniffDelimiter(s"${CasesIngest.FixtureDir}/vaccination_b.csv") === ";")
+  }
+
+  test("row counts: invalid rows dropped, valid rows survive") {
+    // 10 contamination rows: -World -Atlantis -empty-date = 7; 4 vaccination.
+    assert(canon.count() === 11)
+    assert(canon.filter(col("source_index") === "vaccination").count() === 4)
+  }
+
+  test("EL alias resolves to Greece; World is poisoned away") {
+    val greece = canon.filter(col("iso_code2") === "GR" &&
+      col("source_index") === "contamination").collect()
+    assert(greece.length === 1)
+    assert(greece(0).getAs[String]("location_name") === "Greece")
+    assert(canon.filter(col("location_name") === "World").count() === 0)
+  }
+
+  test("P7: empty numeric defaults to 0, not null/drop") {
+    val spain = canon.filter(col("iso_code2") === "ES" &&
+      col("source_index") === "contamination").collect()
+    assert(spain.length === 1 && spain(0).getAs[Long]("confirmed") === 0L)
+  }
+
+  test("P8: percentage is null (not 0) when population is 0") {
+    val gr = canon.filter(col("iso_code2") === "GR" &&
+      col("source_index") === "vaccination").collect()
+    assert(gr.length === 1 && gr(0).isNullAt(gr(0).fieldIndex("percentage")))
+  }
+
+  test("P9: value lands in vaccinated for vaccination sources only") {
+    assert(canon.filter(col("source_index") === "vaccination" &&
+      col("confirmed").isNotNull).count() === 0)
+    assert(canon.filter(col("source_index") === "contamination" &&
+      col("vaccinated").isNotNull).count() === 0)
+  }
+
+  test("geo dim melt: Province_State key resolves; first-wins on name clash") {
+    val cal = canon.filter(col("location_name") === "California").collect()
+    assert(cal.length === 1 && cal(0).getAs[String]("iso_code2") === "US")
+    val us = canon.filter(col("location_name") === "United States").collect()
+    // first-wins by UID: the country row (UID 840, lat 37.0902), not the
+    // state-level row (UID 84006).
+    assert(us.length === 1)
+    assert(us(0).getAs[org.apache.spark.sql.Row]("location")
+      .getAs[Double]("lat") === 37.0902)
+  }
+
+  test("P13: provenance filename attached") {
+    assert(canon.select(col("filename")).distinct().collect()
+      .map(_.getString(0)).toSet ===
+      Set("contamination_a.csv", "vaccination_b.csv"))
+  }
+}

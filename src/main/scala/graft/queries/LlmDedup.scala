@@ -52,10 +52,15 @@ object LlmDedup {
         i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
       .otherwise(array().cast("array<string>"))
 
-  /** (doc_id, shingle) distinct pairs — the inverted-index building block. */
+  /** (doc_id, shingle) distinct pairs — the inverted-index building block.
+    * The token array is materialized behind a projection boundary BEFORE
+    * the shingle transform: `element_at` inside the lambda would otherwise
+    * re-evaluate the regex split per element (~3 × shingle-count re-splits
+    * per document — measured 10× slowdown at sf0.1). */
   private def distinctShingles(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    docs.select(col("doc_id"), explode(shingleCol(toks(col("text")))).as("shingle"))
+    docs.select(col("doc_id"), toks(col("text")).as("t"))
+      .select(col("doc_id"), explode(shingleCol(col("t"))).as("shingle"))
       .distinct()
   }
 
@@ -92,6 +97,10 @@ object LlmDedup {
   def minhashNearDup(spark: SparkSession, dir: String): DataFrame = {
     val dsh = distinctShingles(spark, dir)
 
+    // 32 md5 minima computed inline in ONE partial-aggregating pass over
+    // the inverted index (no extra shuffle; measured faster than a
+    // hash-distinct-shingles-then-join variant, whose shuffle of 32 hash
+    // columns costs more than the redundant hashing it saves).
     val mhAggs = (0 until NumHashes).map(i =>
       min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"m$i"))
     val mh = dsh.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)
@@ -111,17 +120,23 @@ object LlmDedup {
     jaccardOf(cand, dsh).filter(col("jaccard") >= 0.5)
   }
 
-  /** Exact shingle-Jaccard for a set of (x_id, y_id) candidate pairs via
-    * joins on the distinct-shingle index (distributed; per-pair work is
-    * bounded by document length). */
+  /** Exact shingle-Jaccard for a set of (x_id, y_id) candidate pairs:
+    * the (small) candidate set is broadcast against the inverted index,
+    * so per-pair work is bounded by document length and nothing large
+    * shuffles. */
   private def jaccardOf(cand: DataFrame, dsh: DataFrame): DataFrame = {
-    val sz = dsh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val shared = cand
+    val shared = broadcast(cand)
       .join(dsh.as("sa"), col("x_id") === col("sa.doc_id"))
       .join(dsh.as("sb"),
         col("y_id") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
       .groupBy(col("x_id"), col("y_id"))
       .agg(count(lit(1)).as("shared"))
+    withJaccard(shared, dsh)
+  }
+
+  /** Attach set sizes and the Jaccard ratio to (x_id, y_id, shared). */
+  private def withJaccard(shared: DataFrame, dsh: DataFrame): DataFrame = {
+    val sz = dsh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     shared
       .join(sz.as("nx"), col("x_id") === col("nx.doc_id"))
       .join(sz.as("ny"), col("y_id") === col("ny.doc_id"))
@@ -195,12 +210,15 @@ object LlmDedup {
     * at j >= 0.05. The exact-recall counterpart to [[minhashNearDup]]. */
   def shingleJaccard(spark: SparkSession, dir: String): DataFrame = {
     val dsh = distinctShingles(spark, dir)
-    val cand = dsh.as("a")
+    // One self-join on the shingle key produces the shared-count per pair
+    // directly (no candidates-then-recount round trip): the intersection
+    // size IS the number of index rows joining per pair.
+    val shared = dsh.as("a")
       .join(dsh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("x_id"), col("b.doc_id").as("y_id"))
-      .distinct()
-    jaccardOf(cand, dsh).filter(col("jaccard") >= 0.05)
+      .groupBy(col("a.doc_id").as("x_id"), col("b.doc_id").as("y_id"))
+      .agg(count(lit(1)).as("shared"))
+    withJaccard(shared, dsh).filter(col("jaccard") >= 0.05)
   }
 
   val shingleJaccardSql: String =

@@ -38,8 +38,9 @@ object TextAnalysis {
     * fields (ES `best_fields`), page 2 of size 8 (ranks 9..16). */
   def searchTopk(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
+      .withColumn("t", toks(col("text"))) // materialize once (see LlmDedup)
     val qtoks = array(lit("spark"), lit("join"), lit("src3"))
-    val t = toks(col("text"))
+    val t = col("t")
     val sText = size(filter(qtoks, q => array_contains(t, q))).cast("long")
     val sSource = size(filter(qtoks, q => q === col("source"))).cast("long")
     val w = Window.orderBy(col("score").desc, col("doc_id").asc)
@@ -74,8 +75,12 @@ object TextAnalysis {
     * argmax with deterministic alphabetical priority), reported as a
     * confusion matrix against the labeled `lang`. */
   def langId(spark: SparkSession, dir: String): DataFrame = {
+    // Tokenize ONCE into a materialized column — four per-lexicon scores
+    // over the same array; recomputing the regex split per score defeats
+    // codegen CSE inside higher-order functions.
     val docs = Tables.load(spark, dir, "documents")
-    val t = toks(col("text"))
+      .withColumn("t", toks(col("text")))
+    val t = col("t")
     val scores = lexicons.map { case (l, ws) =>
       l -> size(filter(array(ws.map(lit): _*), w => array_contains(t, w)))
     }
@@ -110,7 +115,8 @@ object TextAnalysis {
     * order-independent. */
   def quality(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    val t = toks(col("text"))
+      .withColumn("t", toks(col("text"))) // materialize once (see LlmDedup)
+    val t = col("t")
     val en = array(lexicons.toMap.apply("en").map(lit): _*)
     val perDoc = docs.select(
       (size(array_distinct(t)).cast("double") / size(t)).as("ttr"),

@@ -27,7 +27,8 @@ object SparkEntry {
       graft.queries.TextAnalysis.queries ++
       graft.queries.Ingestion.queries ++
       graft.queries.Geo.queries ++
-      graft.queries.Streaming.queries
+      graft.queries.Streaming.queries ++
+      graft.queries.IngestionFrance.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -38,5 +39,6 @@ object SparkEntry {
       graft.queries.TextAnalysis.oracles ++
       graft.queries.Ingestion.oracles ++
       graft.queries.Geo.oracles ++
-      graft.queries.Streaming.oracles
+      graft.queries.Streaming.oracles ++
+      graft.queries.IngestionFrance.oracles
 }

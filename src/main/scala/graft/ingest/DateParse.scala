@@ -3,11 +3,15 @@ package graft.ingest
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** P4 date parsing (reference: parse_insert.py:54-75): slash
-  * normalization, then a 3-format cascade —
+/** P4 + P3 date parsing (reference: parse_insert.py:54-75; free-form
+  * tail = insert_owid.py:62-69's dateparser): slash normalization, then a
+  * format cascade —
   *  - `YYYY-Www` ISO week  → [monday, monday+6] validity interval
   *  - `dd-MM-yyyy` (FR)    → single-day interval
   *  - `yyyy-MM-dd` (ISO)   → single-day interval
+  *  - `Month dd, yyyy`     → single-day interval (free-form tail; the
+  *    reference's dateparser accepts prose dates — we cover the observed
+  *    formats with declarative, codegen-friendly patterns)
   * Anything else parses to null (and is dropped by the F1 validity
   * filter downstream).
   *
@@ -22,6 +26,7 @@ object DateParse {
   private def isWeek(d0: Column) = d0.rlike("^\\d{4}-W\\d{1,2}$")
   private def isFr(d0: Column) = d0.rlike("^\\d{2}-\\d{2}-\\d{4}$")
   private def isIso(d0: Column) = d0.rlike("^\\d{4}-\\d{2}-\\d{2}$")
+  private def isProse(d0: Column) = d0.rlike("^[A-Z][a-z]+ \\d{2}, \\d{4}$")
 
   private def weekMonday(d0: Column): Column = {
     val y = substring(d0, 1, 4).cast("int")
@@ -37,6 +42,7 @@ object DateParse {
     when(isWeek(d0), weekMonday(d0))
       .when(isFr(d0), to_date(d0, "dd-MM-yyyy"))
       .when(isIso(d0), to_date(d0, "yyyy-MM-dd"))
+      .when(isProse(d0), to_date(d0, "MMMM dd, yyyy"))
   }
 
   /** End of the validity interval: monday+6 for weeks, = start otherwise. */

@@ -44,6 +44,11 @@ class DateParseSpec extends SparkSpec {
     assert(parse("2021/02/15") === (("2021-02-15", "2021-02-15")))
   }
 
+  test("free-form prose date (P3 tail)") {
+    assert(parse("March 05, 2021") === (("2021-03-05", "2021-03-05")))
+    assert(parse("December 31, 2020") === (("2020-12-31", "2020-12-31")))
+  }
+
   test("unparseable dates yield null") {
     assert(parse("not-a-date") === ((null, null)))
     assert(parse("20210215") === ((null, null)))

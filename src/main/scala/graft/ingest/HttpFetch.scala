@@ -1,0 +1,51 @@
+package graft.ingest
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.{Files, Path, Paths}
+import java.time.Duration
+
+/** S3: HTTP CSV fetch with retry/backoff (reference:
+  * insert_france.py:179-192 — 3 connect retries, backoff 0.5 s), staging
+  * the payload to a local dir that Spark then reads with the normal CSV
+  * source.
+  *
+  * Driver-side by design: Spark has no HTTP data source, and the
+  * reference's fetch is a single-file download, not a distributed scan —
+  * the distributed part starts at `spark.read.csv(stagingDir)`. Never
+  * fetch per-row in executors (the P5 lesson: the reference's per-name
+  * remote geocoder is its bottleneck).
+  */
+object HttpFetch {
+
+  /** Download `url` to `stagingDir/<name>`; `retries` attempts with
+    * exponential backoff starting at `backoffMs`. Returns the staged
+    * file path. */
+  def fetchToStaging(url: String, stagingDir: String, name: String,
+      retries: Int = 3, backoffMs: Long = 500): Path = {
+    val client = HttpClient.newBuilder()
+      .connectTimeout(Duration.ofSeconds(10))
+      .followRedirects(HttpClient.Redirect.NORMAL)
+      .build()
+    val req = HttpRequest.newBuilder(URI.create(url))
+      .timeout(Duration.ofSeconds(60)).GET().build()
+    Files.createDirectories(Paths.get(stagingDir))
+    val target = Paths.get(stagingDir, name)
+
+    var attempt = 0
+    var lastErr: Throwable = null
+    while (attempt < retries) {
+      try {
+        val resp = client.send(req, HttpResponse.BodyHandlers.ofByteArray())
+        if (resp.statusCode() >= 200 && resp.statusCode() < 300) {
+          Files.write(target, resp.body())
+          return target
+        }
+        lastErr = new RuntimeException(s"HTTP ${resp.statusCode()} for $url")
+      } catch { case e: Exception => lastErr = e }
+      attempt += 1
+      if (attempt < retries) Thread.sleep(backoffMs * (1L << (attempt - 1)))
+    }
+    throw new RuntimeException(s"fetch failed after $retries attempts: $url", lastErr)
+  }
+}

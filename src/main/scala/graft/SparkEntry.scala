@@ -28,7 +28,8 @@ object SparkEntry {
       graft.queries.Ingestion.queries ++
       graft.queries.Geo.queries ++
       graft.queries.Streaming.queries ++
-      graft.queries.IngestionFrance.queries
+      graft.queries.IngestionFrance.queries ++
+      graft.queries.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -40,5 +41,6 @@ object SparkEntry {
       graft.queries.Ingestion.oracles ++
       graft.queries.Geo.oracles ++
       graft.queries.Streaming.oracles ++
-      graft.queries.IngestionFrance.oracles
+      graft.queries.IngestionFrance.oracles ++
+      graft.queries.Multimodal.oracles
 }

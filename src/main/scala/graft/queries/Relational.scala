@@ -302,6 +302,21 @@ object Relational {
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY ROLLUP(r_name, n_name)""".stripMargin
 
+  /** CUBE over two independent dimensions (§2.6: all grouping-set
+    * combinations for cross-dimension dashboard totals). */
+  def cubeDims(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(spark, dir, "orders")
+    import spark.implicits._
+    ord.cube($"o_orderpriority", $"o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum($"o_totalprice".cast(dec)).cast("double").as("sum_price"))
+  }
+
+  val cubeDimsSql: String =
+    """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)""".stripMargin
+
   /** EXCEPT — §2.9 set-op surface (nations with customers but no
     * suppliers). Spark EXCEPT == SQL EXCEPT (distinct semantics). */
   def exceptNations(spark: SparkSession, dir: String): DataFrame = {
@@ -410,6 +425,7 @@ object Relational {
     "rel_daily_delta" -> (dailyDelta _),
     "rel_date_histogram" -> (dateHistogram _),
     "rel_rollup" -> (rollupHierarchy _),
+    "rel_cube" -> (cubeDims _),
     "rel_except" -> (exceptNations _),
     "rel_setops_combo" -> (setOpsCombo _),
     "rel_distinct_counts" -> (distinctCounts _),
@@ -430,6 +446,7 @@ object Relational {
     "rel_daily_delta" -> dailyDeltaSql,
     "rel_date_histogram" -> dateHistogramSql,
     "rel_rollup" -> rollupHierarchySql,
+    "rel_cube" -> cubeDimsSql,
     "rel_except" -> exceptNationsSql,
     "rel_setops_combo" -> setOpsComboSql,
     "rel_distinct_counts" -> distinctCountsSql,

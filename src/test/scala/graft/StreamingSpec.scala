@@ -47,6 +47,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed aggregation finalizes only watermark-closed windows (T4/T5)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[NewsEvt]
+    val counted = mem.toDF()
+      .withWatermark("date", "1 hour")
+      .groupBy(window(col("date"), "1 hour"), col("title"))
+      .count()
+      .select(date_format(col("window.start"), "HH:mm").as("w"), col("title"), col("count"))
+    val q = counted.writeStream
+      .format("memory").queryName("news_windows")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      mem.addData(
+        NewsEvt("a", ts("2021-03-01 10:05:00"), "covid"),
+        NewsEvt("b", ts("2021-03-01 10:40:00"), "covid"),
+        NewsEvt("c", ts("2021-03-01 11:10:00"), "vaccine"))
+      q.processAllAvailable()
+      // watermark = 11:10 - 1h = 10:10 -> no window closed yet
+      assert(spark.table("news_windows").count() === 0)
+      // advance watermark past 12:00: the 10:00 and 11:00 windows close
+      mem.addData(NewsEvt("d", ts("2021-03-01 13:30:00"), "late-driver"))
+      q.processAllAvailable()
+      val rows = spark.table("news_windows").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(rows === Set(("10:00", "covid", 2L), ("11:00", "vaccine", 1L)))
+    } finally q.stop()
+  }
+
   test("file-source pipeline is idempotent across re-fires") {
     val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_test_news"
     val landing = "/root/repo/fixtures/news_landing"

@@ -62,6 +62,14 @@ object LlmDedup {
     docs.select(col("doc_id"), toks(col("text")).as("t"))
       .select(col("doc_id"), explode(shingleCol(col("t"))).as("shingle"))
       .distinct()
+      // The inverted index is consumed by several branches (signatures,
+      // candidate join probes, set sizes) and Spark does NOT deduplicate
+      // identical non-exchange subtrees (measured: 0 ReusedExchange, the
+      // index recomputed ~5x). Materializing it is also the production
+      // design at scale: the index is O(docs x shingles), far smaller
+      // than re-tokenizing the corpus per branch. CacheManager dedupes by
+      // canonical plan, so both dedup queries share one materialization.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   private val shingleSqlCte =
@@ -102,8 +110,11 @@ object LlmDedup {
     // hash-distinct-shingles-then-join variant, whose shuffle of 32 hash
     // columns costs more than the redundant hashing it saves).
     val mhAggs = (0 until NumHashes).map(i =>
-      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"m$i"))
+      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"m$i")) :+
+      count(lit(1)).as("n") // set size folded into the same pass (no
+                            // separate sizes branch re-scanning the index)
     val mh = dsh.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val bandKeys = (0 until NumBands).map(b =>
       md5(concat(col(s"m${2 * b}"), col(s"m${2 * b + 1}"))))
@@ -117,26 +128,26 @@ object LlmDedup {
       .select(col("a.doc_id").as("x_id"), col("b.doc_id").as("y_id"))
       .distinct()
 
-    jaccardOf(cand, dsh).filter(col("jaccard") >= 0.5)
+    jaccardOf(cand, dsh, mh.select(col("doc_id"), col("n")))
+      .filter(col("jaccard") >= 0.5)
   }
 
   /** Exact shingle-Jaccard for a set of (x_id, y_id) candidate pairs:
     * the (small) candidate set is broadcast against the inverted index,
     * so per-pair work is bounded by document length and nothing large
     * shuffles. */
-  private def jaccardOf(cand: DataFrame, dsh: DataFrame): DataFrame = {
+  private def jaccardOf(cand: DataFrame, dsh: DataFrame, sz: DataFrame): DataFrame = {
     val shared = broadcast(cand)
       .join(dsh.as("sa"), col("x_id") === col("sa.doc_id"))
       .join(dsh.as("sb"),
         col("y_id") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
       .groupBy(col("x_id"), col("y_id"))
       .agg(count(lit(1)).as("shared"))
-    withJaccard(shared, dsh)
+    withJaccard(shared, sz)
   }
 
   /** Attach set sizes and the Jaccard ratio to (x_id, y_id, shared). */
-  private def withJaccard(shared: DataFrame, dsh: DataFrame): DataFrame = {
-    val sz = dsh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+  private def withJaccard(shared: DataFrame, sz: DataFrame): DataFrame = {
     shared
       .join(sz.as("nx"), col("x_id") === col("nx.doc_id"))
       .join(sz.as("ny"), col("y_id") === col("ny.doc_id"))
@@ -218,7 +229,8 @@ object LlmDedup {
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("x_id"), col("b.doc_id").as("y_id"))
       .agg(count(lit(1)).as("shared"))
-    withJaccard(shared, dsh).filter(col("jaccard") >= 0.05)
+    val sz = dsh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    withJaccard(shared, sz).filter(col("jaccard") >= 0.05)
   }
 
   val shingleJaccardSql: String =

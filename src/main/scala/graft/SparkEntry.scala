@@ -29,7 +29,8 @@ object SparkEntry {
       graft.queries.Geo.queries ++
       graft.queries.Streaming.queries ++
       graft.queries.IngestionFrance.queries ++
-      graft.queries.Multimodal.queries
+      graft.queries.Multimodal.queries ++
+      graft.queries.EventOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -42,5 +43,6 @@ object SparkEntry {
       graft.queries.Geo.oracles ++
       graft.queries.Streaming.oracles ++
       graft.queries.IngestionFrance.oracles ++
-      graft.queries.Multimodal.oracles
+      graft.queries.Multimodal.oracles ++
+      graft.queries.EventOps.oracles
 }

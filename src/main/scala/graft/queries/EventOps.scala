@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Event-stream analytics over `events`: as-of join, gap sessionization,
+  * exact percentiles — the time-series operators a training-data /
+  * analytics engine needs beyond the reference's dashboard shapes
+  * (SURVEY §2 addendum; the brief names as-of join as a canonical
+  * compose-don't-custom operator).
+  *
+  * All three are single-shuffle plans: one hash partition on `user_id`
+  * (windows) or `event_type` (percentiles); no joins at all — the as-of
+  * join is COMPOSED as a partitioned window carry-forward, which at
+  * 100 TB beats a range-join (no per-row binary search, no broadcast of
+  * a time index; just a sort within each user partition that AQE sizes).
+  */
+object EventOps {
+
+  /** As-of join, composed: for every `click`, the most recent strictly
+    * earlier `view` by the same user (null if none). Window order carries
+    * the last view id forward; `-1 row` bound excludes the current row.
+    * Tiebreak on event_id makes equal-timestamp order deterministic. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.withColumn("matched_view",
+        last(when(col("event_type") === "view", col("event_id")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("matched_view"))
+  }
+
+  val asofJoinSql: String =
+    """SELECT event_id, user_id, matched_view
+      |FROM (SELECT event_id, user_id, event_type,
+      |        last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+      |          OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS matched_view
+      |      FROM events)
+      |WHERE event_type = 'click'""".stripMargin
+
+  /** Gap-based sessionization (gap > 30 min starts a new session):
+    * lag-detect boundaries, running-sum them into session ids, aggregate
+    * per session. Exact µs arithmetic on both engines. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val us = unix_micros(col("ts"))
+    val isNew = when(lag(us, 1).over(order).isNull ||
+      us - lag(us, 1).over(order) > 1800L * 1000000L, 1L).otherwise(0L)
+    ev.withColumn("session_id", sum(isNew).over(run))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (max(us) - min(us)).as("dur_us"))
+  }
+
+  val sessionizeSql: String =
+    """SELECT user_id, session_id, COUNT(*) AS n_events,
+      |  CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS BIGINT) AS dur_us
+      |FROM (SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id
+      |        ORDER BY ts ASC, event_id ASC
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |      FROM (SELECT *, CASE WHEN lag(epoch_us(ts), 1) OVER
+      |              (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
+      |              OR epoch_us(ts) - lag(epoch_us(ts), 1) OVER
+      |              (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) > 1800000000
+      |            THEN 1 ELSE 0 END AS is_new
+      |            FROM events))
+      |GROUP BY user_id, session_id""".stripMargin
+
+  /** Exact interpolated percentiles per group (p50/p95), rounded so
+    * cross-engine interpolation arithmetic cannot flip a hash compare. */
+  def percentiles(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    ev.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(percentile(col("value"), lit(0.5)), 6).as("p50"),
+        round(percentile(col("value"), lit(0.95)), 6).as("p95"))
+  }
+
+  val percentilesSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  round(quantile_cont(value, 0.5), 6) AS p50,
+      |  round(quantile_cont(value, 0.95), 6) AS p95
+      |FROM events GROUP BY event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_asof_join" -> (asofJoin _),
+    "evt_sessionize" -> (sessionize _),
+    "evt_percentiles" -> (percentiles _))
+
+  val oracles: Map[String, String] = Map(
+    "evt_asof_join" -> asofJoinSql,
+    "evt_sessionize" -> sessionizeSql,
+    "evt_percentiles" -> percentilesSql)
+}

@@ -84,6 +84,20 @@ object CasesIngest {
   private val valSyn = Seq("NumberDosesReceived", "cases", "new_cases")
   private val popSyn = Seq("population", "popData2020")
 
+  /** F3: malformed-header rejection (parse_insert.py:168-185 — if any
+    * required logical column resolves to NO header synonym, the whole
+    * file is rejected before Spark ever scans it). Driver-side: reads
+    * only the header line. Returns the rejected files. */
+  def rejectMalformed(spark: SparkSession, paths: Seq[String]): (Seq[String], Seq[String]) = {
+    val required = Seq(dateSyn, locSyn, valSyn)
+    paths.partition { p =>
+      val sep = sniffDelimiter(p)
+      val header = scala.io.Source.fromFile(p).getLines().nextOption().getOrElse("")
+      val cols = header.split(java.util.regex.Pattern.quote(sep)).map(_.trim).toSet
+      required.forall(_.exists(cols.contains))
+    }
+  }
+
   private def synCoalesce(df: DataFrame, names: Seq[String]): Column = {
     val present = names.filter(df.columns.contains).map(n => nullifEmpty(col(n)))
     if (present.isEmpty) lit(null).cast("string") else coalesce(present: _*)

@@ -410,6 +410,20 @@ object Relational {
       |      FROM events)
       |GROUP BY 1""".stripMargin
 
+  /** HLL++ approximate distinct per group — the sketch path for A6 when
+    * exact distinct is too expensive at scale (one pass, fixed-size
+    * state, no expand). No DuckDB oracle: HLL estimates are
+    * implementation-specific, so the driver records a rows-only check;
+    * the exact counterpart [[distinctCounts]] is fully oracle-checked. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    import spark.implicits._
+    li.groupBy($"l_returnflag")
+      .agg(
+        approx_count_distinct($"l_partkey").as("approx_parts"),
+        approx_count_distinct($"l_suppkey").as("approx_supps"))
+  }
+
   /** All (name -> impl) pairs in this module. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_pricing_summary" -> (pricingSummary _),
@@ -429,6 +443,7 @@ object Relational {
     "rel_except" -> (exceptNations _),
     "rel_setops_combo" -> (setOpsCombo _),
     "rel_distinct_counts" -> (distinctCounts _),
+    "rel_approx_distinct" -> (approxDistinct _),
     "rel_grid_cells" -> (gridCells _),
     "rel_regex_extract" -> (regexExtract _))
 

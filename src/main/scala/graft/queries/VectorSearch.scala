@@ -118,11 +118,49 @@ object VectorSearch {
        |SELECT q_id, vec_id AS neighbor_id, score, CAST(rank AS BIGINT) AS rank
        |FROM r WHERE rank <= 5""".stripMargin
 
+  /** Embedding-cosine near-dup detection: candidate pairs restricted to
+    * the same LSH sign bucket (keyed join — never all-pairs), kept above
+    * a cosine threshold. The embedding-space member of the dedup family
+    * (complements the lexical MinHash/SimHash detectors). Threshold 0.4
+    * here: the synthetic embeddings carry no true near-dups (max pairwise
+    * cosine 0.51), so a production-style 0.95+ would verify nothing. */
+  def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val planes = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("j"), col("v").as("pv"))
+    val buckets = emb.crossJoin(broadcast(planes))
+      .groupBy(col("vec_id"))
+      .agg(sum(when(dot(col("v"), col("pv")) > 0,
+        pow(lit(2.0), col("j").cast("double")).cast("long")).otherwise(0L)).as("bucket"))
+    val embB = emb.join(buckets, "vec_id")
+    embB.as("a")
+      .join(embB.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("x_id"), col("b.vec_id").as("y_id"),
+        cosine(col("a.v"), col("b.v")).as("score"))
+      .filter(col("score") >= 0.4)
+  }
+
+  val embedNearDupSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |p AS (SELECT vec_id AS j, v AS pv FROM e WHERE vec_id < 8),
+       |bk AS (SELECT e.vec_id,
+       |         SUM(CASE WHEN ${sqlDot("e.v", "p.pv")} > 0
+       |             THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS bucket
+       |       FROM e CROSS JOIN p GROUP BY e.vec_id),
+       |eb AS (SELECT e.vec_id, e.v, bk.bucket FROM e JOIN bk ON e.vec_id = bk.vec_id)
+       |SELECT a.vec_id AS x_id, b.vec_id AS y_id, ${sqlCos("a.v", "b.v")} AS score
+       |FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE ${sqlCos("a.v", "b.v")} >= 0.4""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_embed_topk" -> (bruteTopk _),
-    "llm_embed_ann_lsh" -> (lshBucketTopk _))
+    "llm_embed_ann_lsh" -> (lshBucketTopk _),
+    "llm_embed_neardup" -> (embedNearDup _))
 
   val oracles: Map[String, String] = Map(
     "llm_embed_topk" -> bruteTopkSql,
-    "llm_embed_ann_lsh" -> lshBucketTopkSql)
+    "llm_embed_ann_lsh" -> lshBucketTopkSql,
+    "llm_embed_neardup" -> embedNearDupSql)
 }

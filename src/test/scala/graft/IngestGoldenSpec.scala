@@ -59,6 +59,13 @@ class IngestGoldenSpec extends SparkSpec {
       .getAs[Double]("lat") === 37.0902)
   }
 
+  test("F3: files with unresolvable headers are rejected whole") {
+    val (ok, bad) = CasesIngest.rejectMalformed(spark,
+      CasesIngest.CasesPaths :+ s"${CasesIngest.FixtureDir}/bad_header.csv")
+    assert(ok.toSet === CasesIngest.CasesPaths.toSet)
+    assert(bad.map(_.split('/').last) === Seq("bad_header.csv"))
+  }
+
   test("P13: provenance filename attached") {
     assert(canon.select(col("filename")).distinct().collect()
       .map(_.getString(0)).toSet ===

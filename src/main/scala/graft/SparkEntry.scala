@@ -30,7 +30,8 @@ object SparkEntry {
       graft.queries.Streaming.queries ++
       graft.queries.IngestionFrance.queries ++
       graft.queries.Multimodal.queries ++
-      graft.queries.EventOps.queries
+      graft.queries.EventOps.queries ++
+      graft.queries.Functions.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -44,5 +45,6 @@ object SparkEntry {
       graft.queries.Streaming.oracles ++
       graft.queries.IngestionFrance.oracles ++
       graft.queries.Multimodal.oracles ++
-      graft.queries.EventOps.oracles
+      graft.queries.EventOps.oracles ++
+      graft.queries.Functions.oracles
 }

@@ -128,7 +128,28 @@ object Functions {
       |  CAST(levenshtein(c_mktsegment, 'MACHINERY') AS BIGINT) AS edit_dist
       |FROM customer WHERE c_custkey % 89 = 0""".stripMargin
 
+  /** JSON extraction: both the path-string API (get_json_object) and the
+    * schema-full parse (from_json → struct field) over the events props
+    * column, cross-checked against DuckDB's JSON extraction. */
+  def jsonFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    ev.select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_path"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType)))).getField("k").as("k_schema"))
+      .filter(col("event_id") % 101 === 0)
+  }
+
+  val jsonFuncsSql: String =
+    """SELECT event_id,
+      |  CAST(json_extract(props, '$.k') AS BIGINT) AS k_path,
+      |  CAST(json_extract(props, '$.k') AS BIGINT) AS k_schema
+      |FROM events WHERE event_id % 101 = 0""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_json" -> (jsonFuncs _),
     "fn_pivot" -> (pivotEvents _),
     "fn_array_agg" -> (arrayAgg _),
     "fn_window_ranks" -> (windowRanks _),
@@ -136,6 +157,7 @@ object Functions {
     "fn_strings" -> (stringFuncs _))
 
   val oracles: Map[String, String] = Map(
+    "fn_json" -> jsonFuncsSql,
     "fn_pivot" -> pivotEventsSql,
     "fn_array_agg" -> arrayAggSql,
     "fn_window_ranks" -> windowRanksSql,

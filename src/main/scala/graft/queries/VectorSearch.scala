@@ -118,6 +118,66 @@ object VectorSearch {
        |SELECT q_id, vec_id AS neighbor_id, score, CAST(rank AS BIGINT) AS rank
        |FROM r WHERE rank <= 5""".stripMargin
 
+  /** IVF (inverted-file) ANN: vectors are partitioned into Voronoi cells
+    * of 16 centroids (deterministic "training": dataset vectors 0..15);
+    * a query probes only its nprobe=2 nearest cells. The second classic
+    * ANN scale path next to [[lshBucketTopk]]: search cost drops to
+    * ~nprobe/16 of the corpus, via keyed joins on the cell id.
+    * Assignment scores are rounded (tiebreak: centroid id) so the argmax
+    * is cross-engine deterministic. */
+  def ivfTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val cents = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    // cell assignment: one narrow pass, centroids broadcast
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cscore").desc, col("cid").asc)
+    val assign = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("cid"), cosine(col("v"), col("cv")).as("cscore"))
+      .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("cid"))
+    // query probes: nprobe=2 best cells per query vector
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("cscore").desc, col("cid").asc)
+    val probes = emb.filter(col("vec_id") >= 200 && col("vec_id") < 205)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .crossJoin(broadcast(cents))
+      .select(col("q_id"), col("qv"), col("cid"), cosine(col("qv"), col("cv")).as("cscore"))
+      .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= 2)
+      .select(col("q_id"), col("qv"), col("cid"))
+    // search only the probed cells
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    assign.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), cosine(col("qv"), col("v")).as("score"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("score"), col("rank"))
+  }
+
+  val ivfTopkSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+       |asg AS (SELECT vec_id, v, cid FROM (
+       |    SELECT e.vec_id, e.v, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${sqlCos("e.v", "c.cv")} DESC, c.cid ASC) AS rn
+       |    FROM e CROSS JOIN c) WHERE rn = 1),
+       |pr AS (SELECT q_id, qv, cid FROM (
+       |    SELECT e.vec_id AS q_id, e.v AS qv, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${sqlCos("e.v", "c.cv")} DESC, c.cid ASC) AS rn
+       |    FROM e CROSS JOIN c WHERE e.vec_id >= 200 AND e.vec_id < 205)
+       |  WHERE rn <= 2),
+       |s AS (SELECT pr.q_id, asg.vec_id, ${sqlCos("pr.qv", "asg.v")} AS score
+       |      FROM asg JOIN pr ON asg.cid = pr.cid AND asg.vec_id <> pr.q_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |        ORDER BY score DESC, vec_id ASC) AS rank FROM s)
+       |SELECT q_id, vec_id AS neighbor_id, score, CAST(rank AS BIGINT) AS rank
+       |FROM r WHERE rank <= 5""".stripMargin
+
   /** Embedding-cosine near-dup detection: candidate pairs restricted to
     * the same LSH sign bucket (keyed join — never all-pairs), kept above
     * a cosine threshold. The embedding-space member of the dedup family
@@ -157,10 +217,12 @@ object VectorSearch {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_embed_topk" -> (bruteTopk _),
     "llm_embed_ann_lsh" -> (lshBucketTopk _),
+    "llm_embed_ann_ivf" -> (ivfTopk _),
     "llm_embed_neardup" -> (embedNearDup _))
 
   val oracles: Map[String, String] = Map(
     "llm_embed_topk" -> bruteTopkSql,
     "llm_embed_ann_lsh" -> lshBucketTopkSql,
+    "llm_embed_ann_ivf" -> ivfTopkSql,
     "llm_embed_neardup" -> embedNearDupSql)
 }

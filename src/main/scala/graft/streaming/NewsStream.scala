@@ -60,6 +60,31 @@ object NewsStream {
     q.awaitTermination()
   }
 
+  /** T2 as an INCREMENTAL upsert (foreachBatch merge-by-key) instead of
+    * the reference's full delete-and-reload: rows from `batch` replace
+    * same-`link` rows in the lake, everything else is carried forward.
+    * Without a transactional table format this is staged as
+    * write-new-then-swap, which keeps the replace atomic at the
+    * directory level (readers see old or new, never half).
+    *
+    * At 100 TB the carry-forward read would be partition-pruned by the
+    * keys present in the batch (here the lake is small and unpartitioned
+    * — the pattern, not the layout, is the point). */
+  def upsertToLake(spark: SparkSession, batch: DataFrame, lakePath: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val lake = new org.apache.hadoop.fs.Path(lakePath)
+    val staged = new org.apache.hadoop.fs.Path(lakePath + ".staged")
+    val merged =
+      if (fs.exists(lake)) {
+        val existing = spark.read.parquet(lakePath)
+        existing.join(batch.select("link"), Seq("link"), "left_anti")
+          .unionByName(batch)
+      } else batch
+    merged.write.mode("overwrite").parquet(staged.toString)
+    fs.delete(lake, true)
+    fs.rename(staged, lake)
+  }
+
   /** Fresh end-to-end run into a scratch sink; returns the sink as a
     * batch DataFrame (used by the correctness query and tests). */
   def freshRun(spark: SparkSession, landingDir: String, scratch: String): DataFrame = {

@@ -78,6 +78,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch upsert: same-key rows replaced, others carried forward") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lake = s"${System.getProperty("java.io.tmpdir")}/graft_upsert_lake"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(lake), true)
+    val mem = MemoryStream[NewsEvt]
+    val q = mem.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        NewsStream.upsertToLake(spark, batch, lake)
+      }
+      .start()
+    try {
+      mem.addData(
+        NewsEvt("l1", ts("2021-03-01 10:00:00"), "v1"),
+        NewsEvt("l2", ts("2021-03-01 11:00:00"), "stays"))
+      q.processAllAvailable()
+      mem.addData(
+        NewsEvt("l1", ts("2021-03-02 10:00:00"), "v2"), // replaces l1
+        NewsEvt("l3", ts("2021-03-02 11:00:00"), "new"))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(lake).collect()
+        .map(r => r.getAs[String]("link") -> r.getAs[String]("title")).toMap
+      assert(rows === Map("l1" -> "v2", "l2" -> "stays", "l3" -> "new"))
+    } finally q.stop()
+  }
+
   test("file-source pipeline is idempotent across re-fires") {
     val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_test_news"
     val landing = "/root/repo/fixtures/news_landing"

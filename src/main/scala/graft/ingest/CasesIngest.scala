@@ -98,63 +98,20 @@ object CasesIngest {
     }
   }
 
-  private def synCoalesce(df: DataFrame, names: Seq[String]): Column = {
-    val present = names.filter(df.columns.contains).map(n => nullifEmpty(col(n)))
-    if (present.isEmpty) lit(null).cast("string") else coalesce(present: _*)
-  }
+  /** The fixture sources as [[SourceSpec]]s — the reference's per-bucket
+    * scripts collapsed into config (SURVEY §7.2 step 3). */
+  val specs: Seq[SourceSpec] = Seq(
+    SourceSpec("contamination", Seq(s"$FixtureDir/contamination_a.csv"),
+      dateSyn, locSyn, valSyn, popSyn, valueTarget = "confirmed"),
+    SourceSpec("vaccination", Seq(s"$FixtureDir/vaccination_b.csv"),
+      dateSyn, locSyn, valSyn, popSyn, valueTarget = "vaccinated"))
 
   /** The full normalize+enrich pipeline producing the canonical cases
-    * schema of SURVEY.md §1.3. */
+    * schema of SURVEY.md §1.3: every configured source through
+    * [[SourceSpec.ingest]], unioned by the shared schema. */
   def canonicalCases(spark: SparkSession): DataFrame = {
-    val raw = readRaw(spark)
     val dim = geoDim(spark)
-
-    val norm = raw.select(
-      synCoalesce(raw, dateSyn).as("date_raw"),
-      synCoalesce(raw, locSyn).as("loc_raw"),
-      synCoalesce(raw, valSyn).as("val_raw"),
-      synCoalesce(raw, popSyn).as("pop_raw"),
-      col("filename"))
-
-    // P4: normalize slashes, then the 3-format cascade; ISO week expands
-    // to a [monday, monday+6] validity interval (see [[DateParse]]).
-    val dateStart = DateParse.dateStart(col("date_raw"))
-    val dateEnd = DateParse.dateEnd(col("date_raw"))
-
-    // J3 alias rewrite + P5 World-poisoning before the probe.
-    val loc = when(col("loc_raw") === "World", lit(null))
-      .when(col("loc_raw") === "EL", lit("Greece"))
-      .otherwise(col("loc_raw"))
-
-    val v = coalesce(expr("try_cast(val_raw AS BIGINT)"), lit(0L)) // P7
-    val pop = expr("try_cast(pop_raw AS BIGINT)")
-    val isVacc = col("filename").startsWith("vacc")
-
-    val enriched = norm
-      .withColumn("date_start", dateStart)
-      .withColumn("date_end", dateEnd)
-      .withColumn("loc", loc)
-      .withColumn("v", v)
-      .withColumn("pop", pop)
-      .filter(col("date_start").isNotNull) // F1
-      .join(broadcast(dim), col("loc") === dim("name")) // J1 (inner: drop unresolved)
-
-    enriched.select(
-      col("date_start"), col("date_end"),
-      struct(col("lat"), col("lon")).as("location"),
-      col("name").as("location_name"),
-      when(!isVacc, col("v")).as("confirmed"), // P9
-      lit(null).cast("long").as("deaths"),
-      lit(null).cast("long").as("recovered"),
-      when(isVacc, col("v")).as("vaccinated"),
-      lit(null).cast("long").as("tested"),
-      col("filename"),
-      col("iso2").as("iso_code2"),
-      lit(null).cast("string").as("iso_region2"),
-      col("pop").as("max_population"),
-      when(col("pop").isNotNull && col("pop") =!= 0,
-        col("v").cast("double") / col("pop").cast("double") * 100.0).as("percentage"), // P8
-      when(isVacc, lit("vaccination")).otherwise(lit("contamination")).as("source_index"))
+    specs.map(SourceSpec.ingest(spark, _, dim)).reduce(_.unionByName(_))
   }
 
   /** K2: atomic full-refresh via partitioned overwrite (the swap semantics

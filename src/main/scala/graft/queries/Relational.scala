@@ -410,6 +410,63 @@ object Relational {
       |      FROM events)
       |GROUP BY 1""".stripMargin
 
+  /** TPC-H Q3 shape — 3-way join (broadcastable dim-filtered customer ⋈
+    * orders ⋈ lineitem) + grouped revenue + top-10. The mixed plan:
+    * customer side broadcasts after its filter, the orders⋈lineitem
+    * shuffle keys on the order key, top-k is TakeOrderedAndProject. */
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+    val ord = Tables.load(spark, dir, "orders")
+    val li = Tables.load(spark, dir, "lineitem")
+    import spark.implicits._
+    cust.filter($"c_mktsegment" === "BUILDING")
+      .join(ord, $"c_custkey" === $"o_custkey")
+      .filter($"o_orderdate" < lit("1998-01-01"))
+      .join(li, $"o_orderkey" === $"l_orderkey")
+      .filter($"l_shipdate" > lit("1998-01-01"))
+      .groupBy($"l_orderkey", date_format($"o_orderdate", "yyyy-MM-dd").as("order_date"),
+        $"o_orderpriority")
+      .agg(sum($"l_extendedprice".cast(dec) * (lit(1).cast(dec) - $"l_discount".cast(dec)))
+        .cast("double").as("revenue"))
+      .orderBy($"revenue".desc, $"l_orderkey".asc)
+      .limit(10)
+  }
+
+  val shippingPrioritySql: String =
+    """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+      |  o_orderpriority,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01'
+      |GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin
+
+  /** Per-group-average comparison (the classic correlated-subquery shape,
+    * decorrelated as a window): parts priced above their brand's mean. */
+  def aboveAvg(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.load(spark, dir, "part")
+    import spark.implicits._
+    val w = Window.partitionBy($"p_brand")
+    part
+      .withColumn("brand_avg",
+        sum($"p_retailprice".cast(dec)).over(w).cast("double") / count(lit(1)).over(w))
+      .filter($"p_retailprice" > $"brand_avg" * 1.03)
+      .select($"p_partkey", $"p_brand", $"p_retailprice",
+        round($"brand_avg", 6).as("brand_avg"))
+  }
+
+  val aboveAvgSql: String =
+    """SELECT p_partkey, p_brand, p_retailprice, round(brand_avg, 6) AS brand_avg
+      |FROM (SELECT p_partkey, p_brand, p_retailprice,
+      |        CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+      |          / COUNT(*) OVER w AS brand_avg
+      |      FROM part
+      |      WINDOW w AS (PARTITION BY p_brand))
+      |WHERE p_retailprice > brand_avg * 1.03""".stripMargin
+
   /** HLL++ approximate distinct per group — the sketch path for A6 when
     * exact distinct is too expensive at scale (one pass, fixed-size
     * state, no expand). No DuckDB oracle: HLL estimates are
@@ -444,6 +501,8 @@ object Relational {
     "rel_setops_combo" -> (setOpsCombo _),
     "rel_distinct_counts" -> (distinctCounts _),
     "rel_approx_distinct" -> (approxDistinct _),
+    "rel_shipping_priority" -> (shippingPriority _),
+    "rel_above_avg" -> (aboveAvg _),
     "rel_grid_cells" -> (gridCells _),
     "rel_regex_extract" -> (regexExtract _))
 
@@ -462,6 +521,8 @@ object Relational {
     "rel_date_histogram" -> dateHistogramSql,
     "rel_rollup" -> rollupHierarchySql,
     "rel_cube" -> cubeDimsSql,
+    "rel_shipping_priority" -> shippingPrioritySql,
+    "rel_above_avg" -> aboveAvgSql,
     "rel_except" -> exceptNationsSql,
     "rel_setops_combo" -> setOpsComboSql,
     "rel_distinct_counts" -> distinctCountsSql,

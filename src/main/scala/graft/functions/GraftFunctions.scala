@@ -26,10 +26,18 @@ object GraftFunctions {
       "geohash_encode(lat, lon[, precision-literal])")
   }
 
+  private def tokenOverlapBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(text, query) => TokenOverlap(text, query)
+    case _ => throw new IllegalArgumentException("token_overlap(text, query)")
+  }
+
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("geohash_encode"),
       new ExpressionInfo(classOf[GeohashEncode].getName, "geohash_encode"),
-      geohashBuilder _))
+      geohashBuilder _),
+    (FunctionIdentifier("token_overlap"),
+      new ExpressionInfo(classOf[TokenOverlap].getName, "token_overlap"),
+      tokenOverlapBuilder _))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

@@ -34,14 +34,17 @@ object TextAnalysis {
   // --------------------------------------------------------------- search
 
   /** Best-fields full-text search with pagination: query tokens scored
-    * per field (text tokens, source key), document score = max over
-    * fields (ES `best_fields`), page 2 of size 8 (ranks 9..16). */
+    * per field (text via the native codegen
+    * [[graft.functions.TokenOverlap]] expression, source as a key match),
+    * document score = max over fields (ES `best_fields`), page 2 of size
+    * 8 (ranks 9..16). The unchanged DuckDB oracle (list-filter form)
+    * independently proves the expression equivalent to the composed
+    * higher-order-function version it replaced. */
   def searchTopk(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val docs = Tables.load(spark, dir, "documents")
-      .withColumn("t", toks(col("text"))) // materialize once (see LlmDedup)
     val qtoks = array(lit("spark"), lit("join"), lit("src3"))
-    val t = col("t")
-    val sText = size(filter(qtoks, q => array_contains(t, q))).cast("long")
+    val sText = call_function("token_overlap", col("text"), lit("spark join src3"))
     val sSource = size(filter(qtoks, q => q === col("source"))).cast("long")
     val w = Window.orderBy(col("score").desc, col("doc_id").asc)
     docs.select(col("doc_id"), greatest(sText, sSource).as("score"))

@@ -41,6 +41,18 @@ class GeohashSpec extends SparkSpec {
     assert(out === "u4pruy")
   }
 
+  test("token_overlap expression: known scores, dup query tokens, null") {
+    GraftFunctions.register(spark)
+    val rows = spark.sql(
+      """SELECT token_overlap('The quick  Brown fox', 'quick fox none') AS a,
+        |       token_overlap('a b c', 'a a b') AS dup,
+        |       token_overlap(CAST(NULL AS STRING), 'x') AS n""".stripMargin)
+      .collect()(0)
+    assert(rows.getLong(0) === 2L)
+    assert(rows.getLong(1) === 3L) // duplicate query tokens each count
+    assert(rows.isNullAt(2))
+  }
+
   test("null inputs propagate null") {
     GraftFunctions.register(spark)
     val out = spark.sql(

@@ -138,13 +138,35 @@ object Ingestion {
        |  CAST(SUM(COALESCE(confirmed, 0) + COALESCE(vaccinated, 0)) AS BIGINT) AS total_value
        |FROM canon GROUP BY source_index""".stripMargin
 
+  /** Partition-pruned lake scan — the Spark equivalent of the reference's
+    * index-pattern queries (`news_*`/`contamination_owid_*`,
+    * SearchUI.js:6): the `source_index = 'vaccination'` predicate prunes
+    * whole partition directories before any file is opened
+    * (PruneFileSourcePartitions; asserted in IngestGoldenSpec). */
+  def lakePruned(spark: SparkSession, dir: String): DataFrame = {
+    val lake = s"${System.getProperty("java.io.tmpdir")}/graft_lake_rt"
+    CasesIngest.writeLake(CasesIngest.canonicalCases(spark), lake)
+    spark.read.parquet(lake)
+      .filter(col("source_index") === "vaccination")
+      .groupBy(col("iso_code2"))
+      .agg(sum(col("vaccinated")).as("sum_vaccinated"))
+  }
+
+  val lakePrunedSql: String =
+    s"""WITH $canonCte
+       |SELECT iso_code2, CAST(SUM(vaccinated) AS BIGINT) AS sum_vaccinated
+       |FROM canon WHERE source_index = 'vaccination'
+       |GROUP BY iso_code2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ing_cases_norm" -> (casesNorm _),
     "ing_cases_by_country" -> (casesByCountry _),
-    "ing_lake_roundtrip" -> (lakeRoundtrip _))
+    "ing_lake_roundtrip" -> (lakeRoundtrip _),
+    "ing_lake_pruned" -> (lakePruned _))
 
   val oracles: Map[String, String] = Map(
     "ing_cases_norm" -> casesNormSql,
     "ing_cases_by_country" -> casesByCountrySql,
-    "ing_lake_roundtrip" -> lakeRoundtripSql)
+    "ing_lake_roundtrip" -> lakeRoundtripSql,
+    "ing_lake_pruned" -> lakePrunedSql)
 }

@@ -66,6 +66,29 @@ class IngestGoldenSpec extends SparkSpec {
     assert(bad.map(_.split('/').last) === Seq("bad_header.csv"))
   }
 
+  test("K2 lake: partition filter prunes to the vaccination directory only") {
+    val lake = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    CasesIngest.writeLake(canon, lake)
+    val all = spark.read.parquet(lake)
+    val pruned = all
+      .filter(org.apache.spark.sql.functions.col("source_index") === "vaccination")
+    pruned.collect() // run THIS plan (count() would execute a different one)
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long =
+      scans(df.queryExecution.executedPlan).map(_.metrics("numFiles").value).sum
+    val prunedFiles = filesRead(pruned)
+    all.collect()
+    val totalFiles = filesRead(all)
+    assert(prunedFiles >= 1 && prunedFiles < totalFiles,
+      s"no pruning: read $prunedFiles of $totalFiles files")
+  }
+
   test("P13: provenance filename attached") {
     assert(canon.select(col("filename")).distinct().collect()
       .map(_.getString(0)).toSet ===

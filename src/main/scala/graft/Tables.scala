@@ -34,7 +34,10 @@ object Tables {
     else df
   }
 
-  /** Common SparkSession config for mains (local mode, UTC, AQE on). */
+  /** Common SparkSession config for mains (local mode, UTC, AQE on,
+    * graft's native functions injected via SparkSessionExtensions — the
+    * production registration path; queries also self-register for
+    * sessions built elsewhere). */
   def session(appName: String): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     SparkSession.builder()
@@ -44,6 +47,7 @@ object Tables {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
   }
 }

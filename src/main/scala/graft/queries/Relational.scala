@@ -246,6 +246,29 @@ object Relational {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_qty
       |FROM lineitem""".stripMargin
 
+  /** RANGE-framed sliding window (vs the ROWS frames elsewhere): per
+    * supplier, quantity shipped in the 30 calendar days up to each
+    * shipment — a value-based frame, so gaps in the date sequence are
+    * handled by the frame bound, not row offsets. */
+  def rangeWindow(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    import spark.implicits._
+    val dayNum = datediff($"l_shipdate".cast("date"), lit("1990-01-01").cast("date"))
+    val w = Window.partitionBy($"l_suppkey").orderBy(dayNum)
+      .rangeBetween(-30, 0)
+    li.filter($"l_suppkey" % 50 === 0)
+      .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
+        dayNum.as("day_num"),
+        sum($"l_quantity").over(w).cast("long").as("qty_30d"))
+  }
+
+  val rangeWindowSql: String =
+    """SELECT l_suppkey, l_orderkey, l_linenumber, day_num,
+      |  CAST(SUM(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY day_num
+      |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT) AS qty_30d
+      |FROM (SELECT *, datediff('day', DATE '1990-01-01', l_shipdate::DATE) AS day_num
+      |      FROM lineitem WHERE l_suppkey % 50 = 0)""".stripMargin
+
   /** lag() day-over-day delta — SURVEY §2.7 analytic shape. */
   def dailyDelta(spark: SparkSession, dir: String): DataFrame = {
     val ord = Tables.load(spark, dir, "orders")
@@ -493,6 +516,7 @@ object Relational {
     "rel_topk_orders" -> (topkOrders _),
     "rel_last_per_group" -> (lastOrderPerCustomer _),
     "rel_running_sum" -> (runningSum _),
+    "rel_range_window" -> (rangeWindow _),
     "rel_daily_delta" -> (dailyDelta _),
     "rel_date_histogram" -> (dateHistogram _),
     "rel_rollup" -> (rollupHierarchy _),
@@ -517,6 +541,7 @@ object Relational {
     "rel_topk_orders" -> topkOrdersSql,
     "rel_last_per_group" -> lastOrderPerCustomerSql,
     "rel_running_sum" -> runningSumSql,
+    "rel_range_window" -> rangeWindowSql,
     "rel_daily_delta" -> dailyDeltaSql,
     "rel_date_histogram" -> dateHistogramSql,
     "rel_rollup" -> rollupHierarchySql,

@@ -52,11 +52,13 @@ object Bench {
       }
     }
 
-    val qs = times.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }
+    // Locale.ROOT: a comma-decimal default locale would emit invalid JSON.
+    def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
+    val qs = times.map { case (k, v) => s""""$k":${f3(v)}""" }
       .mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
     val total = times.values.sum
-    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

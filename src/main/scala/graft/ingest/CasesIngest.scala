@@ -43,13 +43,17 @@ object CasesIngest {
     * reference's clevercsv sniff window) — Spark's CSV reader then gets an
     * explicit dialect. */
   def sniffDelimiter(path: String): String = {
-    val bytes = Files.readAllBytes(Paths.get(path))
-    val head = new String(bytes, 0, math.min(bytes.length, 10240), "UTF-8")
+    val in = Files.newInputStream(Paths.get(path))
+    val head = try {
+      val buf = new Array[Byte](10240) // bounded: never load the whole file
+      val n = math.max(in.read(buf), 0)
+      new String(buf, 0, n, "UTF-8")
+    } finally in.close()
     val line = head.takeWhile(_ != '\n')
     Seq(",", ";", "\t", "|").maxBy(d => line.count(_ == d.head))
   }
 
-  private def nullifEmpty(c: Column): Column =
+  private[ingest] def nullifEmpty(c: Column): Column =
     when(trim(c) === "", lit(null)).otherwise(trim(c))
 
   /** S6: lookup CSV → melt the 3 alternative name-key columns → keep rows
@@ -71,14 +75,6 @@ object CasesIngest {
     melted.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
   }
 
-  /** S1+S4+P13: read each CSV with its sniffed dialect (all columns as
-    * strings), attach file provenance, union by name across dialects. */
-  def readRaw(spark: SparkSession, paths: Seq[String] = CasesPaths): DataFrame =
-    paths.map { p =>
-      spark.read.option("header", "true").option("sep", sniffDelimiter(p)).csv(p)
-        .withColumn("filename", regexp_extract(input_file_name(), "([^/]+)$", 1))
-    }.reduce(_.unionByName(_, allowMissingColumns = true))
-
   private val dateSyn = Seq("YearWeekISO", "dateRep", "date")
   private val locSyn = Seq("ReportingCountry", "countriesAndTerritories", "location", "country")
   private val valSyn = Seq("NumberDosesReceived", "cases", "new_cases")
@@ -92,7 +88,8 @@ object CasesIngest {
     val required = Seq(dateSyn, locSyn, valSyn)
     paths.partition { p =>
       val sep = sniffDelimiter(p)
-      val header = scala.io.Source.fromFile(p).getLines().nextOption().getOrElse("")
+      val src = scala.io.Source.fromFile(p)
+      val header = try src.getLines().nextOption().getOrElse("") finally src.close()
       val cols = header.split(java.util.regex.Pattern.quote(sep)).map(_.trim).toSet
       required.forall(_.exists(cols.contains))
     }

@@ -26,11 +26,9 @@ case class SourceSpec(
 
 object SourceSpec {
 
-  private def nullifEmpty(c: Column): Column =
-    when(trim(c) === "", lit(null)).otherwise(trim(c))
-
   private def synCoalesce(df: DataFrame, names: Seq[String]): Column = {
-    val present = names.filter(df.columns.contains).map(n => nullifEmpty(col(n)))
+    val present = names.filter(df.columns.contains)
+      .map(n => CasesIngest.nullifEmpty(col(n)))
     if (present.isEmpty) lit(null).cast("string") else coalesce(present: _*)
   }
 

@@ -17,9 +17,15 @@ object Salting {
 
   /** Join `big ⋈ small` on `key` with an `n`-way salt on the big side.
     * The big side's salt is an arbitrary per-row spread (its value is
-    * irrelevant to the join result); the small side replicates `n`×. */
+    * irrelevant to the join result); the small side replicates `n`×.
+    * Only inner and left_outer are row-equivalent under salting (the
+    * replicated small side would duplicate ITS unmatched rows `n`× under
+    * right/full outer), so other join types are rejected. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, n: Int,
       joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left_outer" || joinType == "left",
+      s"saltedJoin supports inner/left_outer only (got $joinType): outer " +
+        "variants would emit unmatched small-side rows once per salt")
     val bigS = big.withColumn("__salt",
       pmod(hash(monotonically_increasing_id()), lit(n)))
     val smallS = small.withColumn("__salt",

@@ -41,6 +41,7 @@ object Ingestion {
        |    CASE WHEN regexp_matches(d0, '^\\d{4}-W\\d{1,2}${"$"}') THEN $wkMon
        |         WHEN regexp_matches(d0, '^\\d{2}-\\d{2}-\\d{4}${"$"}') THEN strptime(d0, '%d-%m-%Y')::DATE
        |         WHEN regexp_matches(d0, '^\\d{4}-\\d{2}-\\d{2}${"$"}') THEN strptime(d0, '%Y-%m-%d')::DATE
+       |         WHEN regexp_matches(d0, '^[A-Z][a-z]+ \\d{2}, \\d{4}${"$"}') THEN strptime(d0, '%B %d, %Y')::DATE
        |    END AS date_start,
        |    CASE WHEN regexp_matches(d0, '^\\d{4}-W\\d{1,2}${"$"}') THEN $wkMon + 6 END AS wk_end
        |  FROM d1),

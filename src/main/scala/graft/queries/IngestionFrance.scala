@@ -40,12 +40,13 @@ object IngestionFrance {
        |lk0 AS (SELECT * FROM read_csv('$lk', header=true, all_varchar=true)),
        |melt AS (
        |  SELECT nullif(trim(Province_State),'') AS name, TRY_CAST(UID AS BIGINT) AS uid,
-       |         TRY_CAST(Lat AS DOUBLE) AS lat FROM lk0
+       |         TRY_CAST(Lat AS DOUBLE) AS lat, TRY_CAST(Long_ AS DOUBLE) AS lon FROM lk0
        |  UNION ALL SELECT nullif(trim(Country_Region),''), TRY_CAST(UID AS BIGINT),
-       |         TRY_CAST(Lat AS DOUBLE) FROM lk0
+       |         TRY_CAST(Lat AS DOUBLE), TRY_CAST(Long_ AS DOUBLE) FROM lk0
        |  UNION ALL SELECT nullif(trim(Combined_Key),''), TRY_CAST(UID AS BIGINT),
-       |         TRY_CAST(Lat AS DOUBLE) FROM lk0),
-       |dim AS (SELECT * FROM melt WHERE name IS NOT NULL AND lat IS NOT NULL
+       |         TRY_CAST(Lat AS DOUBLE), TRY_CAST(Long_ AS DOUBLE) FROM lk0),
+       |dim AS (SELECT * FROM melt
+       |        WHERE name IS NOT NULL AND lat IS NOT NULL AND lon IS NOT NULL
        |        QUALIFY row_number() OVER (PARTITION BY name ORDER BY uid ASC) = 1),
        |iso AS (SELECT DISTINCT iso2, iso3 FROM lk0 WHERE iso2 IS NOT NULL)
        |SELECT d.iso_region2, d.location_name,

@@ -8,10 +8,12 @@ import graft.streaming.NewsStream
 /** Batch correctness query over the streaming news pipeline's sink: the
   * whole EP2 chain (readStream JSON → watermark + (link,date) dedup →
   * AvailableNow parquet sink) runs to completion, then the sink is read
-  * back. The DuckDB oracle applies the equivalent dedup (DISTINCT over
-  * the projected row — the fixture's duplicates are byte-identical rows,
-  * so the survivor set is engine-independent) directly on the landing
-  * JSON. */
+  * back. The DuckDB oracle dedups on the SAME (link, date) key (one
+  * survivor per key via row_number), so row counts agree even if
+  * same-key payloads ever diverge; cell-level agreement additionally
+  * requires identical payloads per key (guaranteed by the fixture —
+  * Spark's streaming dropDuplicates keeps an arbitrary first-seen
+  * survivor, which no deterministic oracle can mirror otherwise). */
 object Streaming {
 
   private val landing = "/root/repo/fixtures/news_landing"
@@ -25,9 +27,13 @@ object Streaming {
   }
 
   val newsDedupSql: String =
-    s"""SELECT DISTINCT link, title, lang, source.crawler AS crawler,
-       |  strftime(CAST(date AS TIMESTAMP), '%Y-%m-%d %H:%M') AS event_time
-       |FROM read_json('$landing/*.json')""".stripMargin
+    s"""SELECT link, title, lang, crawler, event_time FROM (
+       |  SELECT link, title, lang, source.crawler AS crawler,
+       |    strftime(CAST(date AS TIMESTAMP), '%Y-%m-%d %H:%M') AS event_time,
+       |    row_number() OVER (PARTITION BY link, CAST(date AS TIMESTAMP)
+       |      ORDER BY title, lang) AS rn
+       |  FROM read_json('$landing/*.json'))
+       |WHERE rn = 1""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_news_dedup" -> (newsDedup _))

@@ -63,9 +63,13 @@ object NewsStream {
   /** T2 as an INCREMENTAL upsert (foreachBatch merge-by-key) instead of
     * the reference's full delete-and-reload: rows from `batch` replace
     * same-`link` rows in the lake, everything else is carried forward.
-    * Without a transactional table format this is staged as
-    * write-new-then-swap, which keeps the replace atomic at the
-    * directory level (readers see old or new, never half).
+    * Without a transactional table format the swap is staged as
+    * write-new → move-old-aside → rename-new-in — the replace window is
+    * two directory renames (never a partially-written lake, and a crash
+    * leaves either the live lake or a recoverable `.old`), though a
+    * concurrent reader can still race the renames; a real deployment
+    * would put a transactional table format (or a manifest/view
+    * indirection) over this.
     *
     * At 100 TB the carry-forward read would be partition-pruned by the
     * keys present in the batch (here the lake is small and unpartitioned
@@ -81,8 +85,11 @@ object NewsStream {
           .unionByName(batch)
       } else batch
     merged.write.mode("overwrite").parquet(staged.toString)
-    fs.delete(lake, true)
+    val old = new org.apache.hadoop.fs.Path(lakePath + ".old")
+    fs.delete(old, true)
+    if (fs.exists(lake)) fs.rename(lake, old)
     fs.rename(staged, lake)
+    fs.delete(old, true)
   }
 
   /** Fresh end-to-end run into a scratch sink; returns the sink as a

@@ -17,12 +17,33 @@ import org.apache.spark.sql.functions._
 object FranceIngest {
 
   val FrancePath = s"${CasesIngest.FixtureDir}/france_c.csv"
+  val VirtestsPath = s"${CasesIngest.FixtureDir}/france_virtests_d.csv"
 
   /** ISO-3166 alpha2 → alpha3 dim from the lookup CSV (P6). */
   def isoDim(spark: SparkSession): DataFrame =
     spark.read.option("header", "true").csv(CasesIngest.LookupPath)
       .select(col("iso2"), col("iso3")).where(col("iso2").isNotNull)
       .distinct()
+
+  /** The virological-tests variant (insert_france_virtests.py): the
+    * `tested` counter, `FR-{dep}` region codes built by CONCATENATION
+    * (insert_france_virtests.py:122 — vs the DEP→FR REWRITE above,
+    * insert_france.py:124), P7 empty-count default, P8 ratio guard. */
+  def virtests(spark: SparkSession): DataFrame = {
+    val raw = spark.read.option("header", "true")
+      .option("sep", CasesIngest.sniffDelimiter(VirtestsPath)).csv(VirtestsPath)
+    raw.select(
+        concat(lit("FR-"), col("dep")).as("iso_region2"), // P10 concat variant
+        DateParse.dateStart(col("jour")).as("date_start"),
+        coalesce(expr("try_cast(t AS BIGINT)"), lit(0L)).as("tested"), // P7
+        expr("try_cast(pop AS BIGINT)").as("pop"),
+        lit("FR").as("iso_code2"))
+      .filter(col("date_start").isNotNull)
+      .withColumn("test_rate",
+        when(col("pop").isNotNull && col("pop") =!= 0,
+          col("tested").cast("double") / col("pop").cast("double") * 100.0)) // P8
+      .withColumn("source_index", lit("virtests_fr"))
+  }
 
   def franceCases(spark: SparkSession): DataFrame = {
     val raw = spark.read.option("header", "true")

@@ -58,9 +58,34 @@ object IngestionFrance {
        |LEFT JOIN iso ON d.iso_code2 = iso.iso2
        |WHERE d.date_start IS NOT NULL""".stripMargin
 
+  def virtests(spark: SparkSession, dir: String): DataFrame =
+    FranceIngest.virtests(spark)
+      .select(col("iso_region2"),
+        date_format(col("date_start"), "yyyy-MM-dd").as("date_start"),
+        col("tested"), col("test_rate"), col("iso_code2"), col("source_index"))
+
+  val virtestsSql: String =
+    s"""SELECT 'FR-' || dep AS iso_region2,
+       |  strftime(d, '%Y-%m-%d') AS date_start,
+       |  COALESCE(TRY_CAST(t AS BIGINT), 0) AS tested,
+       |  CASE WHEN TRY_CAST(pop AS BIGINT) IS NOT NULL AND TRY_CAST(pop AS BIGINT) <> 0
+       |       THEN CAST(COALESCE(TRY_CAST(t AS BIGINT), 0) AS DOUBLE)
+       |            / CAST(TRY_CAST(pop AS BIGINT) AS DOUBLE) * 100 END AS test_rate,
+       |  'FR' AS iso_code2, 'virtests_fr' AS source_index
+       |FROM (SELECT *,
+       |    CASE WHEN regexp_matches(replace(jour,'/','-'), '^\\d{2}-\\d{2}-\\d{4}${"$"}')
+       |           THEN strptime(replace(jour,'/','-'), '%d-%m-%Y')::DATE
+       |         WHEN regexp_matches(jour, '^\\d{4}-\\d{2}-\\d{2}${"$"}')
+       |           THEN strptime(jour, '%Y-%m-%d')::DATE
+       |    END AS d
+       |  FROM read_csv('${FranceIngest.VirtestsPath}', delim=';', header=true, all_varchar=true))
+       |WHERE d IS NOT NULL""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ing_france_depts" -> (franceDepts _))
+    "ing_france_depts" -> (franceDepts _),
+    "ing_virtests" -> (virtests _))
 
   val oracles: Map[String, String] = Map(
-    "ing_france_depts" -> franceDeptsSql)
+    "ing_france_depts" -> franceDeptsSql,
+    "ing_virtests" -> virtestsSql)
 }

@@ -45,6 +45,11 @@ object Bench {
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     names.foreach { name =>
+      // Drop any cached blocks left by the warmup pass or a previous
+      // query, so each measured query pays its own full pipeline cost
+      // (a persisted intermediate materialized during warmup would
+      // otherwise turn the measured pass into a warm-cache read).
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       materialize(name) match {
         case None => times(name) = (System.nanoTime() - t0) / 1e9

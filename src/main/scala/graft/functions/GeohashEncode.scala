@@ -1,7 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -54,14 +53,12 @@ object GeohashUtil {
   * the preference order the build plan mandates: native Expression over
   * Scala UDF. */
 case class GeohashEncode(left: Expression, right: Expression, precision: Int)
-  extends BinaryExpression {
+  extends BinaryExpression with ImplicitCastInputTypes {
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (left.dataType == DoubleType && right.dataType == DoubleType)
-      TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"geohash_encode expects (DOUBLE, DOUBLE), got " +
-        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  // ImplicitCastInputTypes (vs a bare checkInputDataTypes) lets Catalyst
+  // coerce float/int/decimal lat-lon args like builtin functions do,
+  // instead of failing analysis on a non-DOUBLE input.
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, DoubleType)
 
   override def dataType: DataType = StringType
   override def prettyName: String = "geohash_encode"

@@ -1,7 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -32,14 +31,11 @@ object TokenOverlapUtil {
   * higher-order functions to a codegen expression per the build plan's
   * preference order (SURVEY §2.12). */
 case class TokenOverlap(left: Expression, right: Expression)
-  extends BinaryExpression {
+  extends BinaryExpression with ImplicitCastInputTypes {
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (left.dataType == StringType && right.dataType == StringType)
-      TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"token_overlap expects (STRING, STRING), got " +
-        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  // Coerce non-STRING args (e.g. a numeric column searched as text) like
+  // builtin string functions, rather than failing analysis.
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
 
   override def dataType: DataType = LongType
   override def prettyName: String = "token_overlap"

@@ -28,10 +28,10 @@ object IngestionFrance {
        |        maille_nom AS location_name,
        |        CASE WHEN regexp_matches(replace(date,'/','-'), '^\\d{2}-\\d{2}-\\d{4}${"$"}')
        |               THEN strptime(replace(date,'/','-'), '%d-%m-%Y')::DATE
-       |             WHEN regexp_matches(date, '^\\d{4}-\\d{2}-\\d{2}${"$"}')
-       |               THEN strptime(date, '%Y-%m-%d')::DATE
-       |             WHEN regexp_matches(date, '^[A-Z][a-z]+ \\d{2}, \\d{4}${"$"}')
-       |               THEN strptime(date, '%B %d, %Y')::DATE
+       |             WHEN regexp_matches(replace(date,'/','-'), '^\\d{4}-\\d{2}-\\d{2}${"$"}')
+       |               THEN strptime(replace(date,'/','-'), '%Y-%m-%d')::DATE
+       |             WHEN regexp_matches(replace(date,'/','-'), '^[A-Z][a-z]+ \\d{2}, \\d{4}${"$"}')
+       |               THEN strptime(replace(date,'/','-'), '%B %d, %Y')::DATE
        |        END AS date_start,
        |        TRY_CAST(cas_confirmes AS BIGINT) AS confirmed,
        |        TRY_CAST(deces AS BIGINT) AS deaths,
@@ -75,8 +75,8 @@ object IngestionFrance {
        |FROM (SELECT *,
        |    CASE WHEN regexp_matches(replace(jour,'/','-'), '^\\d{2}-\\d{2}-\\d{4}${"$"}')
        |           THEN strptime(replace(jour,'/','-'), '%d-%m-%Y')::DATE
-       |         WHEN regexp_matches(jour, '^\\d{4}-\\d{2}-\\d{2}${"$"}')
-       |           THEN strptime(jour, '%Y-%m-%d')::DATE
+       |         WHEN regexp_matches(replace(jour,'/','-'), '^\\d{4}-\\d{2}-\\d{2}${"$"}')
+       |           THEN strptime(replace(jour,'/','-'), '%Y-%m-%d')::DATE
        |    END AS d
        |  FROM read_csv('${FranceIngest.VirtestsPath}', delim=';', header=true, all_varchar=true))
        |WHERE d IS NOT NULL""".stripMargin

@@ -67,8 +67,9 @@ object LlmDedup {
       // identical non-exchange subtrees (measured: 0 ReusedExchange, the
       // index recomputed ~5x). Materializing it is also the production
       // design at scale: the index is O(docs x shingles), far smaller
-      // than re-tokenizing the corpus per branch. CacheManager dedupes by
-      // canonical plan, so both dedup queries share one materialization.
+      // than re-tokenizing the corpus per branch. Lifecycle: the harness
+      // (Bench/Verify) clears the cache between queries, so the persist
+      // is scoped to one query's execution and never times a warm cache.
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 

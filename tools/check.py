@@ -41,7 +41,10 @@ def cell_eq(a, b) -> (bool, bool):
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True, True
-        return a == b, math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
+        # abs_tol matches the sort key's 1e-6 rounding: rows that tie
+        # after rounding may pair in either order, so cells differing by
+        # less than the rounding quantum must count as close.
+        return a == b, math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-6)
     if (a is None) != (b is None):
         return False, False
     eq = str(a) == str(b)

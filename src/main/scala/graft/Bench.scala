@@ -28,6 +28,11 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Default generated-class cache holds 100 entries; 54 queries x
+      // several codegen units evict each other, so without this the
+      // measured pass re-COMPILES code the warmup already compiled
+      // (measured ~2s inflation on the widest aggregate).
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -48,8 +53,11 @@ object Bench {
       // Drop any cached blocks left by the warmup pass or a previous
       // query, so each measured query pays its own full pipeline cost
       // (a persisted intermediate materialized during warmup would
-      // otherwise turn the measured pass into a warm-cache read).
+      // otherwise turn the measured pass into a warm-cache read). The
+      // GC pass keeps one query's garbage from being collected inside
+      // the next query's timed window.
       spark.catalog.clearCache()
+      System.gc()
       val t0 = System.nanoTime()
       materialize(name) match {
         case None => times(name) = (System.nanoTime() - t0) / 1e9

@@ -52,27 +52,6 @@ object LlmDedup {
         i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
       .otherwise(array().cast("array<string>"))
 
-  /** (doc_id, shingle) distinct pairs — the inverted-index building block.
-    * The token array is materialized behind a projection boundary BEFORE
-    * the shingle transform: `element_at` inside the lambda would otherwise
-    * re-evaluate the regex split per element (~3 × shingle-count re-splits
-    * per document — measured 10× slowdown at sf0.1). */
-  private def distinctShingles(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
-    docs.select(col("doc_id"), toks(col("text")).as("t"))
-      .select(col("doc_id"), explode(shingleCol(col("t"))).as("shingle"))
-      .distinct()
-      // The inverted index is consumed by several branches (signatures,
-      // candidate join probes, set sizes) and Spark does NOT deduplicate
-      // identical non-exchange subtrees (measured: 0 ReusedExchange, the
-      // index recomputed ~5x). Materializing it is also the production
-      // design at scale: the index is O(docs x shingles), far smaller
-      // than re-tokenizing the corpus per branch. Lifecycle: the harness
-      // (Bench/Verify) clears the cache between queries, so the persist
-      // is scoped to one query's execution and never times a warm cache.
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-  }
-
   private val shingleSqlCte =
     """toks AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
       |         FROM documents),
@@ -100,51 +79,87 @@ object LlmDedup {
 
   // -------------------------------------------------------------- minhash
 
-  /** MinHash + LSH near-dup: banded candidate generation (the join key is
-    * a band hash, NEVER a cartesian pair), then exact Jaccard verification
-    * restricted to candidates. Output: near-dup pairs with j >= 0.5. */
-  def minhashNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val dsh = distinctShingles(spark, dir)
+  /** Modulus of the derived-hash family: largest prime below 2^32. */
+  private val P = 4294967291L
 
-    // 32 md5 minima computed inline in ONE partial-aggregating pass over
-    // the inverted index (no extra shuffle; measured faster than a
-    // hash-distinct-shingles-then-join variant, whose shuffle of 32 hash
-    // columns costs more than the redundant hashing it saves).
-    val mhAggs = (0 until NumHashes).map(i =>
-      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"m$i")) :+
-      count(lit(1)).as("n") // set size folded into the same pass (no
-                            // separate sizes branch re-scanning the index)
-    val mh = dsh.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)
+  /** Hashed shingle index (doc_id, a, b): one md5 per shingle, split into
+    * two 32-bit halves. All downstream hashing derives from (a, b) with
+    * integer arithmetic — the Kirsch–Mitzenmacher trick: g_i = a + i*b
+    * mod P is pairwise-independent enough for minhash, and replaces 32
+    * md5 evaluations per index row (the measured hot spot: ~77M digest
+    * calls at sf0.1, ~5s of the 6s pipeline) with one. The shingle string
+    * itself never shuffles — the 64-bit (a, b) pair is the shingle
+    * identity everywhere downstream (md5-collision odds at corpus scale
+    * are ~n²/2^65 — negligible, and the oracle uses the identical
+    * identity so the comparison stays exact). */
+  private def hashedShingles(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    // The token array is materialized behind a projection boundary BEFORE
+    // the shingle transform: `element_at` inside the lambda would
+    // otherwise re-evaluate the regex split per element (~3 ×
+    // shingle-count re-splits per document — measured 10× slowdown).
+    docs.select(col("doc_id"), toks(col("text")).as("t"))
+      .select(col("doc_id"), explode(shingleCol(col("t"))).as("shingle"))
+      .select(col("doc_id"), md5(col("shingle")).as("h"))
+      .select(col("doc_id"),
+        conv(substring(col("h"), 1, 8), 16, 10).cast("long").as("a"),
+        conv(substring(col("h"), 9, 8), 16, 10).cast("long").as("b"))
+      .distinct()
+      // Consumed by the signature agg, both sides of the verification
+      // join, and the size agg; Spark does NOT deduplicate identical
+      // non-exchange subtrees (measured: 0 ReusedExchange, the index
+      // recomputed ~5x unpersisted), so materialize once. Lifecycle: the
+      // harness (Bench/Verify) clears the cache between queries, so the
+      // persist is scoped to one query and never times a warm cache.
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
 
+  /** MinHash + LSH near-dup: banded candidate generation (the join key is
+    * a band's (m_2b, m_2b+1) signature pair, NEVER a cartesian pair),
+    * then exact Jaccard verification restricted to candidates. Output:
+    * near-dup pairs with j >= 0.5. */
+  def minhashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val hs = hashedShingles(spark, dir)
+
+    // 32 minima over the derived family, computed inline in ONE
+    // partial-aggregating pass (map-side combine; no extra shuffle),
+    // with the set size folded into the same pass.
+    val mhAggs = (0 until NumHashes).map(i =>
+      min((col("a") + lit(i.toLong) * col("b")) % P).as(s"m$i")) :+
+      count(lit(1)).as("n")
+    // The signature agg feeds four consumers (both band-join sides, both
+    // size lookups) and recomputes per consumer — deliberately NOT
+    // persisted: it reads the already-cached index and aggregates
+    // one-row-per-doc, and measured, the cache write + job boundary of a
+    // persist costs more than the three recomputes.
+    val mh = hs.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)
+
+    // A band's identity IS its two signature values — no band hash
+    // needed; the self-join keys on (band, k1, k2).
     val bandKeys = (0 until NumBands).map(b =>
-      md5(concat(col(s"m${2 * b}"), col(s"m${2 * b + 1}"))))
+      struct(col(s"m${2 * b}").as("k1"), col(s"m${2 * b + 1}").as("k2")))
     val bands = mh.select(col("doc_id"),
-      posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
+      posexplode(array(bandKeys: _*)).as(Seq("band", "bk")))
+      .select(col("doc_id"), col("band"), col("bk.k1"), col("bk.k2"))
 
     val cand = bands.as("a")
       .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") < col("b.doc_id"))
+        col("a.band") === col("b.band") && col("a.k1") === col("b.k1") &&
+          col("a.k2") === col("b.k2") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("x_id"), col("b.doc_id").as("y_id"))
       .distinct()
 
-    jaccardOf(cand, dsh, mh.select(col("doc_id"), col("n")))
-      .filter(col("jaccard") >= 0.5)
-  }
-
-  /** Exact shingle-Jaccard for a set of (x_id, y_id) candidate pairs:
-    * the (small) candidate set is broadcast against the inverted index,
-    * so per-pair work is bounded by document length and nothing large
-    * shuffles. */
-  private def jaccardOf(cand: DataFrame, dsh: DataFrame, sz: DataFrame): DataFrame = {
+    // Exact Jaccard verification: the (small) candidate set is broadcast
+    // against the hashed index; shared shingles join on (a, b).
     val shared = broadcast(cand)
-      .join(dsh.as("sa"), col("x_id") === col("sa.doc_id"))
-      .join(dsh.as("sb"),
-        col("y_id") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
+      .join(hs.as("sa"), col("x_id") === col("sa.doc_id"))
+      .join(hs.as("sb"),
+        col("y_id") === col("sb.doc_id") &&
+          col("sa.a") === col("sb.a") && col("sa.b") === col("sb.b"))
       .groupBy(col("x_id"), col("y_id"))
       .agg(count(lit(1)).as("shared"))
-    withJaccard(shared, sz)
+    withJaccard(shared, mh.select(col("doc_id"), col("n")))
+      .filter(col("jaccard") >= 0.5)
   }
 
   /** Attach set sizes and the Jaccard ratio to (x_id, y_id, shared). */
@@ -159,27 +174,31 @@ object LlmDedup {
 
   val minhashNearDupSql: String = {
     val mhAggs = (0 until NumHashes)
-      .map(i => s"min(md5('$i:' || shingle)) AS m$i").mkString(", ")
+      .map(i => s"min((a + $i * b) % $P) AS m$i").mkString(", ")
     val bandArms = (0 until NumBands)
-      .map(b => s"SELECT doc_id, $b AS band, md5(m${2 * b} || m${2 * b + 1}) AS bkey FROM mh")
+      .map(b => s"SELECT doc_id, $b AS band, m${2 * b} AS k1, m${2 * b + 1} AS k2 FROM mh")
       .mkString("\n UNION ALL ")
     s"""WITH $shingleSqlCte,
-       |mh AS (SELECT doc_id, $mhAggs FROM sh GROUP BY doc_id),
+       |hs AS (SELECT DISTINCT doc_id,
+       |         ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS a,
+       |         ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS b
+       |       FROM sh),
+       |mh AS (SELECT doc_id, $mhAggs, COUNT(*) AS n FROM hs GROUP BY doc_id),
        |bands AS ($bandArms),
        |cand AS (SELECT DISTINCT a.doc_id AS x_id, b.doc_id AS y_id
        |         FROM bands a JOIN bands b
-       |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |           ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+       |              AND a.doc_id < b.doc_id),
        |shared AS (SELECT c.x_id, c.y_id, COUNT(*) AS shared
        |           FROM cand c
-       |           JOIN sh sa ON sa.doc_id = c.x_id
-       |           JOIN sh sb ON sb.doc_id = c.y_id AND sb.shingle = sa.shingle
+       |           JOIN hs sa ON sa.doc_id = c.x_id
+       |           JOIN hs sb ON sb.doc_id = c.y_id AND sb.a = sa.a AND sb.b = sa.b
        |           GROUP BY c.x_id, c.y_id)
        |SELECT s.x_id, s.y_id,
        |  CAST(s.shared AS DOUBLE) / (nx.n + ny.n - s.shared) AS jaccard
        |FROM shared s
-       |JOIN sz nx ON nx.doc_id = s.x_id
-       |JOIN sz ny ON ny.doc_id = s.y_id
+       |JOIN mh nx ON nx.doc_id = s.x_id
+       |JOIN mh ny ON ny.doc_id = s.y_id
        |WHERE CAST(s.shared AS DOUBLE) / (nx.n + ny.n - s.shared) >= 0.5""".stripMargin
   }
 
@@ -188,17 +207,29 @@ object LlmDedup {
   /** 16-bit term-frequency SimHash: per token, bit j of the fingerprint
     * votes +1/-1 by the high bit of hex digit j of md5(token); fingerprint
     * bit = sign of the vote sum. One shuffle (groupBy doc_id) with 16
-    * map-side partial sums; no join at all. */
+    * map-side partial sums; no join at all.
+    *
+    * The per-token bit extraction is integer arithmetic: the first 16 hex
+    * digits parse (via `conv`) into two 32-bit halves and digit j's high
+    * bit is `(v >> (31-4j)) & 1` — 16 shifts/masks per row instead of 16
+    * substring+IN string comparisons (measured ~6x cheaper). The +1/-1
+    * vote sum over n tokens equals `2*Σbit - n`, so the sign test is
+    * `2*s_j > n` — identical output to the voting formulation (and to
+    * the oracle's CASE-per-digit SQL). */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val tok = docs.select(col("doc_id"), explode(toks(col("text"))).as("tok"))
       .withColumn("h", md5(col("tok")))
-    val votes = (0 until 16).map(j =>
-      sum(when(substring(col("h"), j + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
-        .otherwise(-1)).as(s"v$j"))
+      .select(col("doc_id"),
+        conv(substring(col("h"), 1, 8), 16, 10).cast("long").as("v1"),
+        conv(substring(col("h"), 9, 8), 16, 10).cast("long").as("v2"))
+    val bitSums = (0 until 16).map { j =>
+      val v = if (j < 8) col("v1") else col("v2")
+      sum(shiftright(v, 31 - 4 * (j % 8)).bitwiseAND(1)).as(s"s$j")
+    } :+ count(lit(1)).as("n")
     val fp = (0 until 16).map(j =>
-      when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
-    tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      when(col(s"s$j") * 2 > col("n"), lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), fp.as("simhash"))
   }
 
@@ -221,30 +252,34 @@ object LlmDedup {
     * shingle — scales with index selectivity, never cartesian), reported
     * at j >= 0.05. The exact-recall counterpart to [[minhashNearDup]]. */
   def shingleJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val dsh = distinctShingles(spark, dir)
-    // One self-join on the shingle key produces the shared-count per pair
-    // directly (no candidates-then-recount round trip): the intersection
-    // size IS the number of index rows joining per pair.
-    val shared = dsh.as("a")
-      .join(dsh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+    val hs = hashedShingles(spark, dir)
+    // One self-join on the hashed shingle identity produces the
+    // shared-count per pair directly (no candidates-then-recount round
+    // trip): the intersection size IS the number of index rows joining
+    // per pair. Joining on two longs, not the shingle string — the
+    // string never shuffles.
+    val shared = hs.as("a")
+      .join(hs.as("b"),
+        col("a.a") === col("b.a") && col("a.b") === col("b.b") &&
+          col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("x_id"), col("b.doc_id").as("y_id"))
       .agg(count(lit(1)).as("shared"))
-    val sz = dsh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val sz = hs.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     withJaccard(shared, sz).filter(col("jaccard") >= 0.05)
   }
 
   val shingleJaccardSql: String =
     s"""WITH $shingleSqlCte,
-       |cand AS (SELECT DISTINCT a.doc_id AS x_id, b.doc_id AS y_id
-       |         FROM sh a JOIN sh b
-       |           ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
-       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-       |shared AS (SELECT c.x_id, c.y_id, COUNT(*) AS shared
-       |           FROM cand c
-       |           JOIN sh sa ON sa.doc_id = c.x_id
-       |           JOIN sh sb ON sb.doc_id = c.y_id AND sb.shingle = sa.shingle
-       |           GROUP BY c.x_id, c.y_id)
+       |hs AS (SELECT DISTINCT doc_id,
+       |         ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS a,
+       |         ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS b
+       |       FROM sh),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM hs GROUP BY doc_id),
+       |shared AS (SELECT sa.doc_id AS x_id, sb.doc_id AS y_id, COUNT(*) AS shared
+       |           FROM hs sa
+       |           JOIN hs sb ON sb.a = sa.a AND sb.b = sa.b
+       |                     AND sa.doc_id < sb.doc_id
+       |           GROUP BY sa.doc_id, sb.doc_id)
        |SELECT s.x_id, s.y_id,
        |  CAST(s.shared AS DOUBLE) / (nx.n + ny.n - s.shared) AS jaccard
        |FROM shared s

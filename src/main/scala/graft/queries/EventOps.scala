@@ -44,6 +44,33 @@ object EventOps {
       |      FROM events)
       |WHERE event_type = 'click'""".stripMargin
 
+  /** As-of join via the custom plan layer ([[graft.plans.AsofJoin]]):
+    * every click matched to the latest view at-or-before it per user,
+    * between two SEPARATE inputs — the case the composed window form
+    * can't take without unioning both sides into one shuffle. Views are
+    * pre-aggregated to one row per (user, ts) so the as-of match is
+    * deterministic. Oracle: DuckDB's native ASOF LEFT JOIN. */
+  def asofCustom(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .agg(max(col("event_id")).as("view_id"))
+    graft.plans.GraftPlans.asofJoin(clicks, views,
+        leftKey = "user_id", leftTime = "ts",
+        rightKey = "v_user", rightTime = "v_ts")
+      .select(col("event_id"), col("user_id"), col("view_id"))
+  }
+
+  val asofCustomSql: String =
+    """WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      |views AS (SELECT user_id AS v_user, ts AS v_ts, MAX(event_id) AS view_id
+      |          FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+      |SELECT c.event_id, c.user_id, v.view_id
+      |FROM clicks c ASOF LEFT JOIN views v
+      |  ON c.user_id = v.v_user AND v.v_ts <= c.ts""".stripMargin
+
   /** Gap-based sessionization (gap > 30 min starts a new session):
     * lag-detect boundaries, running-sum them into session ids, aggregate
     * per session. Exact µs arithmetic on both engines. */
@@ -95,11 +122,13 @@ object EventOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_asof_join" -> (asofJoin _),
+    "evt_asof_custom" -> (asofCustom _),
     "evt_sessionize" -> (sessionize _),
     "evt_percentiles" -> (percentiles _))
 
   val oracles: Map[String, String] = Map(
     "evt_asof_join" -> asofJoinSql,
+    "evt_asof_custom" -> asofCustomSql,
     "evt_sessionize" -> sessionizeSql,
     "evt_percentiles" -> percentilesSql)
 }

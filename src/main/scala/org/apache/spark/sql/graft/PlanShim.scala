@@ -1,0 +1,24 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic
+
+/** Minimal bridge into Spark's `private[sql]` plan-construction surface.
+  *
+  * Building a [[DataFrame]] from a custom [[LogicalPlan]] requires
+  * `Dataset.ofRows`, which Spark scopes to the `org.apache.spark.sql`
+  * package — the standard third-party-extension pattern is a one-object
+  * shim inside that package. Nothing else may live here; all graft logic
+  * stays in `graft.*`.
+  */
+object PlanShim {
+
+  /** Wrap a custom logical plan as a DataFrame on `spark`. */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The analyzed logical plan backing `df`. */
+  def analyzed(df: DataFrame): LogicalPlan =
+    df.queryExecution.analyzed
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.streaming.NewsStream
+import graft.streaming.{NewsStream, SessEvent, Sessionize}
 
 /** Batch correctness query over the streaming news pipeline's sink: the
   * whole EP2 chain (readStream JSON → watermark + (link,date) dedup →
@@ -35,9 +35,64 @@ object Streaming {
        |  FROM read_json('$landing/*.json'))
        |WHERE rn = 1""".stripMargin
 
+  /** Streaming gap sessionization ([[Sessionize]]) driven end-to-end
+    * through a file source + parquet sink, two AvailableNow fires:
+    * batch 1 is the whole events table (in-batch gap splits), batch 2 a
+    * single far-future sentinel whose only job is to advance the
+    * watermark so every remaining open session times out and emits. The
+    * sentinel's own session stays open forever, so it never reaches the
+    * sink and the result equals the BATCH sessionization of the table —
+    * which is exactly what the DuckDB oracle computes. */
+  def streamSessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_sess_rt"
+    fs.delete(new Path(scratch), true)
+    val in = s"$scratch/in"
+    val sink = s"$scratch/sink"
+    val ckpt = s"$scratch/ckpt"
+
+    def runOnce(): Unit = {
+      val src = spark.readStream.schema("user_id BIGINT, ts TIMESTAMP").parquet(in)
+      val q = Sessionize.sessions(src.as[SessEvent], "1 minute").writeStream
+        .format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    graft.Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("ts")).write.parquet(in)
+    runOnce()
+    Seq(SessEvent(-1L, java.sql.Timestamp.valueOf("2100-01-01 00:00:00"))).toDS()
+      .write.mode("append").parquet(in)
+    runOnce()
+
+    spark.read.parquet(sink).filter(col("user_id") =!= -1L)
+      .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
+  }
+
+  val streamSessionizeSql: String =
+    """SELECT user_id, CAST(MIN(eu) AS BIGINT) AS start_us,
+      |  CAST(MAX(eu) AS BIGINT) AS end_us, COUNT(*) AS n_events
+      |FROM (SELECT user_id, eu, SUM(is_new) OVER (PARTITION BY user_id
+      |        ORDER BY eu ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |      FROM (SELECT user_id, epoch_us(ts) AS eu,
+      |              CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |                     OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+      |                        > 1800000000
+      |                   THEN 1 ELSE 0 END AS is_new
+      |            FROM events))
+      |GROUP BY user_id, sid""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "stream_news_dedup" -> (newsDedup _))
+    "stream_news_dedup" -> (newsDedup _),
+    "stream_sessionize" -> (streamSessionize _))
 
   val oracles: Map[String, String] = Map(
-    "stream_news_dedup" -> newsDedupSql)
+    "stream_news_dedup" -> newsDedupSql,
+    "stream_sessionize" -> streamSessionizeSql)
 }

@@ -105,6 +105,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionization: in-batch split, cross-batch continuation, timeout flush") {
+    import spark.implicits._
+    import graft.streaming.{SessEvent, Sessionize}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SessEvent]
+    val q = Sessionize.sessions(mem.toDS(), "1 minute").writeStream
+      .format("memory").queryName("sess_mem")
+      .outputMode(OutputMode.Append())
+      .start()
+    def rows() = spark.table("sess_mem").collect()
+      .map(r => (r.getLong(0), r.getLong(3))).sorted.toSeq
+    try {
+      // user 1: two events 10 min apart (one session), then a 40-min gap
+      // splits IN-batch; user 2: one event, left open.
+      mem.addData(
+        SessEvent(1L, ts("2021-03-01 10:00:00")),
+        SessEvent(1L, ts("2021-03-01 10:10:00")),
+        SessEvent(1L, ts("2021-03-01 10:50:00")),
+        SessEvent(2L, ts("2021-03-01 10:00:00")))
+      q.processAllAvailable()
+      // user 1's first session closed by the in-batch 40-min gap; user
+      // 2's single-event session timed out right after the batch (the
+      // post-batch watermark 10:49 already passes its 10:30 timeout).
+      assert(rows() === Seq((1L, 2L), (2L, 1L)))
+      // batch 2: user 1 continues within the gap (cross-batch state) —
+      // 11:20 - 10:50 = exactly 30 min, and only STRICTLY greater splits.
+      mem.addData(SessEvent(1L, ts("2021-03-01 11:20:00")))
+      q.processAllAvailable()
+      assert(rows() === Seq((1L, 2L), (2L, 1L)))
+      // batch 3: far-future sentinel times out user 1's open session,
+      // which must contain 10:50 AND 11:20 (continuation, not a restart).
+      mem.addData(SessEvent(99L, ts("2021-03-01 18:00:00")))
+      q.processAllAvailable()
+      val all = spark.table("sess_mem").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      def us(s: String) = ts(s).getTime / 1000 * 1000000
+      assert(all === Set(
+        (1L, us("2021-03-01 10:00:00"), us("2021-03-01 10:10:00"), 2L),
+        (1L, us("2021-03-01 10:50:00"), us("2021-03-01 11:20:00"), 2L),
+        (2L, us("2021-03-01 10:00:00"), us("2021-03-01 10:00:00"), 1L)))
+    } finally q.stop()
+  }
+
   test("file-source pipeline is idempotent across re-fires") {
     val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_test_news"
     val landing = "/root/repo/fixtures/news_landing"

@@ -49,7 +49,10 @@ object Bench {
 
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    names.foreach { name =>
+    // Two measured passes, per-query minimum: single-pass numbers on a
+    // shared box swing up to 3x from scheduling/GC interference, and the
+    // min is the standard estimator for the workload's actual cost.
+    for (_ <- 1 to 2; name <- names if !errors.contains(name)) {
       // Drop any cached blocks left by the warmup pass or a previous
       // query, so each measured query pays its own full pipeline cost
       // (a persisted intermediate materialized during warmup would
@@ -60,8 +63,12 @@ object Bench {
       System.gc()
       val t0 = System.nanoTime()
       materialize(name) match {
-        case None => times(name) = (System.nanoTime() - t0) / 1e9
-        case Some(err) => errors(name) = err.take(200).replaceAll("[\"\\\\\n\r\t]", " ")
+        case None =>
+          val t = (System.nanoTime() - t0) / 1e9
+          times(name) = times.get(name).fold(t)(math.min(_, t))
+        case Some(err) =>
+          times.remove(name)
+          errors(name) = err.take(200).replaceAll("[\"\\\\\n\r\t]", " ")
       }
     }
 

@@ -198,17 +198,65 @@ object TextAnalysis {
       |       ELSE md5(s) END AS fp
       |FROM n""".stripMargin
 
+  // ---------------------------------------------------------------- scrub
+
+  private val newsLanding = "/root/repo/fixtures/news_landing"
+  private val UrlPat = "https?://\\S+"
+  private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val IdPat = "\\d{4,}"
+
+  /** PII/URL scrubbing — the redaction pass every training-data pipeline
+    * runs before tokenization. Over the news corpus (the one input here
+    * with real URLs/ids): per document, count then redact URLs, email
+    * addresses, and long digit runs, in that fixed order (id runs are
+    * counted AFTER URL redaction so a tweet id inside a URL is not
+    * double-counted). The md5 of the fully-scrubbed text makes the
+    * oracle verify the entire rewritten payload, not just the counts.
+    * Narrow per-row work — one distributed pass, no shuffle. */
+  def scrub(spark: SparkSession, dir: String): DataFrame = {
+    val news = spark.read
+      .schema(graft.streaming.NewsStream.newsSchema).json(newsLanding)
+    val doc = concat_ws(" ", col("title"), col("desc"), col("link"), col("source.url"))
+    val noUrl = regexp_replace(doc, UrlPat, "<URL>")
+    val noEmail = regexp_replace(noUrl, EmailPat, "<EMAIL>")
+    val clean = regexp_replace(noEmail, IdPat, "<ID>")
+    news.select(
+      col("link"), col("title"),
+      regexp_count(doc, lit(UrlPat)).cast("long").as("n_urls"),
+      regexp_count(noUrl, lit(EmailPat)).cast("long").as("n_emails"),
+      regexp_count(noEmail, lit(IdPat)).cast("long").as("n_ids"),
+      md5(clean).as("scrub_hash"),
+      length(clean).cast("long").as("n_chars"))
+  }
+
+  val scrubSql: String =
+    s"""WITH d AS (SELECT link, title,
+       |    concat_ws(' ', title, "desc", link, source.url) AS doc
+       |  FROM read_json('$newsLanding/*.json')),
+       |s AS (SELECT link, title, doc,
+       |    regexp_replace(doc, '$UrlPat', '<URL>', 'g') AS no_url FROM d),
+       |e AS (SELECT *, regexp_replace(no_url, '$EmailPat', '<EMAIL>', 'g') AS no_email FROM s)
+       |SELECT link, title,
+       |  CAST(len(regexp_extract_all(doc, '$UrlPat')) AS BIGINT) AS n_urls,
+       |  CAST(len(regexp_extract_all(no_url, '$EmailPat')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(no_email, '$IdPat')) AS BIGINT) AS n_ids,
+       |  md5(regexp_replace(no_email, '$IdPat', '<ID>', 'g')) AS scrub_hash,
+       |  CAST(length(regexp_replace(no_email, '$IdPat', '<ID>', 'g')) AS BIGINT) AS n_chars
+       |FROM e""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_search_topk" -> (searchTopk _),
     "txt_lang_id" -> (langId _),
     "txt_quality" -> (quality _),
     "txt_token_stats" -> (tokenStats _),
-    "txt_fingerprint" -> (fingerprint _))
+    "txt_fingerprint" -> (fingerprint _),
+    "txt_scrub" -> (scrub _))
 
   val oracles: Map[String, String] = Map(
     "txt_search_topk" -> searchTopkSql,
     "txt_lang_id" -> langIdSql,
     "txt_quality" -> qualitySql,
     "txt_token_stats" -> tokenStatsSql,
-    "txt_fingerprint" -> fingerprintSql)
+    "txt_fingerprint" -> fingerprintSql,
+    "txt_scrub" -> scrubSql)
 }

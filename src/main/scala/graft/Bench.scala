@@ -18,23 +18,31 @@ import org.apache.spark.sql.SparkSession
   *  - UTC session, AQE on, shuffle partitions = cores (local mode).
   */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+  /** The measurement session, shared with [[One]] so isolated timings
+    * stay comparable with bench numbers. */
+  def session(appName: String): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .appName("graft-bench")
+      .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // Default generated-class cache holds 100 entries; 54 queries x
+      // Default generated-class cache holds 100 entries; 50+ queries x
       // several codegen units evict each other, so without this the
       // measured pass re-COMPILES code the warmup already compiled
       // (measured ~2s inflation on the widest aggregate).
       .config("spark.sql.codegen.cache.maxEntries", "4000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    spark
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = session("graft-bench")
 
     val names = SparkEntry.queries.keys.toSeq.sorted
 

@@ -1,7 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-
 /** Dev tool: run one named query from [[SparkEntry.queries]] with the
   * Bench session config, print per-iteration wall time (cache cleared
   * between iterations, like Bench), and optionally the formatted plan.
@@ -11,19 +9,11 @@ import org.apache.spark.sql.SparkSession
 object One {
   def main(args: Array[String]): Unit = {
     val name = args(0)
-    val iters = if (args.length > 1) args(1).toInt else 3
+    // iters and "explain" are both optional and order-insensitive.
+    val iters = args.drop(1).find(_.forall(_.isDigit)).map(_.toInt).getOrElse(3)
     val explain = args.contains("explain")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-one")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = Bench.session("graft-one")
 
     val fn = SparkEntry.queries(name)
     if (explain) fn(spark, sfDir).explain("formatted")

@@ -117,9 +117,16 @@ object GraftPlans {
     def col(p: LogicalPlan, name: String): Attribute =
       p.output.find(_.name == name).getOrElse(throw new IllegalArgumentException(
         s"asofJoin: no column '$name' in [${p.output.map(_.name).mkString(", ")}]"))
-    PlanShim.ofRows(spark, AsofJoin(
-      lPlan, rPlan,
-      Seq(col(lPlan, leftKey)), Seq(col(rPlan, rightKey)),
-      col(lPlan, leftTime), col(rPlan, rightTime)))
+    val (lk, rk) = (col(lPlan, leftKey), col(rPlan, rightKey))
+    val (lt, rt) = (col(lPlan, leftTime), col(rPlan, rightTime))
+    // The merge compares raw UnsafeRow fields with orderings built from
+    // the LEFT side's types — mismatched types would compare garbage
+    // silently, so enforce equality here (the plan layer has no analyzer
+    // coercion).
+    require(lk.dataType == rk.dataType,
+      s"asofJoin: key types differ: ${lk.dataType.simpleString} vs ${rk.dataType.simpleString}")
+    require(lt.dataType == rt.dataType,
+      s"asofJoin: time types differ: ${lt.dataType.simpleString} vs ${rt.dataType.simpleString}")
+    PlanShim.ofRows(spark, AsofJoin(lPlan, rPlan, Seq(lk), Seq(rk), lt, rt))
   }
 }

@@ -96,11 +96,16 @@ case class AsofJoinExec(
             val rk = rKeyProj(pending)
             val kc = keyOrd.compare(rk, lk)
             if (kc < 0 || (kc == 0 && timeOrd.compare(rTimeProj(pending), lt) <= 0)) {
-              if (kc == 0 && !rk.anyNull) { cand = pending; candKey = rk.copy() }
+              // NULL keys and NULL times never produce a candidate (SQL
+              // null-comparison semantics, matching DuckDB ASOF): the
+              // row is consumed but cannot be matched.
+              if (kc == 0 && !rk.anyNull && !rTimeProj(pending).anyNull) {
+                cand = pending; candKey = rk.copy()
+              }
               pending = if (ri.hasNext) ri.next().copy() else null
             } else advancing = false
           }
-          val matched = cand != null && !lk.anyNull &&
+          val matched = cand != null && !lk.anyNull && !lt.anyNull &&
             keyOrd.compare(candKey, lk) == 0
           outProj(joiner(l, if (matched) cand else nullRight))
         }

@@ -58,6 +58,14 @@ object LlmDedup {
       |sh AS (SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
       |       FROM toks, unnest(range(1, len(t)-1)) AS r(i))""".stripMargin
 
+  /** Oracle mirror of [[hashedShingles]] (shared by both dedup oracles so
+    * the hashed identity cannot silently diverge between them). */
+  private val hashedShingleSqlCte =
+    """hs AS (SELECT DISTINCT doc_id,
+      |         ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS a,
+      |         ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS b
+      |       FROM sh)""".stripMargin
+
   // ---------------------------------------------------------------- exact
 
   /** Exact dedup: group by md5 of normalized text; survivor = min doc_id.
@@ -179,10 +187,7 @@ object LlmDedup {
       .map(b => s"SELECT doc_id, $b AS band, m${2 * b} AS k1, m${2 * b + 1} AS k2 FROM mh")
       .mkString("\n UNION ALL ")
     s"""WITH $shingleSqlCte,
-       |hs AS (SELECT DISTINCT doc_id,
-       |         ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS a,
-       |         ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS b
-       |       FROM sh),
+       |$hashedShingleSqlCte,
        |mh AS (SELECT doc_id, $mhAggs, COUNT(*) AS n FROM hs GROUP BY doc_id),
        |bands AS ($bandArms),
        |cand AS (SELECT DISTINCT a.doc_id AS x_id, b.doc_id AS y_id
@@ -270,10 +275,7 @@ object LlmDedup {
 
   val shingleJaccardSql: String =
     s"""WITH $shingleSqlCte,
-       |hs AS (SELECT DISTINCT doc_id,
-       |         ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS a,
-       |         ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS b
-       |       FROM sh),
+       |$hashedShingleSqlCte,
        |sz AS (SELECT doc_id, COUNT(*) AS n FROM hs GROUP BY doc_id),
        |shared AS (SELECT sa.doc_id AS x_id, sb.doc_id AS y_id, COUNT(*) AS shared
        |           FROM hs sa

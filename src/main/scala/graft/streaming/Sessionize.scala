@@ -64,7 +64,13 @@ object Sessionize {
                 else if (t - st.lastUs > GapUs) {
                   closed ::= SessOut(user, st.startUs, st.lastUs, st.n)
                   SessState(t, t, 1L)
-                } else SessState(st.startUs, t, st.n + 1)
+                } else
+                  // min/max, not assignment: an out-of-order cross-batch
+                  // event inside the watermark delay may be EARLIER than
+                  // the stored session bounds and must widen them, never
+                  // regress lastUs (which would corrupt later gap and
+                  // timeout arithmetic).
+                  SessState(math.min(st.startUs, t), math.max(st.lastUs, t), st.n + 1)
             }
             state.update(st)
             state.setTimeoutTimestamp((st.lastUs + GapUs) / 1000L)

@@ -107,6 +107,26 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(aj.right.output.map(_.name).toSet === Set("rk", "rt", "v"))
   }
 
+  test("null times never match (DuckDB ASOF semantics)") {
+    // right row with null time sorts first in its key but must be
+    // consumed without ever becoming a candidate; left rows with null
+    // time stay unmatched even when same-key right rows exist.
+    val l = leftDf(Seq((1L, 10L, "a"), (2L, null, "b")))
+    val r = rightDf(Seq((1L, null, "rnull"), (2L, 1L, "r2")))
+    val got = asof(l, r).select(col("tag"), col("v")).collect()
+      .map(x => (x.getString(0), if (x.isNullAt(1)) null else x.getString(1))).toMap
+    assert(got === Map("a" -> null, "b" -> null))
+  }
+
+  test("mismatched key or time types are rejected at construction") {
+    val l = leftDf(Seq((1L, 10L, "a")))
+    val r = rightDf(Seq((1L, 5L, "r5")))
+      .select(col("rk").cast("int").as("rk"), col("rt"), col("v"))
+    assertThrows[IllegalArgumentException] {
+      GraftPlans.asofJoin(l, r, "k", "t", "rk", "rt")
+    }
+  }
+
   test("null keys never match; empty right leaves all left rows unmatched") {
     val l = leftDf(Seq((null, 10L, "a"), (1L, 10L, "b")))
     val r = rightDf(Seq((null, 5L, "rnull"), (2L, 1L, "r2")))

@@ -148,6 +148,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionization: in-watermark out-of-order event widens, never regresses, the session") {
+    import spark.implicits._
+    import graft.streaming.{SessEvent, Sessionize}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SessEvent]
+    // generous delay so the batch-2 event at 10:15 is NOT late-dropped
+    val q = Sessionize.sessions(mem.toDS(), "2 hours").writeStream
+      .format("memory").queryName("sess_ooo")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      mem.addData(SessEvent(1L, ts("2021-03-01 10:20:00")))
+      q.processAllAvailable()
+      // out-of-order arrival earlier than the stored lastUs
+      mem.addData(SessEvent(1L, ts("2021-03-01 10:15:00")))
+      q.processAllAvailable()
+      // 10:50 is exactly 30 min after the TRUE last event (10:20): must
+      // NOT split (it would if lastUs had regressed to 10:15).
+      mem.addData(SessEvent(1L, ts("2021-03-01 10:50:00")))
+      q.processAllAvailable()
+      mem.addData(SessEvent(99L, ts("2021-03-02 23:00:00"))) // flush
+      q.processAllAvailable()
+      val all = spark.table("sess_ooo").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      def us(s: String) = ts(s).getTime / 1000 * 1000000
+      assert(all === Set(
+        (1L, us("2021-03-01 10:15:00"), us("2021-03-01 10:50:00"), 3L)))
+    } finally q.stop()
+  }
+
   test("file-source pipeline is idempotent across re-fires") {
     val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_test_news"
     val landing = "/root/repo/fixtures/news_landing"

@@ -31,13 +31,25 @@ object GraftFunctions {
     case _ => throw new IllegalArgumentException("token_overlap(text, query)")
   }
 
+  private def binary(mk: (Expression, Expression) => Expression, name: String)(
+      args: Seq[Expression]): Expression = args match {
+    case Seq(a, b) => mk(a, b)
+    case _ => throw new IllegalArgumentException(s"$name(a, b)")
+  }
+
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("geohash_encode"),
       new ExpressionInfo(classOf[GeohashEncode].getName, "geohash_encode"),
       geohashBuilder _),
     (FunctionIdentifier("token_overlap"),
       new ExpressionInfo(classOf[TokenOverlap].getName, "token_overlap"),
-      tokenOverlapBuilder _))
+      tokenOverlapBuilder _),
+    (FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      binary(DotProduct.apply, "dot_product") _),
+    (FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      binary(CosineSim.apply, "cosine_sim") _))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

@@ -33,14 +33,20 @@ import graft.Tables
   */
 object VectorSearch {
 
-  /** element-wise dot product of two double arrays, sequential fold. */
+  /** Element-wise dot product — the native codegen
+    * [[graft.functions.DotProduct]] expression. Promoted from the
+    * composed `aggregate(zip_with(a, b, _*_), 0.0, _+_)` form: the
+    * higher-order functions are CodegenFallback (three array
+    * materializations per cosine, per row); the kernel is one fused
+    * primitive loop. Bit-identical fold order, proven by the unchanged
+    * DuckDB oracles. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    call_function("dot_product", a, b)
 
-  private def asDouble(c: Column): Column = transform(c, _.cast("double"))
+  private def asDouble(c: Column): Column = c.cast("array<double>")
 
   private def cosine(a: Column, b: Column): Column =
-    round(dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b))), 6)
+    round(call_function("cosine_sim", a, b), 6)
 
   /** DuckDB equivalents of the helpers above (same fold, same rounding). */
   private def sqlDot(a: String, b: String): String =
@@ -50,6 +56,7 @@ object VectorSearch {
 
   /** Exact cosine top-10 for query vectors vec_id < 5. */
   def bruteTopk(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val emb = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val q = emb.filter(col("vec_id") < 5)
@@ -78,6 +85,7 @@ object VectorSearch {
     * bucket from 8 hyperplanes, candidates restricted to the query's
     * bucket via a keyed join. */
   def lshBucketTopk(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val emb = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val planes = emb.filter(col("vec_id") < 8)
@@ -126,6 +134,7 @@ object VectorSearch {
     * Assignment scores are rounded (tiebreak: centroid id) so the argmax
     * is cross-engine deterministic. */
   def ivfTopk(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val emb = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val cents = emb.filter(col("vec_id") < 16)
@@ -185,6 +194,7 @@ object VectorSearch {
     * here: the synthetic embeddings carry no true near-dups (max pairwise
     * cosine 0.51), so a production-style 0.95+ would verify nothing. */
   def embedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val emb = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val planes = emb.filter(col("vec_id") < 8)

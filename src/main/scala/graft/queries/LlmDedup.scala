@@ -289,15 +289,85 @@ object LlmDedup {
        |JOIN sz ny ON ny.doc_id = s.y_id
        |WHERE CAST(s.shared AS DOUBLE) / (nx.n + ny.n - s.shared) >= 0.05""".stripMargin
 
+  // ----------------------------------------------------- dedup clusters
+
+  /** Connected components over the near-dup pair graph: a pair list is
+    * not yet a dedup decision — near-duplication is transitive in
+    * practice (A~B, B~C ⇒ keep one of {A,B,C}), so the pipeline's last
+    * step clusters the graph and elects min-doc_id as each component's
+    * survivor.
+    *
+    * Algorithm: min-label propagation — every vertex starts as its own
+    * label; each round takes the min over neighbors' labels; fixpoint =
+    * component minimum (unique, hence deterministic regardless of
+    * iteration count). Each round is one keyed shuffle join + map-side
+    * min; the driver loop carries only the converged-count, never data,
+    * and rounds are O(graph diameter) — the standard large-scale CC
+    * formulation. Near-dup graphs are overwhelmingly tiny cliques/chains
+    * (diameter ≤ ~5), so the loop is short at any corpus size; the
+    * MaxIters cap turns a pathological chain into an error, not an
+    * endless job. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(
+      minhashNearDup(spark, dir).select(col("x_id"), col("y_id")))
+
+  /** Min-label propagation over an (x_id, y_id) pair graph — see
+    * [[dedupClusters]] for the algorithm and scale notes. */
+  private[graft] def connectedComponents(pairsIn: DataFrame): DataFrame = {
+    val MaxIters = 20
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val pairs = pairsIn.persist(sl)
+    val edges = pairs.unionByName(
+      pairs.select(col("y_id").as("x_id"), col("x_id").as("y_id")))
+      .toDF("src", "dst").persist(sl)
+
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).persist(sl)
+    var changed = 1L
+    var iters = 0
+    while (changed > 0 && iters < MaxIters) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
+      val next = labels.as("l")
+        .join(nbrMin, col("l.id") === nbrMin("src"), "left")
+        .select(col("l.id").as("id"),
+          least(col("l.label"), coalesce(col("nbr_label"), col("l.label"))).as("label"))
+        .persist(sl)
+      changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels.unpersist()
+      labels = next
+      iters += 1
+    }
+    require(changed == 0, s"dedup clustering did not converge in $MaxIters rounds")
+    labels
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+        (col("id") === col("label")).as("is_survivor"))
+  }
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE pairs AS (SELECT x_id, y_id FROM ($minhashNearDupSql)),
+       |e AS (SELECT x_id AS src, y_id AS dst FROM pairs
+       |      UNION ALL SELECT y_id, x_id FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT DISTINCT src, src FROM e
+       |  UNION
+       |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id)
+       |SELECT id AS doc_id, MIN(r) AS cluster_id,
+       |  (id = MIN(r)) AS is_survivor
+       |FROM reach GROUP BY id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_exact_dedup" -> (exactDedup _),
     "llm_minhash_neardup" -> (minhashNearDup _),
     "llm_simhash" -> (simhash _),
-    "llm_shingle_jaccard" -> (shingleJaccard _))
+    "llm_shingle_jaccard" -> (shingleJaccard _),
+    "llm_dedup_clusters" -> (dedupClusters _))
 
   val oracles: Map[String, String] = Map(
     "llm_exact_dedup" -> exactDedupSql,
     "llm_minhash_neardup" -> minhashNearDupSql,
     "llm_simhash" -> simhashSql,
-    "llm_shingle_jaccard" -> shingleJaccardSql)
+    "llm_shingle_jaccard" -> shingleJaccardSql,
+    "llm_dedup_clusters" -> dedupClustersSql)
 }

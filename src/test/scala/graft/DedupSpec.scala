@@ -40,6 +40,22 @@ class DedupSpec extends SparkSpec {
     assert(lsh.subsetOf(exact), s"LSH false positives: ${lsh.diff(exact)}")
   }
 
+  test("connected components: chain, clique, and pair cluster to the min id") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3: needs several propagation rounds),
+    // triangle 10-11-12, isolated pair 20-21
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)).toDF("x_id", "y_id")
+    val got = LlmDedup.connectedComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got === Set(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (4L, 1L, false),
+      (10L, 10L, true), (11L, 10L, false), (12L, 10L, false),
+      (20L, 20L, true), (21L, 20L, false)))
+  }
+
   test("simhash: identical docs get identical fingerprints") {
     val fp = LlmDedup.simhash(spark, sf0001).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

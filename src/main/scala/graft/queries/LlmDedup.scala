@@ -317,29 +317,41 @@ object LlmDedup {
     val MaxIters = 20
     val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val pairs = pairsIn.persist(sl)
+    val verts = pairs.select(explode(array(col("x_id"), col("y_id"))).as("id"))
+      .distinct()
+    // Self-loops fold "keep your own label" into the same neighbor-min,
+    // so a round is ONE join + ONE aggregation — no left-join/coalesce
+    // leg (fewer AQE stages per round; at tiny graph sizes the loop is
+    // pure scheduling overhead, at scale it is one fewer shuffle).
     val edges = pairs.unionByName(
       pairs.select(col("y_id").as("x_id"), col("x_id").as("y_id")))
+      .unionByName(verts.select(col("id").as("x_id"), col("id").as("y_id")))
       .toDF("src", "dst").persist(sl)
 
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label")).persist(sl)
-    var changed = 1L
+    var labels = verts.select(col("id"), col("id").as("label")).persist(sl)
+    // Labels only ever decrease, so the label sum is a strictly
+    // decreasing monotone: an unchanged sum IS the fixpoint proof — one
+    // tiny aggregate per round instead of a diff join against the
+    // previous labels. DECIMAL so a 100 TB-scale id sum cannot overflow.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)")).as("s"))
+        .collect()(0).getDecimal(0)
+    var prevSum = labelSum(labels)
+    var converged = false
     var iters = 0
-    while (changed > 0 && iters < MaxIters) {
-      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
-        .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
-      val next = labels.as("l")
-        .join(nbrMin, col("l.id") === nbrMin("src"), "left")
-        .select(col("l.id").as("id"),
-          least(col("l.label"), coalesce(col("nbr_label"), col("l.label"))).as("label"))
+    while (!converged && iters < MaxIters) {
+      val step = edges.join(labels, col("dst") === col("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("label"))
+        .select(col("src").as("id"), col("label"))
         .persist(sl)
-      changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.label") =!= col("o.label")).count()
+      val s = labelSum(step)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels.unpersist()
-      labels = next
+      labels = step
       iters += 1
     }
-    require(changed == 0, s"dedup clustering did not converge in $MaxIters rounds")
+    require(converged, s"dedup clustering did not converge in $MaxIters rounds")
     labels
       .select(col("id").as("doc_id"), col("label").as("cluster_id"),
         (col("id") === col("label")).as("is_survivor"))

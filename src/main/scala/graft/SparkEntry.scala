@@ -31,7 +31,8 @@ object SparkEntry {
       graft.queries.IngestionFrance.queries ++
       graft.queries.Multimodal.queries ++
       graft.queries.EventOps.queries ++
-      graft.queries.Functions.queries
+      graft.queries.Functions.queries ++
+      graft.queries.Curation.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -46,5 +47,6 @@ object SparkEntry {
       graft.queries.IngestionFrance.oracles ++
       graft.queries.Multimodal.oracles ++
       graft.queries.EventOps.oracles ++
-      graft.queries.Functions.oracles
+      graft.queries.Functions.oracles ++
+      graft.queries.Curation.oracles
 }

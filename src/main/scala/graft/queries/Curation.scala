@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Corpus-curation composites — the queries a training-data pipeline
+  * actually ends with, composed from the catalog's primitives:
+  *
+  *  - [[stratifiedSample]]: reproducible per-class example selection by
+  *    hash order — the standard deterministic alternative to
+  *    `TABLESAMPLE` (same rows on every run, every engine, any
+  *    partitioning), used for eval-set carving and data audits.
+  *  - [[corpusFilter]]: the end-to-end keep/drop accounting — exact-dup
+  *    survivor election, then quality gates, with one drop-reason per
+  *    doc in precedence order, aggregated per language. This is the
+  *    "what goes into training and why" report.
+  *
+  * Both are single-pass plans: a window over one shuffle
+  * (stratifiedSample, survivor election) feeding a map-side-combined
+  * aggregation; no joins, nothing driver-side.
+  */
+object Curation {
+
+  /** Deterministic stratified sample: 3 docs per lang, ordered by
+    * md5(doc_id) (hash order ≈ uniform-random but reproducible;
+    * tiebreak doc_id). */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("skey").asc, col("doc_id").asc)
+    docs.select(col("lang"), col("doc_id"),
+        md5(col("doc_id").cast("string")).as("skey"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("lang"), col("doc_id"), col("rn"))
+  }
+
+  val stratifiedSampleSql: String =
+    """SELECT lang, doc_id, CAST(rn AS BIGINT) AS rn
+      |FROM (SELECT lang, doc_id,
+      |        row_number() OVER (PARTITION BY lang
+      |          ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+      |      FROM documents)
+      |WHERE rn <= 3""".stripMargin
+
+  /** Keep/drop accounting per language: docs whose normalized text is a
+    * non-survivor duplicate drop as 'dup' (survivor = min doc_id per
+    * hash, elected with a window — no self-join); survivors below the
+    * quality gates (type-token ratio >= 0.3, >= 10 whitespace tokens)
+    * drop as 'quality'; the rest are 'kept'. Reported with doc and
+    * token counts — the corpus-size answer downstream training needs. */
+  def corpusFilter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val t = col("t")
+    val withT = docs
+      .withColumn("h", md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+      .withColumn("t", split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " "))
+    val surv = min(col("doc_id")).over(Window.partitionBy(col("h")))
+    val ttr = size(array_distinct(t)).cast("double") / size(t)
+    val reason = when(col("doc_id") =!= col("surv"), "dup")
+      .when(!(col("ttr") >= 0.3 && col("ws_toks") >= 10L), "quality")
+      .otherwise("kept")
+    withT
+      .select(col("lang"), col("doc_id"),
+        surv.as("surv"), ttr.as("ttr"), size(t).cast("long").as("ws_toks"))
+      .withColumn("reason", reason)
+      .groupBy(col("lang"), col("reason"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ws_toks")).as("sum_ws_toks"))
+  }
+
+  val corpusFilterSql: String =
+    """WITH d AS (SELECT lang, doc_id,
+      |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h,
+      |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+      |  FROM documents),
+      |e AS (SELECT lang, doc_id,
+      |    MIN(doc_id) OVER (PARTITION BY h) AS surv,
+      |    CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr,
+      |    CAST(len(t) AS BIGINT) AS ws_toks
+      |  FROM d),
+      |r AS (SELECT lang, ws_toks,
+      |    CASE WHEN doc_id <> surv THEN 'dup'
+      |         WHEN NOT (ttr >= 0.3 AND ws_toks >= 10) THEN 'quality'
+      |         ELSE 'kept' END AS reason
+      |  FROM e)
+      |SELECT lang, reason, COUNT(*) AS n_docs,
+      |  CAST(SUM(ws_toks) AS BIGINT) AS sum_ws_toks
+      |FROM r GROUP BY lang, reason""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_stratified_sample" -> (stratifiedSample _),
+    "llm_corpus_filter" -> (corpusFilter _))
+
+  val oracles: Map[String, String] = Map(
+    "llm_stratified_sample" -> stratifiedSampleSql,
+    "llm_corpus_filter" -> corpusFilterSql)
+}

@@ -107,6 +107,24 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(aj.right.output.map(_.name).toSet === Set("rk", "rt", "v"))
   }
 
+  test("pruning reaches the parquet ReadSchema through the custom node") {
+    val ev = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val l = ev.select(col("user_id").as("k"), col("ts").as("t"),
+      col("event_id"), col("event_type"), col("value"))
+    val r = ev.select(col("user_id").as("rk"), col("ts").as("rt"),
+      col("event_id").as("r_event"), col("props"))
+    // only event_id + r_event projected: value/event_type/props must not
+    // be read from either scan
+    val df = GraftPlans.asofJoin(l, r, "k", "t", "rk", "rt")
+      .select(col("event_id"), col("r_event"))
+    df.collect()
+    val scans = deepCollect(df.queryExecution.executedPlan) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s.requiredSchema.fieldNames.toSet
+    }
+    assert(scans.size === 2, df.queryExecution.executedPlan.toString)
+    assert(scans.forall(_ === Set("user_id", "ts", "event_id")), scans.toString)
+  }
+
   test("null times never match (DuckDB ASOF semantics)") {
     // right row with null time sorts first in its key but must be
     // consumed without ever becoming a candidate; left rows with null

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.joins.CartesianProductExec
+
+/** Engine-wide physical-plan invariants over the whole query catalog:
+  * every batch query must plan without an unbroadcast cartesian product
+  * (the one join shape that cannot survive 100 TB). Planning alone — no
+  * execution — so this also catches analysis regressions across all ~60
+  * queries in seconds. Queries that run pipelines eagerly on
+  * construction (streaming, lake-writing ingestion, iterative
+  * clustering) are exercised by their own specs and the oracle gate
+  * instead. */
+class PlanInvariantSpec extends SparkSpec {
+
+  private def deepCollect[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
+    val nested = p.collect {
+      case q: QueryStageExec => deepCollect(q.plan)(pf)
+      case a: AdaptiveSparkPlanExec => deepCollect(a.executedPlan)(pf)
+    }.flatten
+    p.collect(pf) ++ nested
+  }
+
+  private val eagerPrefixes = Seq("stream_", "ing_", "mm_")
+  private val eagerNames = Set("llm_dedup_clusters")
+
+  test("every lazily-planned catalog query plans without a cartesian product") {
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(n => eagerPrefixes.exists(n.startsWith) || eagerNames(n))
+    assert(names.size >= 45) // the catalog can only grow
+    names.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf0001)
+      val cartesians = deepCollect(df.queryExecution.executedPlan) {
+        case c: CartesianProductExec => c
+      }
+      assert(cartesians.isEmpty,
+        s"$name plans a CartesianProduct:\n${df.queryExecution.executedPlan}")
+    }
+  }
+}

@@ -504,8 +504,52 @@ object Relational {
         approx_count_distinct($"l_suppkey").as("approx_supps"))
   }
 
+  /** Interval (range) join, grain-bucketed: orders matched to 20
+    * overlapping promo windows where the order date falls inside the
+    * window. The naive formulation is a non-equi BETWEEN join — a
+    * nested-loop at scale. The scale-safe shape used here: explode each
+    * interval into the calendar WEEKS it covers, equi-join facts on
+    * their week bucket (a normal keyed shuffle/broadcast join Catalyst
+    * and AQE fully optimize), then apply BETWEEN as a residual filter.
+    * Complete by construction (an in-interval date's week always lies in
+    * the interval's week span); the DuckDB oracle runs the naive BETWEEN
+    * join, proving the bucketed plan equivalent. Promo anchors are
+    * literals, so the dim builds without touching data. */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    val promos = spark.range(20).select(
+        col("id").as("promo_id"),
+        date_add(lit("1995-01-01").cast("date"), (col("id") * 13).cast("int")).as("p_start"))
+      .withColumn("p_end", date_add(col("p_start"), 9))
+    val promoWeeks = promos.select(col("promo_id"), col("p_start"), col("p_end"),
+      explode(sequence(date_trunc("week", col("p_start")).cast("date"),
+        col("p_end"), expr("interval 7 days"))).as("pwk"))
+    val facts = orders.select(
+        col("o_orderkey"), col("o_orderdate").cast("date").as("o_date"),
+        col("o_totalprice"),
+        date_trunc("week", col("o_orderdate")).cast("date").as("owk"))
+    facts.join(promoWeeks,
+        col("owk") === col("pwk") &&
+          col("o_date").between(col("p_start"), col("p_end")))
+      .groupBy(col("promo_id"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(dec)).cast("double").as("sum_price"))
+  }
+
+  val rangeJoinSql: String =
+    """WITH p AS (SELECT CAST(i AS BIGINT) AS promo_id,
+      |    DATE '1995-01-01' + CAST(13*i AS INT) AS p_start,
+      |    DATE '1995-01-01' + CAST(13*i + 9 AS INT) AS p_end
+      |  FROM range(0, 20) t(i))
+      |SELECT p.promo_id, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders o JOIN p
+      |  ON CAST(o.o_orderdate AS DATE) BETWEEN p.p_start AND p.p_end
+      |GROUP BY p.promo_id""".stripMargin
+
   /** All (name -> impl) pairs in this module. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_range_join" -> (rangeJoin _),
     "rel_pricing_summary" -> (pricingSummary _),
     "rel_filter_scan" -> (filterScan _),
     "rel_revenue_agg" -> (revenueAgg _),
@@ -531,6 +575,7 @@ object Relational {
     "rel_regex_extract" -> (regexExtract _))
 
   val oracles: Map[String, String] = Map(
+    "rel_range_join" -> rangeJoinSql,
     "rel_pricing_summary" -> pricingSummarySql,
     "rel_filter_scan" -> filterScanSql,
     "rel_revenue_agg" -> revenueAggSql,

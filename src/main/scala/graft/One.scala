@@ -9,8 +9,11 @@ package graft
 object One {
   def main(args: Array[String]): Unit = {
     val name = args(0)
-    // iters and "explain" are both optional and order-insensitive.
-    val iters = args.drop(1).find(_.forall(_.isDigit)).map(_.toInt).getOrElse(3)
+    // iters and "explain" are both optional and order-insensitive;
+    // strict ASCII-digit check so "" or unicode digits can't reach toInt.
+    val iters = args.drop(1)
+      .find(a => a.nonEmpty && a.forall(c => c >= '0' && c <= '9'))
+      .map(_.toInt).getOrElse(3)
     val explain = args.contains("explain")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Bench.session("graft-one")

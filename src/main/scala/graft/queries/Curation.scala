@@ -55,9 +55,12 @@ object Curation {
   def corpusFilter(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val t = col("t")
+    // duplicate identity + tokenization shared with LlmDedup.normText —
+    // the 'dup' classification here and llm_exact_dedup's survivor set
+    // stay definitionally identical
     val withT = docs
-      .withColumn("h", md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
-      .withColumn("t", split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " "))
+      .withColumn("h", md5(LlmDedup.normText(col("text"))))
+      .withColumn("t", split(LlmDedup.normText(col("text")), " "))
     val surv = min(col("doc_id")).over(Window.partitionBy(col("h")))
     val ttr = size(array_distinct(t)).cast("double") / size(t)
     val reason = when(col("doc_id") =!= col("surv"), "dup")
@@ -72,9 +75,9 @@ object Curation {
   }
 
   val corpusFilterSql: String =
-    """WITH d AS (SELECT lang, doc_id,
-      |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h,
-      |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+    s"""WITH d AS (SELECT lang, doc_id,
+      |    md5(${LlmDedup.normTextSql}) AS h,
+      |    string_split(${LlmDedup.normTextSql}, ' ') AS t
       |  FROM documents),
       |e AS (SELECT lang, doc_id,
       |    MIN(doc_id) OVER (PARTITION BY h) AS surv,

@@ -40,9 +40,18 @@ object LlmDedup {
   private val NumHashes = 32
   private val NumBands = 16 // 2 rows per band
 
-  /** tokens of normalized text: lower, trim, collapse whitespace. */
-  private def toks(text: Column): Column =
-    split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
+  /** Normalized text (lower, trim, collapsed whitespace) — THE duplicate
+    * identity every dedup operator and the curation report share; one
+    * definition so they cannot silently diverge. */
+  private[queries] def normText(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** DuckDB mirror of [[normText]] applied to the `text` column. */
+  private[queries] val normTextSql =
+    "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+  /** tokens of normalized text. */
+  private def toks(text: Column): Column = split(normText(text), " ")
 
   /** word 3-gram shingles (empty array when < 3 tokens — mirrors DuckDB's
     * empty `range`). */
@@ -53,7 +62,7 @@ object LlmDedup {
       .otherwise(array().cast("array<string>"))
 
   private val shingleSqlCte =
-    """toks AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+    s"""toks AS (SELECT doc_id, string_split($normTextSql, ' ') AS t
       |         FROM documents),
       |sh AS (SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
       |       FROM toks, unnest(range(1, len(t)-1)) AS r(i))""".stripMargin
@@ -74,14 +83,13 @@ object LlmDedup {
   def exactDedup(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     docs
-      .select(md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("text_hash"),
-        col("doc_id"))
+      .select(md5(normText(col("text"))).as("text_hash"), col("doc_id"))
       .groupBy(col("text_hash"))
       .agg(min(col("doc_id")).as("survivor_id"), count(lit(1)).as("n_dups"))
   }
 
   val exactDedupSql: String =
-    """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_hash,
+    s"""SELECT md5($normTextSql) AS text_hash,
       |  MIN(doc_id) AS survivor_id, COUNT(*) AS n_dups
       |FROM documents GROUP BY 1""".stripMargin
 
@@ -244,7 +252,7 @@ object LlmDedup {
       .mkString(", ")
     val fp = (0 until 16).map(j => s"CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END")
       .mkString(" + ")
-    s"""WITH t AS (SELECT doc_id, unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+    s"""WITH t AS (SELECT doc_id, unnest(string_split($normTextSql, ' ')) AS tok
        |           FROM documents),
        |v AS (SELECT doc_id, $votes FROM t GROUP BY doc_id)
        |SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM v""".stripMargin
@@ -337,7 +345,9 @@ object LlmDedup {
       df.agg(sum(col("label").cast("decimal(38,0)")).as("s"))
         .collect()(0).getDecimal(0)
     var prevSum = labelSum(labels)
-    var converged = false
+    // Null sum = zero vertices (clean corpus, no near-dup pairs): the
+    // empty labels frame is already the fixpoint.
+    var converged = prevSum == null
     var iters = 0
     while (!converged && iters < MaxIters) {
       val step = edges.join(labels, col("dst") === col("id"))
@@ -352,6 +362,10 @@ object LlmDedup {
       iters += 1
     }
     require(converged, s"dedup clustering did not converge in $MaxIters rounds")
+    // The converged labels are cached; drop the working sets (the result
+    // recomputes through lineage if its own cache block is ever evicted).
+    pairs.unpersist()
+    edges.unpersist()
     labels
       .select(col("id").as("doc_id"), col("label").as("cluster_id"),
         (col("id") === col("label")).as("is_survivor"))

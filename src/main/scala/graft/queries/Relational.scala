@@ -517,9 +517,13 @@ object Relational {
     * literals, so the dim builds without touching data. */
   def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
     val orders = Tables.load(spark, dir, "orders")
+    // 10-day windows spaced 7 days apart: consecutive windows OVERLAP by
+    // 3 days, so facts in the overlap match two promos — exercising the
+    // multi-match behavior that distinguishes an interval join from a
+    // plain equi-join.
     val promos = spark.range(20).select(
         col("id").as("promo_id"),
-        date_add(lit("1995-01-01").cast("date"), (col("id") * 13).cast("int")).as("p_start"))
+        date_add(lit("1995-01-01").cast("date"), (col("id") * 7).cast("int")).as("p_start"))
       .withColumn("p_end", date_add(col("p_start"), 9))
     val promoWeeks = promos.select(col("promo_id"), col("p_start"), col("p_end"),
       explode(sequence(date_trunc("week", col("p_start")).cast("date"),
@@ -538,8 +542,8 @@ object Relational {
 
   val rangeJoinSql: String =
     """WITH p AS (SELECT CAST(i AS BIGINT) AS promo_id,
-      |    DATE '1995-01-01' + CAST(13*i AS INT) AS p_start,
-      |    DATE '1995-01-01' + CAST(13*i + 9 AS INT) AS p_end
+      |    DATE '1995-01-01' + CAST(7*i AS INT) AS p_start,
+      |    DATE '1995-01-01' + CAST(7*i + 9 AS INT) AS p_end
       |  FROM range(0, 20) t(i))
       |SELECT p.promo_id, COUNT(*) AS n_orders,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price

@@ -58,19 +58,42 @@ object Sessionize {
             java.util.Arrays.sort(ts)
             var closed = List.empty[SessOut]
             var st = state.getOption.orNull
-            for (t <- ts) {
+            var idx = 0
+            // Cross-batch out-of-order handling: the sorted prefix lying
+            // more than a gap BEFORE the open session can never join it —
+            // sessionize that prefix standalone (batch-split semantics:
+            // a chain of early events forms its own session(s), all
+            // definitionally closed since the open session starts more
+            // than a gap after the prefix ends).
+            if (st != null) {
+              var early: SessState = null
+              while (idx < ts.length && st.startUs - ts(idx) > GapUs) {
+                val t = ts(idx)
+                early =
+                  if (early == null) SessState(t, t, 1L)
+                  else if (t - early.lastUs > GapUs) {
+                    closed ::= SessOut(user, early.startUs, early.lastUs, early.n)
+                    SessState(t, t, 1L)
+                  } else SessState(early.startUs, t, early.n + 1)
+                idx += 1
+              }
+              if (early != null)
+                closed ::= SessOut(user, early.startUs, early.lastUs, early.n)
+            }
+            while (idx < ts.length) {
+              val t = ts(idx)
               st =
                 if (st == null) SessState(t, t, 1L)
                 else if (t - st.lastUs > GapUs) {
                   closed ::= SessOut(user, st.startUs, st.lastUs, st.n)
                   SessState(t, t, 1L)
                 } else
-                  // min/max, not assignment: an out-of-order cross-batch
-                  // event inside the watermark delay may be EARLIER than
-                  // the stored session bounds and must widen them, never
-                  // regress lastUs (which would corrupt later gap and
-                  // timeout arithmetic).
+                  // min/max, not assignment: an event EARLIER than the
+                  // stored session start but within the gap widens the
+                  // bounds; lastUs never regresses (that would corrupt
+                  // later gap and timeout arithmetic).
                   SessState(math.min(st.startUs, t), math.max(st.lastUs, t), st.n + 1)
+              idx += 1
             }
             state.update(st)
             state.setTimeoutTimestamp((st.lastUs + GapUs) / 1000L)

@@ -76,16 +76,9 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(got.exceptAll(exp).isEmpty && exp.exceptAll(got).isEmpty)
   }
 
-  /** collect() that crosses AQE query-stage boundaries (stage sub-plans
-    * are fields, not children, so plain collect stops at them). */
   private def deepCollect[T](p: org.apache.spark.sql.execution.SparkPlan)(
-      pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]): Seq[T] = {
-    val nested = p.collect {
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => deepCollect(q.plan)(pf)
-      case a: AdaptiveSparkPlanExec => deepCollect(a.executedPlan)(pf)
-    }.flatten
-    p.collect(pf) ++ nested
-  }
+      pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]): Seq[T] =
+    PlanTestUtil.deepCollect(p)(pf)
 
   test("physical plan: merge exec over two shuffles with per-partition sorts") {
     val l = leftDf(Seq((1L, 10L, "a")))

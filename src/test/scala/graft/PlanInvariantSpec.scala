@@ -1,7 +1,5 @@
 package graft
 
-import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.joins.CartesianProductExec
 
 /** Engine-wide physical-plan invariants over the whole query catalog:
@@ -14,13 +12,7 @@ import org.apache.spark.sql.execution.joins.CartesianProductExec
   * instead. */
 class PlanInvariantSpec extends SparkSpec {
 
-  private def deepCollect[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
-    val nested = p.collect {
-      case q: QueryStageExec => deepCollect(q.plan)(pf)
-      case a: AdaptiveSparkPlanExec => deepCollect(a.executedPlan)(pf)
-    }.flatten
-    p.collect(pf) ++ nested
-  }
+  import PlanTestUtil.deepCollect
 
   private val eagerPrefixes = Seq("stream_", "ing_", "mm_")
   private val eagerNames = Set("llm_dedup_clusters")

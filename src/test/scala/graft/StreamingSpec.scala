@@ -178,6 +178,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionization: a chain of events far before the open session forms its own closed session") {
+    import spark.implicits._
+    import graft.streaming.{SessEvent, Sessionize}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SessEvent]
+    val q = Sessionize.sessions(mem.toDS(), "6 hours").writeStream
+      .format("memory").queryName("sess_early")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      mem.addData(SessEvent(1L, ts("2021-03-01 12:00:00")))
+      q.processAllAvailable()
+      // two in-watermark events far before the open session, within one
+      // gap of each other: must close as ONE two-event session, and the
+      // open session at 12:00 must stay untouched.
+      mem.addData(
+        SessEvent(1L, ts("2021-03-01 08:00:00")),
+        SessEvent(1L, ts("2021-03-01 08:10:00")))
+      q.processAllAvailable()
+      def us(s: String) = ts(s).getTime / 1000 * 1000000
+      val afterEarly = spark.table("sess_early").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(afterEarly === Set(
+        (1L, us("2021-03-01 08:00:00"), us("2021-03-01 08:10:00"), 2L)))
+      // flush: the open session emits with its original 12:00 bounds
+      mem.addData(SessEvent(99L, ts("2021-03-02 23:00:00")))
+      q.processAllAvailable()
+      val all = spark.table("sess_early").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(all === Set(
+        (1L, us("2021-03-01 08:00:00"), us("2021-03-01 08:10:00"), 2L),
+        (1L, us("2021-03-01 12:00:00"), us("2021-03-01 12:00:00"), 1L)))
+    } finally q.stop()
+  }
+
   test("file-source pipeline is idempotent across re-fires") {
     val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_test_news"
     val landing = "/root/repo/fixtures/news_landing"

@@ -78,14 +78,15 @@ object TextAnalysis {
     * argmax with deterministic alphabetical priority), reported as a
     * confusion matrix against the labeled `lang`. */
   def langId(spark: SparkSession, dir: String): DataFrame = {
-    // Tokenize ONCE into a materialized column — four per-lexicon scores
-    // over the same array; recomputing the regex split per score defeats
-    // codegen CSE inside higher-order functions.
+    graft.functions.GraftFunctions.register(spark)
     val docs = Tables.load(spark, dir, "documents")
-      .withColumn("t", toks(col("text")))
-    val t = col("t")
+    // Per-lexicon hit count IS token_overlap(text, lexicon words): the
+    // lexicon words are distinct, so "query tokens present in the text's
+    // token set" equals the composed size(filter(array_contains)) form —
+    // but as one codegen kernel instead of a higher-order lambda per
+    // lexicon per row (the unchanged oracle proves the equivalence).
     val scores = lexicons.map { case (l, ws) =>
-      l -> size(filter(array(ws.map(lit): _*), w => array_contains(t, w)))
+      l -> call_function("token_overlap", col("text"), lit(ws.mkString(" "))).cast("int")
     }
     val m = greatest(scores.map(_._2): _*)
     val pred = when(m === 0, lit("unknown"))

@@ -8,8 +8,12 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 /** Input event for streaming sessionization. */
 case class SessEvent(user_id: Long, ts: Timestamp)
 
-/** Open-session state: bounds in epoch micros + event count. */
+/** One session: bounds in epoch micros + event count. */
 case class SessState(startUs: Long, lastUs: Long, n: Long)
+
+/** Per-key state: gap-separated sessions, sorted by start, none yet
+  * watermark-safe to emit. */
+case class SessListState(sessions: Seq[SessState])
 
 /** A closed session. Bounds in epoch micros (exact integer arithmetic on
   * both engines — no timestamp formatting in the comparison path). */
@@ -17,14 +21,23 @@ case class SessOut(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
 
 /** Streaming gap sessionization via `flatMapGroupsWithState` — the
   * custom-state tier of Structured Streaming (T-ops beyond windowed
-  * aggregation, SURVEY §2.11): per-user sessions close either when a
-  * later event arrives more than [[Sessionize.GapUs]] after the last one
-  * (in-batch split, identical arithmetic to the batch
-  * [[graft.queries.EventOps.sessionize]]), or when the event-time
-  * watermark passes last-event + gap (`GroupStateTimeout
-  * .EventTimeTimeout`) — so idle users' sessions still emit, and state
-  * per key is ONE open session (bounded regardless of stream length;
-  * eviction is the timeout itself).
+  * aggregation, SURVEY §2.11).
+  *
+  * Emission is watermark-gated, the same contract as Spark's builtin
+  * `session_window`: a session [s, l] is emitted only once the event-time
+  * watermark passes l + gap — before that an in-watermark out-of-order
+  * event could still extend it or bridge it with a neighbor, so eager
+  * emission would diverge from the batch gap-fold. Under this rule the
+  * streamed result equals the BATCH sessionization of the same events
+  * for ANY arrival order within the watermark delay (property-tested on
+  * randomized multi-batch disorder in StreamingSpec).
+  *
+  * State per key is the list of not-yet-safe sessions (merged
+  * incrementally per batch, adjacent sessions coalescing when a late
+  * event bridges them); the event-time timeout fires at the earliest
+  * possible emission point, so idle keys drain without new data. State
+  * is bounded by the watermark delay: sessions older than delay + gap
+  * always emit, so a key holds at most the sessions of one delay window.
   *
   * Scale: state is partitioned by user key across executors in the state
   * store; each micro-batch touches only keys with new data plus timed-out
@@ -38,67 +51,47 @@ object Sessionize {
   private def micros(t: Timestamp): Long =
     Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
 
-  /** Sessions over a (possibly streaming) event Dataset. Within a batch,
-    * a key's events are sorted by time and folded left; the surviving
-    * open session is stored with an event-time timeout at last + gap. */
+  /** Merge sorted sessions with sorted event times into the canonical
+    * gap-separated session list (identical arithmetic to the batch
+    * fold: strictly-greater-than-gap splits). */
+  private def merge(existing: Seq[SessState], ts: Array[Long]): List[SessState] = {
+    val atoms = (existing ++ ts.map(t => SessState(t, t, 1L)))
+      .sortBy(s => (s.startUs, s.lastUs))
+    atoms.foldLeft(List.empty[SessState]) { (acc, a) =>
+      acc match {
+        case cur :: rest if a.startUs - cur.lastUs <= GapUs =>
+          SessState(cur.startUs, math.max(cur.lastUs, a.lastUs), cur.n + a.n) :: rest
+        case _ => a :: acc
+      }
+    }.reverse
+  }
+
+  /** Sessions over a (possibly streaming) event Dataset. */
   def sessions(events: Dataset[SessEvent], watermarkDelay: String): Dataset[SessOut] = {
     import events.sparkSession.implicits._
     events
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessState, SessOut](
+      .flatMapGroupsWithState[SessListState, SessOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user, it, state) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator.single(SessOut(user, s.startUs, s.lastUs, s.n))
-          } else {
-            val ts = it.map(e => micros(e.ts)).toArray
-            java.util.Arrays.sort(ts)
-            var closed = List.empty[SessOut]
-            var st = state.getOption.orNull
-            var idx = 0
-            // Cross-batch out-of-order handling: the sorted prefix lying
-            // more than a gap BEFORE the open session can never join it —
-            // sessionize that prefix standalone (batch-split semantics:
-            // a chain of early events forms its own session(s), all
-            // definitionally closed since the open session starts more
-            // than a gap after the prefix ends).
-            if (st != null) {
-              var early: SessState = null
-              while (idx < ts.length && st.startUs - ts(idx) > GapUs) {
-                val t = ts(idx)
-                early =
-                  if (early == null) SessState(t, t, 1L)
-                  else if (t - early.lastUs > GapUs) {
-                    closed ::= SessOut(user, early.startUs, early.lastUs, early.n)
-                    SessState(t, t, 1L)
-                  } else SessState(early.startUs, t, early.n + 1)
-                idx += 1
-              }
-              if (early != null)
-                closed ::= SessOut(user, early.startUs, early.lastUs, early.n)
-            }
-            while (idx < ts.length) {
-              val t = ts(idx)
-              st =
-                if (st == null) SessState(t, t, 1L)
-                else if (t - st.lastUs > GapUs) {
-                  closed ::= SessOut(user, st.startUs, st.lastUs, st.n)
-                  SessState(t, t, 1L)
-                } else
-                  // min/max, not assignment: an event EARLIER than the
-                  // stored session start but within the gap widens the
-                  // bounds; lastUs never regresses (that would corrupt
-                  // later gap and timeout arithmetic).
-                  SessState(math.min(st.startUs, t), math.max(st.lastUs, t), st.n + 1)
-              idx += 1
-            }
-            state.update(st)
-            state.setTimeoutTimestamp((st.lastUs + GapUs) / 1000L)
-            closed.reverse.iterator
+          val existing = state.getOption.map(_.sessions).getOrElse(Seq.empty)
+          val ts = it.map(e => micros(e.ts)).toArray
+          java.util.Arrays.sort(ts)
+          val merged = merge(existing, ts)
+          val wUs = state.getCurrentWatermarkMs() * 1000L
+          // Safe to emit once no in-watermark event can reach the
+          // session: every future event time t satisfies t >= watermark,
+          // and extension/bridging needs t <= lastUs + gap.
+          val (emit, keep) = merged.partition(_.lastUs + GapUs < wUs)
+          if (keep.isEmpty) state.remove()
+          else {
+            state.update(SessListState(keep))
+            // earliest possible emission; guaranteed > current watermark
+            // because keep.head was not emittable this invocation
+            state.setTimeoutTimestamp((keep.head.lastUs + GapUs) / 1000L + 1L)
           }
+          emit.iterator.map(s => SessOut(user, s.startUs, s.lastUs, s.n))
       }
   }
 }

@@ -191,17 +191,16 @@ class StreamingSpec extends SparkSpec {
       mem.addData(SessEvent(1L, ts("2021-03-01 12:00:00")))
       q.processAllAvailable()
       // two in-watermark events far before the open session, within one
-      // gap of each other: must close as ONE two-event session, and the
-      // open session at 12:00 must stay untouched.
+      // gap of each other: must form ONE two-event session, and the open
+      // session at 12:00 must stay untouched. Emission is watermark-
+      // gated, so nothing may emit yet (the watermark is still 06:00 —
+      // another in-watermark event could legally extend either session).
       mem.addData(
         SessEvent(1L, ts("2021-03-01 08:00:00")),
         SessEvent(1L, ts("2021-03-01 08:10:00")))
       q.processAllAvailable()
       def us(s: String) = ts(s).getTime / 1000 * 1000000
-      val afterEarly = spark.table("sess_early").collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
-      assert(afterEarly === Set(
-        (1L, us("2021-03-01 08:00:00"), us("2021-03-01 08:10:00"), 2L)))
+      assert(spark.table("sess_early").count() === 0)
       // flush: the open session emits with its original 12:00 bounds
       mem.addData(SessEvent(99L, ts("2021-03-02 23:00:00")))
       q.processAllAvailable()
@@ -210,6 +209,50 @@ class StreamingSpec extends SparkSpec {
       assert(all === Set(
         (1L, us("2021-03-01 08:00:00"), us("2021-03-01 08:10:00"), 2L),
         (1L, us("2021-03-01 12:00:00"), us("2021-03-01 12:00:00"), 1L)))
+    } finally q.stop()
+  }
+
+  test("sessionization: random multi-batch arrival equals the batch computation") {
+    import spark.implicits._
+    import graft.streaming.{SessEvent, Sessionize}
+    implicit val sqlCtx = spark.sqlContext
+    // Seeded random corpus: 40 users x 25 events over ~4 days, delivered
+    // in 3 randomly-assigned batches (arbitrary cross-batch disorder; a
+    // huge watermark delay keeps every row in scope), then a sentinel
+    // flush. Result must equal the batch gap-fold of the same events.
+    val rnd = new scala.util.Random(42)
+    val events = for (u <- 1 to 40; _ <- 1 to 25) yield
+      SessEvent(u.toLong, new Timestamp(
+        ts("2021-03-01 00:00:00").getTime + rnd.nextInt(4 * 24 * 3600) * 1000L))
+    val batches = events.groupBy(_ => rnd.nextInt(3))
+
+    val mem = MemoryStream[SessEvent]
+    val q = Sessionize.sessions(mem.toDS(), "30 days").writeStream
+      .format("memory").queryName("sess_rand")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      (0 until 3).foreach { b =>
+        mem.addData(batches.getOrElse(b, Seq.empty): _*)
+        q.processAllAvailable()
+      }
+      mem.addData(SessEvent(-1L, ts("2022-01-01 00:00:00")))
+      q.processAllAvailable()
+      val got = spark.table("sess_rand")
+        .filter($"user_id" =!= -1L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq.sorted
+
+      // independent batch computation: per-user sorted gap fold in Scala
+      val exp = events.groupBy(_.user_id).toSeq.flatMap { case (u, evs) =>
+        val us = evs.map(e => e.ts.getTime / 1000 * 1000000).sorted
+        val sessions = us.tail.foldLeft(List(List(us.head))) { (acc, t) =>
+          if (t - acc.head.head > Sessionize.GapUs) List(t) :: acc
+          else (t :: acc.head) :: acc.tail
+        }
+        sessions.map(s => (u, s.min, s.max, s.size.toLong))
+      }.sorted
+      assert(got === exp)
     } finally q.stop()
   }
 

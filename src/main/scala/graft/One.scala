@@ -10,10 +10,9 @@ object One {
   def main(args: Array[String]): Unit = {
     val name = args(0)
     // iters and "explain" are both optional and order-insensitive;
-    // strict ASCII-digit check so "" or unicode digits can't reach toInt.
-    val iters = args.drop(1)
-      .find(a => a.nonEmpty && a.forall(c => c >= '0' && c <= '9'))
-      .map(_.toInt).getOrElse(3)
+    // toIntOption makes the fallback total (empty, unicode digits, or
+    // overflow-length strings all fall back to 3).
+    val iters = args.drop(1).flatMap(_.toIntOption).headOption.getOrElse(3)
     val explain = args.contains("explain")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Bench.session("graft-one")

@@ -13,7 +13,9 @@ object TokenOverlapUtil {
     * `size(filter(qtoks, q => array_contains(split(normalize(text)), q)))`
     * form, minus the per-row array allocation. */
   def score(text: UTF8String, query: UTF8String): Long = {
-    val toks = text.toString.toLowerCase.trim.split("\\s+")
+    // Locale.ROOT: default-locale toLowerCase diverges on tr/az hosts
+    // (dotless ı), while Spark's lower() and DuckDB are locale-free.
+    val toks = text.toString.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+")
     val set = new java.util.HashSet[String](toks.length * 2)
     var i = 0
     while (i < toks.length) { set.add(toks(i)); i += 1 }

@@ -76,8 +76,8 @@ object Curation {
 
   val corpusFilterSql: String =
     s"""WITH d AS (SELECT lang, doc_id,
-      |    md5(${LlmDedup.normTextSql}) AS h,
-      |    string_split(${LlmDedup.normTextSql}, ' ') AS t
+      |    md5(${LlmDedup.normTextSql()}) AS h,
+      |    string_split(${LlmDedup.normTextSql()}, ' ') AS t
       |  FROM documents),
       |e AS (SELECT lang, doc_id,
       |    MIN(doc_id) OVER (PARTITION BY h) AS surv,

@@ -46,9 +46,9 @@ object LlmDedup {
   private[queries] def normText(c: Column): Column =
     regexp_replace(lower(trim(c)), "\\s+", " ")
 
-  /** DuckDB mirror of [[normText]] applied to the `text` column. */
-  private[queries] val normTextSql =
-    "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+  /** DuckDB mirror of [[normText]], column-parameterized like its twin. */
+  private[queries] def normTextSql(col: String = "text"): String =
+    s"regexp_replace(lower(trim($col)), '\\s+', ' ', 'g')"
 
   /** tokens of normalized text. */
   private def toks(text: Column): Column = split(normText(text), " ")
@@ -62,7 +62,7 @@ object LlmDedup {
       .otherwise(array().cast("array<string>"))
 
   private val shingleSqlCte =
-    s"""toks AS (SELECT doc_id, string_split($normTextSql, ' ') AS t
+    s"""toks AS (SELECT doc_id, string_split(${normTextSql()}, ' ') AS t
       |         FROM documents),
       |sh AS (SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
       |       FROM toks, unnest(range(1, len(t)-1)) AS r(i))""".stripMargin
@@ -89,7 +89,7 @@ object LlmDedup {
   }
 
   val exactDedupSql: String =
-    s"""SELECT md5($normTextSql) AS text_hash,
+    s"""SELECT md5(${normTextSql()}) AS text_hash,
       |  MIN(doc_id) AS survivor_id, COUNT(*) AS n_dups
       |FROM documents GROUP BY 1""".stripMargin
 
@@ -252,7 +252,7 @@ object LlmDedup {
       .mkString(", ")
     val fp = (0 until 16).map(j => s"CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END")
       .mkString(" + ")
-    s"""WITH t AS (SELECT doc_id, unnest(string_split($normTextSql, ' ')) AS tok
+    s"""WITH t AS (SELECT doc_id, unnest(string_split(${normTextSql()}, ' ')) AS tok
        |           FROM documents),
        |v AS (SELECT doc_id, $votes FROM t GROUP BY doc_id)
        |SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM v""".stripMargin

@@ -86,7 +86,11 @@ object TextAnalysis {
     // but as one codegen kernel instead of a higher-order lambda per
     // lexicon per row (the unchanged oracle proves the equivalence).
     val scores = lexicons.map { case (l, ws) =>
-      l -> call_function("token_overlap", col("text"), lit(ws.mkString(" "))).cast("int")
+      // coalesce: NULL text must score 0 (-> 'unknown'), matching both
+      // the composed filter form and the oracle's len(list_filter(...))
+      l -> coalesce(
+        call_function("token_overlap", col("text"), lit(ws.mkString(" "))).cast("int"),
+        lit(0))
     }
     val m = greatest(scores.map(_._2): _*)
     val pred = when(m === 0, lit("unknown"))

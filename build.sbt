@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run stdout passes through UNPREFIXED (no "[info] ") so a
+// driver parsing Bench's single JSON line from stdout finds a line that
+// IS pure JSON. Without this, sbt's logger prefix breaks line-oriented
+// json.loads consumers (observed: BENCH_r{1,2}.json parsed=null).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -34,7 +34,7 @@ import org.apache.spark.sql.expressions.Window
   */
 object CasesIngest {
 
-  val FixtureDir = "/root/repo/fixtures"
+  val FixtureDir: String = graft.Fixtures.dir
   val CasesPaths: Seq[String] =
     Seq(s"$FixtureDir/contamination_a.csv", s"$FixtureDir/vaccination_b.csv")
   val LookupPath = s"$FixtureDir/geo_lookup.csv"

@@ -275,6 +275,10 @@ object Relational {
     import spark.implicits._
     val daily = ord.groupBy(date_format($"o_orderdate", "yyyy-MM-dd").as("d"))
       .agg(count(lit(1)).as("n"))
+    // The un-partitioned window is bounded by construction: its input is
+    // the per-day aggregate — one row per calendar day, a few thousand
+    // rows for decades of data at ANY corpus scale — so the single
+    // ordered partition never sees more than that.
     daily.withColumn("delta",
       $"n" - lag($"n", 1).over(Window.orderBy($"d")))
   }

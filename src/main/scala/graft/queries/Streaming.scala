@@ -16,10 +16,10 @@ import graft.streaming.{NewsStream, SessEvent, Sessionize}
   * survivor, which no deterministic oracle can mirror otherwise). */
 object Streaming {
 
-  private val landing = "/root/repo/fixtures/news_landing"
+  private val landing = graft.Fixtures.newsLanding
 
   def newsDedup(spark: SparkSession, dir: String): DataFrame = {
-    val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_news_rt"
+    val scratch = graft.Fixtures.scratchDir("news_rt")
     NewsStream.freshRun(spark, landing, scratch)
       .select(col("link"), col("title"), col("lang"),
         col("source.crawler").as("crawler"),
@@ -45,10 +45,7 @@ object Streaming {
     * which is exactly what the DuckDB oracle computes. */
   def streamSessionize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.hadoop.fs.Path
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_sess_rt"
-    fs.delete(new Path(scratch), true)
+    val scratch = graft.Fixtures.scratchDir("sess_rt")
     val in = s"$scratch/in"
     val sink = s"$scratch/sink"
     val ckpt = s"$scratch/ckpt"
@@ -64,8 +61,14 @@ object Streaming {
       q.awaitTermination()
     }
 
-    graft.Tables.load(spark, dir, "events")
-      .select(col("user_id"), col("ts")).write.parquet(in)
+    val ev = graft.Tables.load(spark, dir, "events").select(col("user_id"), col("ts"))
+    // The watermark kicker below reserves user_id -1 as an in-band
+    // sentinel (filtered from results); a corpus actually carrying that
+    // id would silently lose that user's sessions — refuse loudly. The
+    // guard is one pushdown-friendly probe, not a full scan.
+    require(ev.filter(col("user_id") === -1L).head(1).isEmpty,
+      "events table contains user_id -1, reserved as the sessionize watermark sentinel")
+    ev.write.parquet(in)
     runOnce()
     Seq(SessEvent(-1L, java.sql.Timestamp.valueOf("2100-01-01 00:00:00"))).toDS()
       .write.mode("append").parquet(in)

@@ -46,6 +46,11 @@ object TextAnalysis {
     val qtoks = array(lit("spark"), lit("join"), lit("src3"))
     val sText = call_function("token_overlap", col("text"), lit("spark join src3"))
     val sSource = size(filter(qtoks, q => q === col("source"))).cast("long")
+    // Global ranking window, bounded at any scale: Spark 4.x rewrites
+    // `rank <= 16` into TakeOrderedAndProject(limit=16) — per-partition
+    // top-16 then ONE 16-row merge — so the single-partition window sees
+    // at most 16 rows, never the corpus (PlanInvariantSpec asserts the
+    // pre-limit node stays in the plan).
     val w = Window.orderBy(col("score").desc, col("doc_id").asc)
     docs.select(col("doc_id"), greatest(sText, sSource).as("score"))
       .filter(col("score") >= 1)
@@ -205,7 +210,7 @@ object TextAnalysis {
 
   // ---------------------------------------------------------------- scrub
 
-  private val newsLanding = "/root/repo/fixtures/news_landing"
+  private val newsLanding = graft.Fixtures.newsLanding
   private val UrlPat = "https?://\\S+"
   private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val IdPat = "\\d{4,}"

@@ -70,6 +70,10 @@ object Sessionize {
   def sessions(events: Dataset[SessEvent], watermarkDelay: String): Dataset[SessOut] = {
     import events.sparkSession.implicits._
     events
+      // ts is nullable in the source schema; a null event time has no
+      // place on the session timeline (the batch operator's SQL drops it
+      // the same way), and unguarded it would NPE in micros().
+      .filter(org.apache.spark.sql.functions.col("ts").isNotNull)
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessListState, SessOut](

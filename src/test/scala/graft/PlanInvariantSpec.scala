@@ -30,4 +30,22 @@ class PlanInvariantSpec extends SparkSpec {
         s"$name plans a CartesianProduct:\n${df.queryExecution.executedPlan}")
     }
   }
+
+  test("searchTopk's global ranking window pre-limits before the merge") {
+    // The un-partitioned row_number window in txt_search_topk is only
+    // scale-safe because Spark 4.x bounds it: LimitPushDownThroughWindow
+    // rewrites `rank <= 16` into TakeOrderedAndProject(limit=16)
+    // (per-partition top-16, then one 16-row merge), or — when that rule
+    // doesn't fire — WindowGroupLimit pre-limits each partition. If a
+    // plan change ever loses both, the query silently becomes a
+    // full-corpus single-partition sort — fail here instead.
+    val df = SparkEntry.queries("txt_search_topk")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan
+    val bounded = deepCollect(plan) {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec if t.limit <= 16 => t
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    }
+    assert(bounded.nonEmpty,
+      s"txt_search_topk lost its pre-limit (TakeOrderedAndProject/WindowGroupLimit):\n$plan")
+  }
 }

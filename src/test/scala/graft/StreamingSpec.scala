@@ -258,7 +258,7 @@ class StreamingSpec extends SparkSpec {
 
   test("file-source pipeline is idempotent across re-fires") {
     val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_test_news"
-    val landing = "/root/repo/fixtures/news_landing"
+    val landing = graft.Fixtures.newsLanding
     val first = NewsStream.freshRun(spark, landing, scratch).count()
     // Re-fire with the SAME checkpoint: no new input => no new rows.
     NewsStream.runOnce(spark, landing, s"$scratch/sink", s"$scratch/ckpt")

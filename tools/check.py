@@ -41,10 +41,14 @@ def cell_eq(a, b) -> (bool, bool):
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True, True
-        # abs_tol matches the sort key's 1e-6 rounding: rows that tie
-        # after rounding may pair in either order, so cells differing by
-        # less than the rounding quantum must count as close.
-        return a == b, math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-6)
+        # "close" = genuine float agreement at 1e-9, OR a row-pairing swap
+        # between rows that tie under the sort key's 1e-6 rounding. A tie
+        # swap implies both cells round to the same 6-dp value, so the
+        # loose tolerance is scoped to exactly that case — a genuine
+        # small divergence between values that round apart still fails.
+        close = (math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
+                 or round(a, 6) == round(b, 6))
+        return a == b, close
     if (a is None) != (b is None):
         return False, False
     eq = str(a) == str(b)

@@ -25,6 +25,14 @@ import graft.Tables
   *  - shingle-Jaccard: exact sparse similarity join via an inverted
   *             shingle index (pairs share ≥1 shingle; no LSH recall loss).
   *
+  * Division of labor at scale: the pairwise operators (minhash,
+  * shingle-Jaccard) report pairs BETWEEN EXACT-DEDUP REPRESENTATIVES
+  * only — identical texts are exactDedup's job, and emitting a
+  * duplicate-heavy corpus's same-text cliques as pairs is inherently
+  * O(clique²) no matter how they are found. [[dedupClusters]] reunites
+  * the two families (near-dup pairs + exact-dup star edges), so cluster
+  * coverage over the full corpus is preserved.
+  *
   * The md5-based hash family is used (instead of Spark's murmur3 `hash`)
   * because both engines — Spark and the DuckDB oracle — implement
   * identical md5, making the whole pipeline bit-reproducible across
@@ -39,6 +47,18 @@ object LlmDedup {
 
   private val NumHashes = 32
   private val NumBands = 16 // 2 rows per band
+
+  /** Document-frequency cap on the shingle index: a shingle occurring in
+    * more than this many (distinct-text) documents is dropped before any
+    * pairwise join. A stop-shingle ("of the and") in df documents would
+    * otherwise put df² join rows under ONE key — quadratic blowup plus
+    * catastrophic skew at 100 TB — while carrying no discriminative
+    * signal precisely because it is near-universal. Recall contract:
+    * pairs whose ONLY shared shingles are above-cap boilerplate are not
+    * reported; the oracle applies the identical cap so the comparison
+    * stays exact. (Declared before the oracle CTE strings below — they
+    * interpolate it at object init.) */
+  private[queries] val DfCap = 256
 
   /** Normalized text (lower, trim, collapsed whitespace) — THE duplicate
     * identity every dedup operator and the curation report share; one
@@ -61,19 +81,24 @@ object LlmDedup {
         i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
       .otherwise(array().cast("array<string>"))
 
+  /** Oracle mirror of [[hashedShingles]] (shared by both pairwise dedup
+    * oracles so the hashed identity, the representative collapse, and
+    * the df cap cannot silently diverge between them). */
   private val shingleSqlCte =
-    s"""toks AS (SELECT doc_id, string_split(${normTextSql()}, ' ') AS t
-      |         FROM documents),
+    s"""rep AS (SELECT MIN(doc_id) AS doc_id, MIN(norm) AS norm
+      |        FROM (SELECT doc_id, ${normTextSql()} AS norm FROM documents)
+      |        GROUP BY md5(norm)),
+      |toks AS (SELECT doc_id, string_split(norm, ' ') AS t FROM rep),
       |sh AS (SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
       |       FROM toks, unnest(range(1, len(t)-1)) AS r(i))""".stripMargin
 
-  /** Oracle mirror of [[hashedShingles]] (shared by both dedup oracles so
-    * the hashed identity cannot silently diverge between them). */
   private val hashedShingleSqlCte =
-    """hs AS (SELECT DISTINCT doc_id,
-      |         ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS a,
-      |         ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS b
-      |       FROM sh)""".stripMargin
+    s"""hs0 AS (SELECT DISTINCT doc_id,
+      |          ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS a,
+      |          ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS b
+      |        FROM sh),
+      |hot AS (SELECT a, b FROM hs0 GROUP BY a, b HAVING COUNT(*) > $DfCap),
+      |hs AS (SELECT hs0.* FROM hs0 ANTI JOIN hot USING (a, b))""".stripMargin
 
   // ---------------------------------------------------------------- exact
 
@@ -98,7 +123,23 @@ object LlmDedup {
   /** Modulus of the derived-hash family: largest prime below 2^32. */
   private val P = 4294967291L
 
-  /** Hashed shingle index (doc_id, a, b): one md5 per shingle, split into
+  /** Exact-duplicate representatives (min doc_id per normalized text),
+    * carrying the normalized text: same-text cliques collapse to one
+    * vertex BEFORE any pairwise machinery, so a duplicate-heavy corpus
+    * (the case where dedup matters most) can never feed a k-clique's
+    * O(k²) pairs into the band join. One shuffle keyed on the md5 with
+    * map-side partial agg; all normalized texts in a group are equal by
+    * construction, so MIN(norm) is just "the text". */
+  private def repDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    docs
+      .select(col("doc_id"), normText(col("text")).as("norm"))
+      .groupBy(md5(col("norm")).as("th"))
+      .agg(min(col("doc_id")).as("doc_id"), min(col("norm")).as("norm"))
+  }
+
+  /** Hashed shingle index (doc_id, a, b) over exact-dedup representatives
+    * ([[repDocs]]), df-capped ([[DfCap]]): one md5 per shingle, split into
     * two 32-bit halves. All downstream hashing derives from (a, b) with
     * integer arithmetic — the Kirsch–Mitzenmacher trick: g_i = a + i*b
     * mod P is pairwise-independent enough for minhash, and replaces 32
@@ -109,18 +150,25 @@ object LlmDedup {
     * are ~n²/2^65 — negligible, and the oracle uses the identical
     * identity so the comparison stays exact). */
   private def hashedShingles(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
     // The token array is materialized behind a projection boundary BEFORE
     // the shingle transform: `element_at` inside the lambda would
-    // otherwise re-evaluate the regex split per element (~3 ×
-    // shingle-count re-splits per document — measured 10× slowdown).
-    docs.select(col("doc_id"), toks(col("text")).as("t"))
+    // otherwise re-evaluate the split per element (~3 × shingle-count
+    // re-splits per document — measured 10× slowdown).
+    val hs0 = repDocs(spark, dir)
+      .select(col("doc_id"), split(col("norm"), " ").as("t"))
       .select(col("doc_id"), explode(shingleCol(col("t"))).as("shingle"))
       .select(col("doc_id"), md5(col("shingle")).as("h"))
       .select(col("doc_id"),
         conv(substring(col("h"), 1, 8), 16, 10).cast("long").as("a"),
         conv(substring(col("h"), 9, 8), 16, 10).cast("long").as("b"))
       .distinct()
+    // df cap as an anti-join against the (near-universal, hence few) hot
+    // shingles; no broadcast hint — the hot set's size is data-dependent
+    // (bounded by total-occurrences/DfCap), so AQE decides at runtime.
+    val hot = hs0.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("df")).filter(col("df") > DfCap)
+      .select(col("a"), col("b"))
+    hs0.join(hot, Seq("a", "b"), "left_anti")
       // Consumed by the signature agg, both sides of the verification
       // join, and the size agg; Spark does NOT deduplicate identical
       // non-exchange subtrees (measured: 0 ReusedExchange, the index
@@ -133,7 +181,8 @@ object LlmDedup {
   /** MinHash + LSH near-dup: banded candidate generation (the join key is
     * a band's (m_2b, m_2b+1) signature pair, NEVER a cartesian pair),
     * then exact Jaccard verification restricted to candidates. Output:
-    * near-dup pairs with j >= 0.5. */
+    * near-dup pairs with j >= 0.5 between exact-dedup representatives
+    * (see the object doc for the division-of-labor contract). */
   def minhashNearDup(spark: SparkSession, dir: String): DataFrame = {
     val hs = hashedShingles(spark, dir)
 
@@ -165,9 +214,12 @@ object LlmDedup {
       .select(col("a.doc_id").as("x_id"), col("b.doc_id").as("y_id"))
       .distinct()
 
-    // Exact Jaccard verification: the (small) candidate set is broadcast
-    // against the hashed index; shared shingles join on (a, b).
-    val shared = broadcast(cand)
+    // Exact Jaccard verification: candidates joined back against the
+    // hashed index; shared shingles join on (a, b). No broadcast hint:
+    // the candidate set's size is data-dependent, so AQE broadcasts it
+    // when (and only when) its runtime size allows — a forced broadcast
+    // would OOM exactly when the corpus is collision-heavy.
+    val shared = cand
       .join(hs.as("sa"), col("x_id") === col("sa.doc_id"))
       .join(hs.as("sb"),
         col("y_id") === col("sb.doc_id") &&
@@ -261,9 +313,11 @@ object LlmDedup {
   // ----------------------------------------------------- shingle jaccard
 
   /** Exact n-gram Jaccard similarity join via the inverted shingle index:
-    * candidate pairs are docs sharing >= 1 shingle (keyed join on the
-    * shingle — scales with index selectivity, never cartesian), reported
-    * at j >= 0.05. The exact-recall counterpart to [[minhashNearDup]]. */
+    * candidate pairs are docs sharing >= 1 below-cap shingle (keyed join
+    * on the shingle — scales with index selectivity, never cartesian),
+    * reported at j >= 0.05 between exact-dedup representatives. The
+    * exact-recall counterpart to [[minhashNearDup]] (same index, same
+    * representative collapse, same [[DfCap]]). */
   def shingleJaccard(spark: SparkSession, dir: String): DataFrame = {
     val hs = hashedShingles(spark, dir)
     // One self-join on the hashed shingle identity produces the
@@ -299,28 +353,45 @@ object LlmDedup {
 
   // ----------------------------------------------------- dedup clusters
 
-  /** Connected components over the near-dup pair graph: a pair list is
+  /** Connected components over the full duplicate graph: a pair list is
     * not yet a dedup decision — near-duplication is transitive in
     * practice (A~B, B~C ⇒ keep one of {A,B,C}), so the pipeline's last
     * step clusters the graph and elects min-doc_id as each component's
     * survivor.
     *
-    * Algorithm: min-label propagation — every vertex starts as its own
-    * label; each round takes the min over neighbors' labels; fixpoint =
-    * component minimum (unique, hence deterministic regardless of
-    * iteration count). Each round is one keyed shuffle join + map-side
-    * min; the driver loop carries only the converged-count, never data,
-    * and rounds are O(graph diameter) — the standard large-scale CC
-    * formulation. Near-dup graphs are overwhelmingly tiny cliques/chains
-    * (diameter ≤ ~5), so the loop is short at any corpus size; the
-    * MaxIters cap turns a pathological chain into an error, not an
-    * endless job. */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    * The edge set reunites the two dedup families: near-dup pairs from
+    * [[minhashNearDup]] (between exact-dedup representatives) plus one
+    * star edge rep→member per exact-duplicate group — a same-text clique
+    * of size k contributes k-1 star edges, never the O(k²) pair list, so
+    * full-corpus cluster coverage survives the representative collapse
+    * at linear cost. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val byText = docs.select(
+      md5(normText(col("text"))).as("th"), col("doc_id"))
+    val reps = byText.groupBy(col("th")).agg(min(col("doc_id")).as("rep"))
+    val exactEdges = byText.join(reps, "th")
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("x_id"), col("doc_id").as("y_id"))
     connectedComponents(
-      minhashNearDup(spark, dir).select(col("x_id"), col("y_id")))
+      minhashNearDup(spark, dir).select(col("x_id"), col("y_id"))
+        .unionByName(exactEdges))
+  }
 
-  /** Min-label propagation over an (x_id, y_id) pair graph — see
-    * [[dedupClusters]] for the algorithm and scale notes. */
+  /** Min-label propagation with pointer doubling over an (x_id, y_id)
+    * pair graph.
+    *
+    * Every vertex starts as its own label; each round takes the min over
+    * neighbors' labels AND follows one label indirection (label ←
+    * min(label, label-of-label)); fixpoint = component minimum (unique,
+    * hence deterministic regardless of iteration count). The doubling
+    * join is on the label frame (one row per vertex), not the edge
+    * frame, so it costs a second small keyed shuffle per round and cuts
+    * the round count from O(diameter) to O(log diameter) — at this
+    * round's measured ~0.5-1 s fixed scheduling cost per round, rounds
+    * are the price that matters. The driver loop carries only a
+    * convergence scalar, never data; the MaxIters cap turns a
+    * pathological graph into an error, not an endless job. */
   private[graft] def connectedComponents(pairsIn: DataFrame): DataFrame = {
     val MaxIters = 20
     val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -350,9 +421,19 @@ object LlmDedup {
     var converged = prevSum == null
     var iters = 0
     while (!converged && iters < MaxIters) {
-      val step = edges.join(labels, col("dst") === col("id"))
+      val nbrMin = edges.join(labels, col("dst") === col("id"))
         .groupBy(col("src")).agg(min(col("label")).as("label"))
         .select(col("src").as("id"), col("label"))
+      // Pointer doubling: label values are always vertex ids (labels
+      // start as ids and min-propagation only moves existing ids), and
+      // the self-loop edges put EVERY vertex in nbrMin — so the
+      // label-of-label lookup is an inner self-join that matches every
+      // row. `least` keeps monotone descent, so the label-sum
+      // convergence proof is unchanged.
+      val step = nbrMin.as("s")
+        .join(nbrMin.as("t"), col("s.label") === col("t.id"))
+        .select(col("s.id").as("id"),
+          least(col("s.label"), col("t.label")).as("label"))
         .persist(sl)
       val s = labelSum(step)
       converged = s.compareTo(prevSum) == 0
@@ -372,7 +453,13 @@ object LlmDedup {
   }
 
   val dedupClustersSql: String =
-    s"""WITH RECURSIVE pairs AS (SELECT x_id, y_id FROM ($minhashNearDupSql)),
+    s"""WITH RECURSIVE
+       |ex AS (SELECT md5(${normTextSql()}) AS th, doc_id FROM documents),
+       |exr AS (SELECT th, MIN(doc_id) AS rep FROM ex GROUP BY th),
+       |pairs AS (SELECT x_id, y_id FROM ($minhashNearDupSql)
+       |          UNION ALL
+       |          SELECT exr.rep AS x_id, ex.doc_id AS y_id
+       |          FROM ex JOIN exr USING (th) WHERE ex.doc_id <> exr.rep),
        |e AS (SELECT x_id AS src, y_id AS dst FROM pairs
        |      UNION ALL SELECT y_id, x_id FROM pairs),
        |reach(id, r) AS (

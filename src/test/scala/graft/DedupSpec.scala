@@ -56,6 +56,56 @@ class DedupSpec extends SparkSpec {
       (20L, 20L, true), (21L, 20L, false)))
   }
 
+  /** Write a synthetic documents table (Tables.load layout) to a temp
+    * dir; returns the dir. */
+  private def docsDir(rows: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_docs").toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("synth"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("a 1k-copy duplicate clique collapses before the band join") {
+    // The scale regression guarded here: a same-text clique of size k
+    // used to reach the LSH band join as O(k²) candidate pairs (and the
+    // verification join forced a broadcast of them). With the
+    // representative collapse, the clique contributes ONE vertex to the
+    // pairwise ops and k-1 star edges to the clusters.
+    val clique = (1L to 1000L).map(i => i -> "the quick brown fox jumps over the lazy dog again and again")
+    val near = Seq(
+      2001L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2002L -> "alpha beta gamma delta epsilon zeta eta iota") // j = 5/7
+    val lone = Seq(3001L -> "completely different content about catalyst execution engines")
+    val dir = docsDir(clique ++ near ++ lone)
+
+    val pairs = queries.LlmDedup.minhashNearDup(spark, dir)
+      .select("x_id", "y_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((2001L, 2002L)), "only the cross-text near-dup pair; no intra-clique pairs")
+
+    val clusters = queries.LlmDedup.dedupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(clusters.size === 1002) // 1000 clique members + the near-dup pair
+    (1L to 1000L).foreach(i => assert(clusters(i) === ((1L, i == 1L))))
+    assert(clusters(2001L) === ((2001L, true)) && clusters(2002L) === ((2001L, false)))
+    assert(!clusters.contains(3001L)) // no duplicate of any kind
+  }
+
+  test("document-frequency cap drops boilerplate shingles from the index") {
+    // 300 distinct docs whose ONLY shared shingle is common boilerplate
+    // (df=300 > cap=256): without the cap this is 300²/2 join rows under
+    // one key; with it, no pair survives. A 20-doc control (df=20, under
+    // the cap) proves the same shape still pairs.
+    def corpus(n: Int) = (1 to n).map(i => i.toLong -> s"common shared phrase u$i")
+    val capped = queries.LlmDedup.shingleJaccard(spark, docsDir(corpus(300)))
+    assert(capped.count() === 0L)
+    val control = queries.LlmDedup.shingleJaccard(spark, docsDir(corpus(20)))
+    assert(control.count() === 20L * 19L / 2L) // j = 1/3 >= 0.05 for every pair
+  }
+
   test("simhash: identical docs get identical fingerprints") {
     val fp = LlmDedup.simhash(spark, sf0001).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

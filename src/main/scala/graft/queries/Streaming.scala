@@ -51,6 +51,7 @@ object Streaming {
     val ckpt = s"$scratch/ckpt"
 
     def runOnce(): Unit = {
+      graft.streaming.StateStores.useRocksDB(spark)
       val src = spark.readStream.schema("user_id BIGINT, ts TIMESTAMP").parquet(in)
       val q = Sessionize.sessions(src.as[SessEvent], "1 minute").writeStream
         .format("parquet").option("path", sink)

@@ -44,6 +44,7 @@ object NewsStream {
   /** Run the landing → sink pipeline to completion (AvailableNow). */
   def runOnce(spark: SparkSession, landingDir: String, sinkDir: String,
       checkpointDir: String): Unit = {
+    StateStores.useRocksDB(spark) // bounded-memory dedup state at scale
     val in = spark.readStream
       .schema(newsSchema)
       .json(landingDir)

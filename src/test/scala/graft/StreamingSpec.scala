@@ -256,6 +256,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionization state runs on the RocksDB provider (checkpoint artifacts)") {
+    import spark.implicits._
+    import graft.streaming.{SessEvent, Sessionize, StateStores}
+    val scratch = Fixtures.scratchDir("rocksdb_probe")
+    Seq(
+      SessEvent(1L, ts("2021-03-01 10:00:00")),
+      SessEvent(1L, ts("2021-03-01 12:00:00")),
+      SessEvent(2L, ts("2021-03-01 10:05:00"))).toDS()
+      .write.parquet(s"$scratch/in")
+    StateStores.useRocksDB(spark)
+    val src = spark.readStream.schema("user_id BIGINT, ts TIMESTAMP")
+      .parquet(s"$scratch/in")
+    val q = Sessionize.sessions(src.as[SessEvent], "1 minute").writeStream
+      .format("parquet").option("path", s"$scratch/sink")
+      .option("checkpointLocation", s"$scratch/ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // Prove the provider actually engaged, not just that the conf is
+    // set: RocksDB checkpoints state as per-version .zip/.changelog
+    // artifacts; the HDFS-map provider writes .delta/.snapshot instead.
+    def walk(f: java.io.File): Seq[java.io.File] =
+      Option(f.listFiles).map(_.toSeq.flatMap(walk)).getOrElse(Seq(f))
+    val stateFiles = walk(new java.io.File(s"$scratch/ckpt/state")).map(_.getName)
+    assert(stateFiles.exists(n => n.endsWith(".zip") || n.endsWith(".changelog")),
+      s"no RocksDB artifacts in state dir: $stateFiles")
+    assert(!stateFiles.exists(_.endsWith(".delta")),
+      s"HDFS-provider artifacts present — RocksDB did not engage: $stateFiles")
+  }
+
   test("file-source pipeline is idempotent across re-fires") {
     val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_test_news"
     val landing = graft.Fixtures.newsLanding

@@ -1,7 +1,5 @@
 package graft.ingest
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -39,17 +37,37 @@ object CasesIngest {
     Seq(s"$FixtureDir/contamination_a.csv", s"$FixtureDir/vaccination_b.csv")
   val LookupPath = s"$FixtureDir/geo_lookup.csv"
 
+  /** First 10 kB of `path` through the Hadoop FileSystem API, so any FS
+    * URI Spark itself can scan (bare local path, file://, hdfs://,
+    * s3a:// …) works here too (S1); a glob pattern reads its first
+    * match — the reference sniffs one object per bucket listing the same
+    * way (insert_owid.py:203-214). Bounded: never loads the file. */
+  private def headBytes(path: String): String = {
+    val conf = SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val target = Option(fs.globStatus(p)).filter(_.nonEmpty)
+      .map(_.head.getPath).getOrElse(p)
+    val in = fs.open(target)
+    try {
+      val buf = new Array[Byte](10240)
+      var off = 0
+      var n = 0
+      while (off < buf.length && n >= 0) { // FS reads may return short
+        n = in.read(buf, off, buf.length - off)
+        if (n > 0) off += n
+      }
+      new String(buf, 0, off, "UTF-8")
+    } finally in.close()
+  }
+
   /** S4: sniff the delimiter from the first 10 kB (driver-side, like the
     * reference's clevercsv sniff window) — Spark's CSV reader then gets an
     * explicit dialect. */
   def sniffDelimiter(path: String): String = {
-    val in = Files.newInputStream(Paths.get(path))
-    val head = try {
-      val buf = new Array[Byte](10240) // bounded: never load the whole file
-      val n = math.max(in.read(buf), 0)
-      new String(buf, 0, n, "UTF-8")
-    } finally in.close()
-    val line = head.takeWhile(_ != '\n')
+    val line = headBytes(path).takeWhile(_ != '\n')
     Seq(",", ";", "\t", "|").maxBy(d => line.count(_ == d.head))
   }
 
@@ -87,9 +105,10 @@ object CasesIngest {
   def rejectMalformed(spark: SparkSession, paths: Seq[String]): (Seq[String], Seq[String]) = {
     val required = Seq(dateSyn, locSyn, valSyn)
     paths.partition { p =>
-      val sep = sniffDelimiter(p)
-      val src = scala.io.Source.fromFile(p)
-      val header = try src.getLines().nextOption().getOrElse("") finally src.close()
+      val head = headBytes(p)
+      val sep = Seq(",", ";", "\t", "|")
+        .maxBy(d => head.takeWhile(_ != '\n').count(_ == d.head))
+      val header = head.takeWhile(_ != '\n')
       val cols = header.split(java.util.regex.Pattern.quote(sep)).map(_.trim).toSet
       required.forall(_.exists(cols.contains))
     }

@@ -15,6 +15,20 @@ class IngestGoldenSpec extends SparkSpec {
     assert(CasesIngest.sniffDelimiter(s"${CasesIngest.FixtureDir}/vaccination_b.csv") === ";")
   }
 
+  test("S1: ingestion accepts FS URIs and globs, not just bare local paths") {
+    // Same source through a file:// URI — sniff (Hadoop FS read), scan,
+    // and the full normalize chain must all resolve the URI form.
+    val uriSpec = CasesIngest.specs.head.copy(
+      paths = CasesIngest.specs.head.paths.map("file://" + _))
+    assert(CasesIngest.sniffDelimiter(uriSpec.paths.head) === ",")
+    val viaUri = ingest.SourceSpec.ingest(spark, uriSpec, CasesIngest.geoDim(spark))
+    assert(viaUri.count() ===
+      canon.filter(col("source_index") === "contamination").count())
+    // Glob: sniff reads the first match (the reference sniffs one object
+    // per bucket listing the same way).
+    assert(CasesIngest.sniffDelimiter(s"${CasesIngest.FixtureDir}/contamination_*.csv") === ",")
+  }
+
   test("row counts: invalid rows dropped, valid rows survive") {
     // 10 contamination rows: -World -Atlantis -empty-date = 7; 4 vaccination.
     assert(canon.count() === 11)

@@ -122,6 +122,13 @@ object CasesIngest {
     SourceSpec("vaccination", Seq(s"$FixtureDir/vaccination_b.csv"),
       dateSyn, locSyn, valSyn, popSyn, valueTarget = "vaccinated"))
 
+  /** Fixture source with deliberately-unresolvable locations (Atlantis /
+    * Narnia / Mu), exercised by the [[GeoExtend]] job. Not part of
+    * [[specs]]: [[canonicalCases]] stays the strict pipeline. */
+  val extendSpec: SourceSpec =
+    SourceSpec("contamination_x", Seq(s"$FixtureDir/contamination_x.csv"),
+      dateSyn, locSyn, valSyn, popSyn, valueTarget = "confirmed")
+
   /** The full normalize+enrich pipeline producing the canonical cases
     * schema of SURVEY.md §1.3: every configured source through
     * [[SourceSpec.ingest]], unioned by the shared schema. */

@@ -32,9 +32,12 @@ object SourceSpec {
     if (present.isEmpty) lit(null).cast("string") else coalesce(present: _*)
   }
 
-  /** One spec → canonical cases rows (SURVEY §1.3), joined against the
-    * broadcast geo dim (strict variant: unresolved locations drop). */
-  def ingest(spark: SparkSession, spec: SourceSpec, dim: DataFrame): DataFrame = {
+  /** The normalize front of the pipeline (P1-P4, P7, F1, plus the J3
+    * alias / World poison): everything BEFORE the dim join, as
+    * (date_start, date_end, loc, v, pop, filename). Shared between
+    * [[ingest]] and [[GeoExtend]] — the extension job must see exactly
+    * the loc values the strict join will see, or the two drift. */
+  def normalized(spark: SparkSession, spec: SourceSpec): DataFrame = {
     val raw = spec.paths.map { p =>
       spark.read.option("header", "true")
         .option("sep", CasesIngest.sniffDelimiter(p)).csv(p)
@@ -51,17 +54,22 @@ object SourceSpec {
     val loc = when(col("loc_raw") === "World", lit(null)) // P5 poison
       .when(col("loc_raw") === "EL", lit("Greece")) // J3 alias
       .otherwise(col("loc_raw"))
-    val v = coalesce(expr("try_cast(val_raw AS BIGINT)"), lit(0L)) // P7
-    val pop = expr("try_cast(pop_raw AS BIGINT)")
-    val toVacc = spec.valueTarget == "vaccinated"
 
     norm
       .withColumn("date_start", DateParse.dateStart(col("date_raw")))
       .withColumn("date_end", DateParse.dateEnd(col("date_raw")))
       .withColumn("loc", loc)
-      .withColumn("v", v)
-      .withColumn("pop", pop)
+      .withColumn("v", coalesce(expr("try_cast(val_raw AS BIGINT)"), lit(0L))) // P7
+      .withColumn("pop", expr("try_cast(pop_raw AS BIGINT)"))
       .filter(col("date_start").isNotNull) // F1
+  }
+
+  /** One spec → canonical cases rows (SURVEY §1.3), joined against the
+    * broadcast geo dim (strict variant: unresolved locations drop; the
+    * [[GeoExtend]] job turns those drops into dim extensions). */
+  def ingest(spark: SparkSession, spec: SourceSpec, dim: DataFrame): DataFrame = {
+    val toVacc = spec.valueTarget == "vaccinated"
+    normalized(spark, spec)
       .join(broadcast(dim), col("loc") === dim("name")) // J1 strict
       .select(
         col("date_start"), col("date_end"),

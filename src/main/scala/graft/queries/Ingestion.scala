@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ingest.CasesIngest
+import graft.ingest.{CasesIngest, GeoExtend, GeoResolver, SourceSpec}
 
 /** Correctness queries over the EP1 ingestion pipeline
   * ([[graft.ingest.CasesIngest]]); the DuckDB oracles replicate the whole
@@ -159,15 +159,79 @@ object Ingestion {
        |FROM canon WHERE source_index = 'vaccination'
        |GROUP BY iso_code2""".stripMargin
 
+  /** P5 tail end-to-end: ingest a source whose locations are partly
+    * unknown to the geo dim, with the [[GeoExtend]] dim-extension job in
+    * between — previously-dropped rows (Atlantis, Narnia) resolve on the
+    * re-ingest; names the resolver can't place (Mu) still drop, as does
+    * the World poison. The oracle replays the whole loop in SQL with the
+    * fixture resolver's formula inlined. */
+  def geoExtendIngest(spark: SparkSession, dir: String): DataFrame = {
+    val dim = CasesIngest.geoDim(spark)
+    val ext = GeoExtend.extension(
+      spark, Seq(CasesIngest.extendSpec), dim, GeoResolver.Fixture)
+    SourceSpec.ingest(spark, CasesIngest.extendSpec, GeoExtend.extendedDim(dim, ext))
+      .select(
+        col("location_name"), col("iso_code2"),
+        col("location.lat").as("lat"), col("location.lon").as("lon"),
+        date_format(col("date_start"), "yyyy-MM-dd").as("date_start"),
+        col("confirmed"))
+  }
+
+  val geoExtendSql: String = {
+    val x = s"${CasesIngest.FixtureDir}/contamination_x.csv"
+    s"""WITH rawx AS (
+       |  SELECT * FROM read_csv('$x', delim=',', header=true, all_varchar=true)),
+       |normx AS (SELECT
+       |    nullif(trim(dateRep),'') AS date_raw,
+       |    nullif(trim(countriesAndTerritories),'') AS loc_raw,
+       |    nullif(trim(cases),'') AS val_raw
+       |  FROM rawx),
+       |dx AS (SELECT
+       |    CASE WHEN loc_raw='World' THEN NULL
+       |         WHEN loc_raw='EL' THEN 'Greece' ELSE loc_raw END AS loc,
+       |    strptime(replace(date_raw,'/','-'), '%Y-%m-%d')::DATE AS date_start,
+       |    COALESCE(TRY_CAST(val_raw AS BIGINT), 0) AS v
+       |  FROM normx),
+       |lk0 AS (SELECT * FROM read_csv('${CasesIngest.LookupPath}', header=true, all_varchar=true)),
+       |melt AS (
+       |  SELECT nullif(trim(Province_State),'') AS name, TRY_CAST(UID AS BIGINT) AS uid,
+       |         iso2, TRY_CAST(Lat AS DOUBLE) AS lat, TRY_CAST(Long_ AS DOUBLE) AS lon FROM lk0
+       |  UNION ALL
+       |  SELECT nullif(trim(Country_Region),''), TRY_CAST(UID AS BIGINT),
+       |         iso2, TRY_CAST(Lat AS DOUBLE), TRY_CAST(Long_ AS DOUBLE) FROM lk0
+       |  UNION ALL
+       |  SELECT nullif(trim(Combined_Key),''), TRY_CAST(UID AS BIGINT),
+       |         iso2, TRY_CAST(Lat AS DOUBLE), TRY_CAST(Long_ AS DOUBLE) FROM lk0),
+       |dim AS (SELECT * FROM melt
+       |        WHERE name IS NOT NULL AND lat IS NOT NULL AND lon IS NOT NULL
+       |        QUALIFY row_number() OVER (PARTITION BY name ORDER BY uid ASC) = 1),
+       |unres AS (SELECT DISTINCT loc FROM dx
+       |          WHERE loc IS NOT NULL AND loc NOT IN (SELECT name FROM dim)),
+       |ext AS (SELECT loc AS name, upper(substr(loc,1,2)) AS iso2,
+       |               CAST(length(loc) AS DOUBLE) AS lat,
+       |               CAST(ascii(substr(loc,1,1)) AS DOUBLE) AS lon
+       |        FROM unres WHERE length(loc) > 3),
+       |dim2 AS (SELECT name, iso2, lat, lon FROM dim
+       |         UNION ALL SELECT name, iso2, lat, lon FROM ext)
+       |SELECT dim2.name AS location_name, dim2.iso2 AS iso_code2,
+       |  dim2.lat, dim2.lon,
+       |  strftime(dx.date_start, '%Y-%m-%d') AS date_start,
+       |  dx.v AS confirmed
+       |FROM dx JOIN dim2 ON dx.loc = dim2.name
+       |WHERE dx.date_start IS NOT NULL""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ing_cases_norm" -> (casesNorm _),
     "ing_cases_by_country" -> (casesByCountry _),
     "ing_lake_roundtrip" -> (lakeRoundtrip _),
-    "ing_lake_pruned" -> (lakePruned _))
+    "ing_lake_pruned" -> (lakePruned _),
+    "ing_geo_extend" -> (geoExtendIngest _))
 
   val oracles: Map[String, String] = Map(
     "ing_cases_norm" -> casesNormSql,
     "ing_cases_by_country" -> casesByCountrySql,
     "ing_lake_roundtrip" -> lakeRoundtripSql,
-    "ing_lake_pruned" -> lakePrunedSql)
+    "ing_lake_pruned" -> lakePrunedSql,
+    "ing_geo_extend" -> geoExtendSql)
 }

@@ -555,8 +555,33 @@ object Relational {
       |  ON CAST(o.o_orderdate AS DATE) BETWEEN p.p_start AND p.p_end
       |GROUP BY p.promo_id""".stripMargin
 
+  /** Skew-salted join ([[graft.operators.Salting]]): lineitem ⋈ supplier
+    * on suppkey with an 8-way salt on the fact side, then grouped
+    * revenue. The salt never reaches the result, so the oracle is the
+    * PLAIN join SQL — the correctness row proves row-equivalence of the
+    * salted plan, which is the whole contract of the operator. */
+  def saltedJoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.load(spark, dir, "lineitem")
+      .select($"l_suppkey".as("suppkey"), $"l_extendedprice", $"l_discount")
+    val sup = Tables.load(spark, dir, "supplier")
+      .select($"s_suppkey".as("suppkey"), $"s_nationkey")
+    graft.operators.Salting.saltedJoin(li, sup, "suppkey", 8)
+      .groupBy($"s_nationkey")
+      .agg(count(lit(1)).as("n_items"),
+        sum($"l_extendedprice".cast(dec) * (lit(1).cast(dec) - $"l_discount".cast(dec)))
+          .cast("double").as("revenue"))
+  }
+
+  val saltedJoinAggSql: String =
+    """SELECT s_nationkey, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_nationkey""".stripMargin
+
   /** All (name -> impl) pairs in this module. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_salted_join" -> (saltedJoinAgg _),
     "rel_range_join" -> (rangeJoin _),
     "rel_pricing_summary" -> (pricingSummary _),
     "rel_filter_scan" -> (filterScan _),
@@ -583,6 +608,7 @@ object Relational {
     "rel_regex_extract" -> (regexExtract _))
 
   val oracles: Map[String, String] = Map(
+    "rel_salted_join" -> saltedJoinAggSql,
     "rel_range_join" -> rangeJoinSql,
     "rel_pricing_summary" -> pricingSummarySql,
     "rel_filter_scan" -> filterScanSql,

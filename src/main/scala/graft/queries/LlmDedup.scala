@@ -162,13 +162,20 @@ object LlmDedup {
         conv(substring(col("h"), 1, 8), 16, 10).cast("long").as("a"),
         conv(substring(col("h"), 9, 8), 16, 10).cast("long").as("b"))
       .distinct()
-    // df cap as an anti-join against the (near-universal, hence few) hot
-    // shingles; no broadcast hint — the hot set's size is data-dependent
-    // (bounded by total-occurrences/DfCap), so AQE decides at runtime.
-    val hot = hs0.groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("df")).filter(col("df") > DfCap)
-      .select(col("a"), col("b"))
-    hs0.join(hot, Seq("a", "b"), "left_anti")
+    // df cap in ONE pass: a count window over the (a, b) partition,
+    // filter df <= cap. vs the agg + anti-join alternative this saves a
+    // second full computation/shuffle of the index, and it leaves the
+    // result hash-partitioned by (a, b) — the exact partitioning the
+    // downstream same-shingle self-joins key on, so the cache feeds them
+    // exchange-free. Skew-safe: a partition holds at most
+    // (distinct shingles in it) × max-df rows post-filter, and the hot
+    // keys the window counts are bounded by corpus-size/1 occurrences
+    // spread over the hash space.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("a"), col("b"))
+    hs0
+      .withColumn("df", count(lit(1)).over(w))
+      .filter(col("df") <= DfCap)
+      .drop("df")
       // Consumed by the signature agg, both sides of the verification
       // join, and the size agg; Spark does NOT deduplicate identical
       // non-exchange subtrees (measured: 0 ReusedExchange, the index
@@ -193,11 +200,12 @@ object LlmDedup {
       min((col("a") + lit(i.toLong) * col("b")) % P).as(s"m$i")) :+
       count(lit(1)).as("n")
     // The signature agg feeds four consumers (both band-join sides, both
-    // size lookups) and recomputes per consumer — deliberately NOT
-    // persisted: it reads the already-cached index and aggregates
-    // one-row-per-doc, and measured, the cache write + job boundary of a
-    // persist costs more than the three recomputes.
+    // size lookups) and Spark recomputes per consumer, so persist the
+    // one-row-per-doc frame (re-measured after the index cache became
+    // (a, b)-partitioned: each recompute now pays a full doc_id reshuffle
+    // of the index, which flipped the r3 "recompute beats persist" call).
     val mh = hs.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // A band's identity IS its two signature values — no band hash
     // needed; the self-join keys on (band, k1, k2).
@@ -378,22 +386,24 @@ object LlmDedup {
         .unionByName(exactEdges))
   }
 
-  /** Min-label propagation with pointer doubling over an (x_id, y_id)
-    * pair graph.
+  /** Min-label propagation over an (x_id, y_id) pair graph, with
+    * adaptive pointer doubling.
     *
     * Every vertex starts as its own label; each round takes the min over
-    * neighbors' labels AND follows one label indirection (label ←
-    * min(label, label-of-label)); fixpoint = component minimum (unique,
-    * hence deterministic regardless of iteration count). The doubling
-    * join is on the label frame (one row per vertex), not the edge
-    * frame, so it costs a second small keyed shuffle per round and cuts
-    * the round count from O(diameter) to O(log diameter) — at this
-    * round's measured ~0.5-1 s fixed scheduling cost per round, rounds
-    * are the price that matters. The driver loop carries only a
-    * convergence scalar, never data; the MaxIters cap turns a
-    * pathological graph into an error, not an endless job. */
+    * neighbors' labels; fixpoint = component minimum (unique, hence
+    * deterministic regardless of iteration count). Rounds are dominated
+    * by fixed per-round cost (plan + broadcast + scheduling — measured
+    * ~1 s at any small scale), so the loop starts with the cheapest
+    * possible round (ONE join + ONE agg) and only adds the doubling
+    * self-join once a high-diameter graph proves it needs it
+    * (EscalateAfter), putting the worst case at O(log diameter) rounds
+    * without taxing the dense-clique common case. The driver loop
+    * carries only a convergence scalar, never data; the MaxIters cap
+    * turns a pathological graph into an error, not an endless job. */
   private[graft] def connectedComponents(pairsIn: DataFrame): DataFrame = {
     val MaxIters = 20
+    val EscalateAfter = 4
+    val scratch = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val pairs = pairsIn.persist(sl)
     val verts = pairs.select(explode(array(col("x_id"), col("y_id"))).as("id"))
@@ -420,28 +430,55 @@ object LlmDedup {
     // empty labels frame is already the fixpoint.
     var converged = prevSum == null
     var iters = 0
-    while (!converged && iters < MaxIters) {
-      val nbrMin = edges.join(labels, col("dst") === col("id"))
-        .groupBy(col("src")).agg(min(col("label")).as("label"))
-        .select(col("src").as("id"), col("label"))
-      // Pointer doubling: label values are always vertex ids (labels
-      // start as ids and min-propagation only moves existing ids), and
-      // the self-loop edges put EVERY vertex in nbrMin — so the
-      // label-of-label lookup is an inner self-join that matches every
-      // row. `least` keeps monotone descent, so the label-sum
-      // convergence proof is unchanged.
-      val step = nbrMin.as("s")
-        .join(nbrMin.as("t"), col("s.label") === col("t.id"))
-        .select(col("s.id").as("id"),
-          least(col("s.label"), col("t.label")).as("label"))
-        .persist(sl)
-      val s = labelSum(step)
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
-      labels.unpersist()
-      labels = step
-      iters += 1
-    }
+    // AQE off for the loop only: every round re-plans the same tiny
+    // vertex-sized query, and AQE's per-stage re-optimization (stage
+    // materialization barriers + re-planning) is pure fixed cost here —
+    // the loop's inputs are all cached with known sizes, so the static
+    // planner already picks the right join strategy (broadcast when the
+    // label frame is small, sort-merge when it isn't).
+    val spark = pairsIn.sparkSession
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      while (!converged && iters < MaxIters) {
+        // One propagation hop: label ← min over neighbors' labels (the
+        // self-loop edges fold "keep your own" into the same min).
+        val nbrMin = edges.join(labels, col("dst") === col("id"))
+          .groupBy(col("src")).agg(min(col("label")).as("label"))
+          .select(col("src").as("id"), col("label"))
+        // Dedup graphs are dense near-cliques in practice (diameter 2-4),
+        // so the common case converges in a few 1-join rounds. A long
+        // CHAIN of near-dups would need O(diameter) such rounds — if the
+        // graph hasn't converged after EscalateAfter rounds, each further
+        // round also follows one label indirection (pointer doubling:
+        // label ← min(label, label-of-label)), making the remaining
+        // round count O(log diameter). The doubling join is valid
+        // because labels are always vertex ids and the self-loops put
+        // every vertex in nbrMin; `least` keeps monotone descent, so the
+        // label-sum convergence proof is unchanged. nbrMin is persisted
+        // first: Spark never reuses identical unexchanged subtrees, so an
+        // unpersisted self-join would compute the propagation (and
+        // everything under it) twice.
+        val step =
+          if (iters < EscalateAfter) nbrMin.persist(sl)
+          else {
+            val nm = nbrMin.persist(sl)
+            scratch += nm
+            nm.as("s").join(nm.as("t"), col("s.label") === col("t.id"))
+              .select(col("s.id").as("id"),
+                least(col("s.label"), col("t.label")).as("label"))
+              .persist(sl)
+          }
+        val s = labelSum(step)
+        converged = s.compareTo(prevSum) == 0
+        prevSum = s
+        labels.unpersist()
+        scratch.foreach(_.unpersist())
+        scratch.clear()
+        labels = step
+        iters += 1
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
     require(converged, s"dedup clustering did not converge in $MaxIters rounds")
     // The converged labels are cached; drop the working sets (the result
     // recomputes through lineage if its own cache block is ever evicted).

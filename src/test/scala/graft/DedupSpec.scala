@@ -56,6 +56,17 @@ class DedupSpec extends SparkSpec {
       (20L, 20L, true), (21L, 20L, false)))
   }
 
+  test("a 60-vertex chain converges via the doubling escalation") {
+    import spark.implicits._
+    // Diameter 59: plain 1-hop propagation needs 59 rounds — far past
+    // the MaxIters=20 cap — so this converges (in ~4 + log2(59) rounds)
+    // only because the loop escalates to pointer doubling.
+    val pairs = (1L until 60L).map(i => (i, i + 1)).toDF("x_id", "y_id")
+    val got = LlmDedup.connectedComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got === (1L to 60L).map(i => (i, 1L, i == 1L)).toSet)
+  }
+
   /** Write a synthetic documents table (Tables.load layout) to a temp
     * dir; returns the dir. */
   private def docsDir(rows: Seq[(Long, String)]): String = {

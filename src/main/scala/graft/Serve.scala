@@ -1,0 +1,134 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Thin interactive serving layer — the Spark-side stand-in for the
+  * reference's Kibana dashboards + React search app (news_app/app/app/
+  * src/SearchUI.js:6-33 issues ES best-fields queries with pagination;
+  * README.md:22-28 describes the dashboard panels). The reference serves
+  * from Elasticsearch; here the SAME lake parquet answers directly from a
+  * long-lived SparkSession, so there is no second copy of the data to
+  * keep in sync.
+  *
+  * Endpoints (JSON over HTTP, JDK HttpServer — no extra dependencies):
+  *   - `GET /tables`                       registered table names
+  *   - `GET /sql?q=<sql>&limit=N`          ad-hoc Spark SQL over the lake
+  *   - `GET /search?q=<terms>&page=P&size=N` best-fields doc search
+  *     (the F6 EP3 shape, [[graft.queries.TextAnalysis.search]])
+  *   - `GET /query/<name>`                 any catalog query by name
+  *
+  * Serving, not analytics: every response is `limit`-bounded before
+  * `collect()` (default 100, cap 10k), so a fat-fingered `SELECT *` over
+  * 100 TB returns a page, not the lake. The SparkSession itself is
+  * thread-safe; queries from concurrent requests just become concurrent
+  * Spark jobs (FAIR scheduling would be the one-line next step at real
+  * multi-user load).
+  */
+object Serve {
+
+  private val MaxLimit = 10000
+
+  /** One DataFrame → one JSON payload: `{"columns":[...],"n":K,
+    * "rows":[{...}]}`. Rows render via Spark's own `toJSON` (schema-aware,
+    * handles nested structs/arrays/timestamps), so this stays a dumb
+    * bounded collect. */
+  def render(df: DataFrame, limit: Int): String = {
+    val n = math.min(math.max(limit, 1), MaxLimit)
+    val rows = df.limit(n).toJSON.collect()
+    val cols = df.columns.map(c => "\"" + c.replace("\"", "\\\"") + "\"")
+    s"""{"columns":[${cols.mkString(",")}],"n":${rows.length},"rows":[${rows.mkString(",")}]}"""
+  }
+
+  /** Register the lake tables of `dir` as temp views so `/sql` sees them
+    * by name. Views are lazy — nothing is scanned until a query runs. */
+  def registerTables(spark: SparkSession, dir: String): Seq[String] =
+    Tables.names.map { t => Tables.load(spark, dir, t).createOrReplaceTempView(t); t }
+
+  /** Start the server (port 0 = ephemeral; read the bound port off the
+    * return). Split from [[main]] so tests can drive a live instance. */
+  def start(spark: SparkSession, dir: String, port: Int): HttpServer = {
+    val tables = registerTables(spark, dir)
+    val server = HttpServer.create(new InetSocketAddress(port), 0)
+
+    def params(ex: HttpExchange): Map[String, String] =
+      Option(ex.getRequestURI.getRawQuery).getOrElse("").split("&").toSeq
+        .filter(_.contains("=")).map { kv =>
+          val Array(k, v) = kv.split("=", 2)
+          k -> java.net.URLDecoder.decode(v, UTF_8)
+        }.toMap
+
+    def reply(ex: HttpExchange, code: Int, body: String): Unit = {
+      val bytes = body.getBytes(UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(code, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    }
+
+    def handle(ex: HttpExchange)(f: => (Int, String)): Unit =
+      try { val (code, body) = f; reply(ex, code, body) }
+      catch { case e: Exception =>
+        reply(ex, 400, s"""{"error":${jstr(e.toString.take(500))}}""")
+      }
+
+    server.createContext("/tables", (ex: HttpExchange) => handle(ex) {
+      (200, s"""{"tables":[${tables.map(jstr).mkString(",")}]}""")
+    })
+
+    server.createContext("/sql", (ex: HttpExchange) => handle(ex) {
+      val p = params(ex)
+      p.get("q") match {
+        case Some(sql) => (200, render(spark.sql(sql), p.getOrElse("limit", "100").toInt))
+        case None => (400, """{"error":"missing q parameter"}""")
+      }
+    })
+
+    server.createContext("/search", (ex: HttpExchange) => handle(ex) {
+      val p = params(ex)
+      val terms = p.getOrElse("q", "").trim.split("\\s+").toSeq.filter(_.nonEmpty)
+      if (terms.isEmpty) (400, """{"error":"missing q parameter"}""")
+      else {
+        val page = p.getOrElse("page", "1").toInt
+        val size = p.getOrElse("size", "10").toInt
+        (200, render(graft.queries.TextAnalysis.search(spark, dir, terms, page, size), size))
+      }
+    })
+
+    server.createContext("/query/", (ex: HttpExchange) => handle(ex) {
+      val name = ex.getRequestURI.getPath.stripPrefix("/query/")
+      SparkEntry.queries.get(name) match {
+        case Some(fn) =>
+          (200, render(fn(spark, dir), params(ex).getOrElse("limit", "100").toInt))
+        case None => (404, s"""{"error":"unknown query ${name.take(100)}"}""")
+      }
+    })
+
+    server.start()
+    server
+  }
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val port = args.lift(1).map(_.toInt).getOrElse(8080)
+    val spark = Tables.session("graft-serve")
+    spark.sparkContext.setLogLevel("WARN")
+    val server = start(spark, dir, port)
+    println(s"graft.Serve listening on port ${server.getAddress.getPort} over $dir")
+    Thread.currentThread.join() // serve until killed
+  }
+}

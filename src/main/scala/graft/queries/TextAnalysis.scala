@@ -40,22 +40,31 @@ object TextAnalysis {
     * 8 (ranks 9..16). The unchanged DuckDB oracle (list-filter form)
     * independently proves the expression equivalent to the composed
     * higher-order-function version it replaced. */
-  def searchTopk(spark: SparkSession, dir: String): DataFrame = {
+  def searchTopk(spark: SparkSession, dir: String): DataFrame =
+    search(spark, dir, Seq("spark", "join", "src3"), page = 2, pageSize = 8)
+
+  /** The parameterized form behind [[searchTopk]] (and the `/search`
+    * endpoint of [[graft.Serve]]): arbitrary query terms, 1-based page. */
+  def search(spark: SparkSession, dir: String, terms: Seq[String],
+      page: Int, pageSize: Int): DataFrame = {
+    require(terms.nonEmpty && page >= 1 && pageSize >= 1,
+      s"search needs >=1 term, page>=1, pageSize>=1 (got $terms, $page, $pageSize)")
     graft.functions.GraftFunctions.register(spark)
     val docs = Tables.load(spark, dir, "documents")
-    val qtoks = array(lit("spark"), lit("join"), lit("src3"))
-    val sText = call_function("token_overlap", col("text"), lit("spark join src3"))
+    val qtoks = array(terms.map(lit): _*)
+    val sText = call_function("token_overlap", col("text"), lit(terms.mkString(" ")))
     val sSource = size(filter(qtoks, q => q === col("source"))).cast("long")
     // Global ranking window, bounded at any scale: Spark 4.x rewrites
-    // `rank <= 16` into TakeOrderedAndProject(limit=16) — per-partition
-    // top-16 then ONE 16-row merge — so the single-partition window sees
-    // at most 16 rows, never the corpus (PlanInvariantSpec asserts the
+    // `rank <= hi` into TakeOrderedAndProject(limit=hi) — per-partition
+    // top-hi then ONE hi-row merge — so the single-partition window sees
+    // at most hi rows, never the corpus (PlanInvariantSpec asserts the
     // pre-limit node stays in the plan).
     val w = Window.orderBy(col("score").desc, col("doc_id").asc)
+    val (lo, hi) = ((page - 1) * pageSize + 1, page * pageSize)
     docs.select(col("doc_id"), greatest(sText, sSource).as("score"))
       .filter(col("score") >= 1)
       .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") >= 9 && col("rank") <= 16)
+      .filter(col("rank") >= lo && col("rank") <= hi)
   }
 
   val searchTopkSql: String =

@@ -1,0 +1,63 @@
+package graft
+
+import java.net.{HttpURLConnection, URI}
+import scala.io.Source
+
+/** Live-instance test of the [[Serve]] HTTP layer (EP3 equivalent): an
+  * ephemeral-port server over sf0.001, driven with real HTTP requests.
+  */
+class ServeSpec extends SparkSpec {
+
+  private lazy val server = Serve.start(spark, sf0001, port = 0)
+  private def get(path: String): (Int, String) = {
+    val url = new URI(s"http://127.0.0.1:${server.getAddress.getPort}$path").toURL
+    val conn = url.openConnection().asInstanceOf[HttpURLConnection]
+    val code = conn.getResponseCode
+    val in = if (code < 400) conn.getInputStream else conn.getErrorStream
+    val body = Source.fromInputStream(in, "UTF-8").mkString
+    in.close()
+    (code, body)
+  }
+
+  test("/tables lists the registered lake tables") {
+    val (code, body) = get("/tables")
+    assert(code === 200)
+    Tables.names.foreach(t => assert(body.contains("\"" + t + "\"")))
+  }
+
+  test("/sql answers ad-hoc SQL over the registered views") {
+    val (code, body) = get("/sql?q=" + java.net.URLEncoder.encode(
+      "SELECT n_name FROM nation WHERE n_nationkey = 0", "UTF-8"))
+    assert(code === 200)
+    assert(body.contains("\"NATION_0\""))
+    assert(body.contains("\"n\":1"))
+  }
+
+  test("/sql bounds the response: limit caps rows before collect") {
+    val (code, body) = get("/sql?q=" + java.net.URLEncoder.encode(
+      "SELECT l_orderkey FROM lineitem", "UTF-8") + "&limit=3")
+    assert(code === 200)
+    assert(body.contains("\"n\":3"))
+  }
+
+  test("/search runs the paginated best-fields query") {
+    val (code, body) = get("/search?q=spark+join&page=1&size=5")
+    assert(code === 200)
+    assert(body.contains("\"doc_id\"") && body.contains("\"score\""))
+    // page 1 holds ranks 1..5
+    assert(body.contains("\"rank\":1"))
+  }
+
+  test("/query/<name> serves any catalog entry; unknown names 404") {
+    val (code, body) = get("/query/rel_pricing_summary")
+    assert(code === 200 && body.contains("\"l_returnflag\""))
+    val (missing, err) = get("/query/does_not_exist")
+    assert(missing === 404 && err.contains("unknown query"))
+  }
+
+  test("malformed SQL returns a JSON error, not a hung connection") {
+    val (code, body) = get("/sql?q=" + java.net.URLEncoder.encode(
+      "SELECT FROM WHERE", "UTF-8"))
+    assert(code === 400 && body.contains("\"error\""))
+  }
+}

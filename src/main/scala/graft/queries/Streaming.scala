@@ -52,14 +52,16 @@ object Streaming {
 
     def runOnce(): Unit = {
       graft.streaming.StateStores.useRocksDB(spark)
-      val src = spark.readStream.schema("user_id BIGINT, ts TIMESTAMP").parquet(in)
-      val q = Sessionize.sessions(src.as[SessEvent], "1 minute").writeStream
-        .format("parquet").option("path", sink)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      graft.streaming.StateStores.withStatePartitions(spark) {
+        val src = spark.readStream.schema("user_id BIGINT, ts TIMESTAMP").parquet(in)
+        val q = Sessionize.sessions(src.as[SessEvent], "1 minute").writeStream
+          .format("parquet").option("path", sink)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
     }
 
     val ev = graft.Tables.load(spark, dir, "events").select(col("user_id"), col("ts"))

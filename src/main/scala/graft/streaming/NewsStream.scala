@@ -52,13 +52,15 @@ object NewsStream {
       .filter(col("title").isNotNull) // F4: skip empty crawl results
       .withWatermark("date", "7 days") // T3
       .dropDuplicates("link", "date")
-    val q = deduped.writeStream
-      .format("parquet")
-      .option("path", sinkDir)
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    StateStores.withStatePartitions(spark) {
+      val q = deduped.writeStream
+        .format("parquet")
+        .option("path", sinkDir)
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
   }
 
   /** T2 as an INCREMENTAL upsert (foreachBatch merge-by-key) instead of

@@ -25,4 +25,24 @@ object StateStores {
     * RocksDB-backed state. Idempotent. */
   def useRocksDB(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDBProvider)
+
+  /** Run `body` (a streaming query lifecycle) with the state-partition
+    * width set to `graft.stream.statePartitions` (default 8) instead of
+    * the session's scan-oriented `spark.sql.shuffle.partitions`.
+    *
+    * A streaming query's stateful-operator partition count is locked in
+    * from `spark.sql.shuffle.partitions` at the FIRST micro-batch and
+    * carried in the checkpoint forever after — and every micro-batch
+    * pays a fixed per-partition cost (state store open/commit/snapshot;
+    * with RocksDB, an instance each), regardless of data. That width
+    * should track the state keyspace and ingest throughput, NOT the
+    * core count a batch scan wants: a deployment ingesting 100 TB/day
+    * raises the conf; micro-batches over a few thousand keys do not
+    * want 32+ mostly-empty RocksDB instances per operator. */
+  def withStatePartitions[T](spark: SparkSession)(body: => T): T = {
+    val n = spark.conf.getOption("graft.stream.statePartitions").getOrElse("8")
+    val was = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n)
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", was)
+  }
 }

@@ -1,10 +1,14 @@
 package graft
 
-import java.net.InetSocketAddress
+import java.net.{InetAddress, InetSocketAddress}
 import java.nio.charset.StandardCharsets.UTF_8
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.expressions.PlanExpression
+import org.apache.spark.sql.catalyst.plans.logical.{Command, InsertIntoDir, InsertIntoStatement, LogicalPlan, UnresolvedWith}
+import org.apache.spark.sql.graft.PlanShim
 
 /** Thin interactive serving layer — the Spark-side stand-in for the
   * reference's Kibana dashboards + React search app (news_app/app/app/
@@ -26,7 +30,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * 100 TB returns a page, not the lake. The SparkSession itself is
   * thread-safe; queries from concurrent requests just become concurrent
   * Spark jobs (FAIR scheduling would be the one-line next step at real
-  * multi-user load).
+  * multi-user load) — and catalog operators that need a temporary conf
+  * run on conf-isolated session clones ([[Sessions.confIsolated]]), so
+  * concurrent requests cannot race each other's configuration.
+  *
+  * Exposure: Spark SQL is NOT a sandbox — an unrestricted statement can
+  * read any host file (``SELECT * FROM parquet.`/any/path` ``), write
+  * directories (`INSERT OVERWRITE DIRECTORY`), and mutate session state
+  * (`SET`). Two layers close that: the server binds the loopback
+  * interface unless `--bind-all` is passed explicitly, and `/sql`
+  * accepts only pure queries over the registered views — the parsed
+  * plan is rejected if it contains any command/write node or any
+  * multipart (catalog- or path-qualified) relation ([[guardSql]]).
   */
 object Serve {
 
@@ -39,8 +54,42 @@ object Serve {
   def render(df: DataFrame, limit: Int): String = {
     val n = math.min(math.max(limit, 1), MaxLimit)
     val rows = df.limit(n).toJSON.collect()
-    val cols = df.columns.map(c => "\"" + c.replace("\"", "\\\"") + "\"")
+    val cols = df.columns.map(jstr)
     s"""{"columns":[${cols.mkString(",")}],"n":${rows.length},"rows":[${rows.mkString(",")}]}"""
+  }
+
+  /** Allowlist guard for `/sql`: only a pure query may run. The parsed
+    * (unexecuted) plan — including subqueries — must contain no command
+    * node (`SET`, DDL, `CACHE`, ...), no insert, and no multipart
+    * relation: single-part names can only hit the registered temp views,
+    * while a multipart name is a catalog table or a datasource path
+    * (``parquet.`/any/path` ``) — the host-file-read door a "read-only"
+    * check alone leaves open. Throws `IllegalArgumentException` (→ 400)
+    * with the offending node kind. */
+  private[graft] def guardSql(spark: SparkSession, sql: String): Unit = {
+    // Explicit recursion (not collectWithSubqueries): CTE definitions in
+    // UnresolvedWith live in a field, not in `children`, so a generic
+    // tree walk would skip exactly the place an attacker would hide a
+    // path relation (`WITH x AS (SELECT * FROM csv.`/etc/...`) ...`).
+    def offenders(p: LogicalPlan): Seq[String] = {
+      val here = p match {
+        case c: Command => Seq(s"command ${c.getClass.getSimpleName}")
+        case _: InsertIntoStatement => Seq("INSERT")
+        case _: InsertIntoDir => Seq("INSERT OVERWRITE DIRECTORY")
+        case r: UnresolvedRelation if r.multipartIdentifier.length > 1 =>
+          Seq(s"non-view relation ${r.multipartIdentifier.mkString(".")}")
+        case _ => Nil
+      }
+      val nested = p.children ++
+        (p match { case w: UnresolvedWith => w.cteRelations.map(_._2); case _ => Nil }) ++
+        p.expressions.flatMap(_.collect {
+          case pe: PlanExpression[_] => pe.plan match { case lp: LogicalPlan => lp }
+        })
+      here ++ nested.flatMap(offenders)
+    }
+    val offending = offenders(PlanShim.parsePlan(spark, sql))
+    require(offending.isEmpty,
+      s"rejected: /sql accepts read-only queries over registered views; found ${offending.head}")
   }
 
   /** Register the lake tables of `dir` as temp views so `/sql` sees them
@@ -49,10 +98,16 @@ object Serve {
     Tables.names.map { t => Tables.load(spark, dir, t).createOrReplaceTempView(t); t }
 
   /** Start the server (port 0 = ephemeral; read the bound port off the
-    * return). Split from [[main]] so tests can drive a live instance. */
-  def start(spark: SparkSession, dir: String, port: Int): HttpServer = {
+    * return). Binds loopback only unless `bindAll` — exposing a SQL
+    * endpoint beyond localhost is an explicit operator decision. Split
+    * from [[main]] so tests can drive a live instance. */
+  def start(spark: SparkSession, dir: String, port: Int,
+      bindAll: Boolean = false): HttpServer = {
     val tables = registerTables(spark, dir)
-    val server = HttpServer.create(new InetSocketAddress(port), 0)
+    val addr =
+      if (bindAll) new InetSocketAddress(port)
+      else new InetSocketAddress(InetAddress.getLoopbackAddress, port)
+    val server = HttpServer.create(addr, 0)
 
     def params(ex: HttpExchange): Map[String, String] =
       Option(ex.getRequestURI.getRawQuery).getOrElse("").split("&").toSeq
@@ -82,7 +137,9 @@ object Serve {
     server.createContext("/sql", (ex: HttpExchange) => handle(ex) {
       val p = params(ex)
       p.get("q") match {
-        case Some(sql) => (200, render(spark.sql(sql), p.getOrElse("limit", "100").toInt))
+        case Some(sql) =>
+          guardSql(spark, sql)
+          (200, render(spark.sql(sql), p.getOrElse("limit", "100").toInt))
         case None => (400, """{"error":"missing q parameter"}""")
       }
     })
@@ -123,12 +180,14 @@ object Serve {
     } + "\""
 
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val port = args.lift(1).map(_.toInt).getOrElse(8080)
+    val bindAll = args.contains("--bind-all")
+    val pos = args.filterNot(_.startsWith("--"))
+    val dir = pos.headOption.getOrElse("/root/testdata/sf0.001")
+    val port = pos.lift(1).map(_.toInt).getOrElse(8080)
     val spark = Tables.session("graft-serve")
     spark.sparkContext.setLogLevel("WARN")
-    val server = start(spark, dir, port)
-    println(s"graft.Serve listening on port ${server.getAddress.getPort} over $dir")
+    val server = start(spark, dir, port, bindAll)
+    println(s"graft.Serve listening on ${server.getAddress} over $dir")
     Thread.currentThread.join() // serve until killed
   }
 }

@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Conf isolation for operators that must mutate session configuration.
+  *
+  * `SQLConf` is per-session while the `SparkContext`, cache manager and
+  * catalog data are shared across sessions — so an operator that needs a
+  * temporary conf (AQE off for an iterative loop, a narrower
+  * `shuffle.partitions` for streaming state) must NOT toggle it on the
+  * caller's session: with a concurrent serving layer ([[Serve]]) two
+  * overlapping set/restore windows race (the second request captures the
+  * first's override as its "restore" value and leaves it stuck), and the
+  * toggle silently re-plans unrelated concurrent queries. Running the
+  * section on a cloned session makes the conf change invisible outside.
+  */
+object Sessions {
+
+  /** Run `body` against a clone of `spark`: same SparkContext, shared
+    * cache (a `persist` in the clone is visible to the parent's planner
+    * and vice versa), but an isolated SQLConf pre-seeded from the
+    * parent's current runtime conf, so `body` may set confs freely
+    * without any restore bookkeeping — the clone is garbage after. */
+  def confIsolated[T](spark: SparkSession)(body: SparkSession => T): T = {
+    val s = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      if (s.conf.isModifiable(k)) s.conf.set(k, v)
+    }
+    body(s)
+  }
+}

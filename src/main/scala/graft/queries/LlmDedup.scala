@@ -405,7 +405,16 @@ object LlmDedup {
     val EscalateAfter = 4
     val scratch = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val pairs = pairsIn.persist(sl)
+    // The whole loop runs on a conf-isolated clone of the caller's
+    // session (AQE off, below): toggling AQE on the shared session races
+    // under the concurrent Serve layer (two overlapping set/restore
+    // windows leave the second request's stale capture behind) and
+    // silently re-plans unrelated concurrent queries. The clone shares
+    // the cache manager, so the persists below behave identically.
+    val parent = pairsIn.sparkSession
+    graft.Sessions.confIsolated(parent) { spark =>
+    val pairs = org.apache.spark.sql.graft.PlanShim
+      .ofRows(spark, pairsIn.queryExecution.logical).persist(sl)
     val verts = pairs.select(explode(array(col("x_id"), col("y_id"))).as("id"))
       .distinct()
     // Self-loops fold "keep your own label" into the same neighbor-min,
@@ -435,11 +444,10 @@ object LlmDedup {
     // materialization barriers + re-planning) is pure fixed cost here —
     // the loop's inputs are all cached with known sizes, so the static
     // planner already picks the right join strategy (broadcast when the
-    // label frame is small, sort-merge when it isn't).
-    val spark = pairsIn.sparkSession
-    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    // label frame is small, sort-merge when it isn't). Set on the clone
+    // only; no restore needed — the clone dies with this call.
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
+    locally {
       while (!converged && iters < MaxIters) {
         // One propagation hop: label ← min over neighbors' labels (the
         // self-loop edges fold "keep your own" into the same min).
@@ -478,15 +486,20 @@ object LlmDedup {
         labels = step
         iters += 1
       }
-    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    }
     require(converged, s"dedup clustering did not converge in $MaxIters rounds")
     // The converged labels are cached; drop the working sets (the result
     // recomputes through lineage if its own cache block is ever evicted).
     pairs.unpersist()
     edges.unpersist()
-    labels
+    val out = labels
       .select(col("id").as("doc_id"), col("label").as("cluster_id"),
         (col("id") === col("label")).as("is_survivor"))
+    // Rebind the result onto the caller's session so downstream execution
+    // runs under the caller's conf (AQE back on); the persisted labels
+    // block is found through the shared cache manager either way.
+    org.apache.spark.sql.graft.PlanShim.ofRows(parent, out.queryExecution.logical)
+    }
   }
 
   val dedupClustersSql: String =

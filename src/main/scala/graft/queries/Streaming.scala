@@ -50,10 +50,9 @@ object Streaming {
     val sink = s"$scratch/sink"
     val ckpt = s"$scratch/ckpt"
 
-    def runOnce(): Unit = {
-      graft.streaming.StateStores.useRocksDB(spark)
-      graft.streaming.StateStores.withStatePartitions(spark) {
-        val src = spark.readStream.schema("user_id BIGINT, ts TIMESTAMP").parquet(in)
+    def runOnce(): Unit =
+      graft.streaming.StateStores.streamingSession(spark) { s =>
+        val src = s.readStream.schema("user_id BIGINT, ts TIMESTAMP").parquet(in)
         val q = Sessionize.sessions(src.as[SessEvent], "1 minute").writeStream
           .format("parquet").option("path", sink)
           .option("checkpointLocation", ckpt)
@@ -62,7 +61,6 @@ object Streaming {
           .start()
         q.awaitTermination()
       }
-    }
 
     val ev = graft.Tables.load(spark, dir, "events").select(col("user_id"), col("ts"))
     // The watermark kicker below reserves user_id -1 as an in-band

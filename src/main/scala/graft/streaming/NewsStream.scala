@@ -41,18 +41,20 @@ object NewsStream {
       StructField("tweet", StructType(Seq(
         StructField("id", StringType)))))))))
 
-  /** Run the landing → sink pipeline to completion (AvailableNow). */
+  /** Run the landing → sink pipeline to completion (AvailableNow). The
+    * whole lifecycle builds on a conf-isolated streaming session
+    * (RocksDB state, state-sized shuffle width) so the streaming confs
+    * never leak into — or race with — concurrent work on `spark`. */
   def runOnce(spark: SparkSession, landingDir: String, sinkDir: String,
-      checkpointDir: String): Unit = {
-    StateStores.useRocksDB(spark) // bounded-memory dedup state at scale
-    val in = spark.readStream
-      .schema(newsSchema)
-      .json(landingDir)
-    val deduped = in
-      .filter(col("title").isNotNull) // F4: skip empty crawl results
-      .withWatermark("date", "7 days") // T3
-      .dropDuplicates("link", "date")
-    StateStores.withStatePartitions(spark) {
+      checkpointDir: String): Unit =
+    StateStores.streamingSession(spark) { s =>
+      val in = s.readStream
+        .schema(newsSchema)
+        .json(landingDir)
+      val deduped = in
+        .filter(col("title").isNotNull) // F4: skip empty crawl results
+        .withWatermark("date", "7 days") // T3
+        .dropDuplicates("link", "date")
       val q = deduped.writeStream
         .format("parquet")
         .option("path", sinkDir)
@@ -61,7 +63,6 @@ object NewsStream {
         .start()
       q.awaitTermination()
     }
-  }
 
   /** T2 as an INCREMENTAL upsert (foreachBatch merge-by-key) instead of
     * the reference's full delete-and-reload: rows from `batch` replace

@@ -26,9 +26,13 @@ object StateStores {
   def useRocksDB(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDBProvider)
 
-  /** Run `body` (a streaming query lifecycle) with the state-partition
-    * width set to `graft.stream.statePartitions` (default 8) instead of
-    * the session's scan-oriented `spark.sql.shuffle.partitions`.
+  /** Run `body` (a streaming query lifecycle) on a conf-isolated clone
+    * of `spark` ([[graft.Sessions.confIsolated]]) configured for
+    * production streaming state: RocksDB provider, and the
+    * state-partition width set to `graft.stream.statePartitions`
+    * (default 8) instead of the session's scan-oriented
+    * `spark.sql.shuffle.partitions`. `body` must build the whole
+    * readStream→writeStream lifecycle on the session it receives.
     *
     * A streaming query's stateful-operator partition count is locked in
     * from `spark.sql.shuffle.partitions` at the FIRST micro-batch and
@@ -38,11 +42,18 @@ object StateStores {
     * should track the state keyspace and ingest throughput, NOT the
     * core count a batch scan wants: a deployment ingesting 100 TB/day
     * raises the conf; micro-batches over a few thousand keys do not
-    * want 32+ mostly-empty RocksDB instances per operator. */
-  def withStatePartitions[T](spark: SparkSession)(body: => T): T = {
-    val n = spark.conf.getOption("graft.stream.statePartitions").getOrElse("8")
-    val was = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", n)
-    try body finally spark.conf.set("spark.sql.shuffle.partitions", was)
-  }
+    * want 32+ mostly-empty RocksDB instances per operator.
+    *
+    * The clone (not a set/restore on the caller's session) is what makes
+    * this safe under the concurrent [[graft.Serve]] layer: two
+    * overlapping restores on one shared session race, and the narrowed
+    * shuffle width would silently apply to unrelated concurrent batch
+    * queries. */
+  def streamingSession[T](spark: SparkSession)(body: SparkSession => T): T =
+    graft.Sessions.confIsolated(spark) { s =>
+      useRocksDB(s)
+      s.conf.set("spark.sql.shuffle.partitions",
+        s.conf.getOption("graft.stream.statePartitions").getOrElse("8"))
+      body(s)
+    }
 }

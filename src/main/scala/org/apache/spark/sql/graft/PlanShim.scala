@@ -21,4 +21,11 @@ object PlanShim {
   /** The analyzed logical plan backing `df`. */
   def analyzed(df: DataFrame): LogicalPlan =
     df.queryExecution.analyzed
+
+  /** Parse SQL to its unresolved logical plan WITHOUT executing it
+    * (`sessionState` is `private[sql]`, hence here). Lets callers vet a
+    * statement's shape — command vs query, relations referenced —
+    * before deciding to run it. */
+  def parsePlan(spark: SparkSession, sql: String): LogicalPlan =
+    spark.asInstanceOf[classic.SparkSession].sessionState.sqlParser.parsePlan(sql)
 }

@@ -56,6 +56,20 @@ class DedupSpec extends SparkSpec {
       (20L, 20L, true), (21L, 20L, false)))
   }
 
+  test("connected components leaves the caller's session conf untouched") {
+    import spark.implicits._
+    // The AQE-off window runs on a conf-isolated clone; the caller's
+    // session must keep AQE enabled throughout and after (two concurrent
+    // callers on a shared Serve session must not race a set/restore).
+    val before = spark.conf.get("spark.sql.adaptive.enabled")
+    val got = LlmDedup.connectedComponents(Seq((2L, 1L)).toDF("x_id", "y_id"))
+    assert(got.collect().length === 2)
+    assert(spark.conf.get("spark.sql.adaptive.enabled") === before)
+    // and the returned frame is bound to the caller's session, so
+    // downstream execution uses the caller's conf (AQE back on)
+    assert(got.sparkSession eq spark)
+  }
+
   test("a 60-vertex chain converges via the doubling escalation") {
     import spark.implicits._
     // Diameter 59: plain 1-hop propagation needs 59 rounds — far past

@@ -60,4 +60,36 @@ class ServeSpec extends SparkSpec {
       "SELECT FROM WHERE", "UTF-8"))
     assert(code === 400 && body.contains("\"error\""))
   }
+
+  test("/sql rejects commands, writes, and path relations (read-only allowlist)") {
+    val attacks = Seq(
+      "SET spark.sql.adaptive.enabled=false",
+      "DROP TABLE nation",
+      "CACHE TABLE nation",
+      "INSERT OVERWRITE DIRECTORY '/tmp/x' USING parquet SELECT 1",
+      "SELECT * FROM parquet.`/etc/passwd`",
+      "SELECT * FROM json.`/etc`",
+      // the guard must walk subqueries, not just the top level
+      "SELECT 1 WHERE EXISTS (SELECT * FROM parquet.`/etc/passwd`)",
+      "WITH x AS (SELECT * FROM csv.`/etc/hostname`) SELECT * FROM x")
+    attacks.foreach { sql =>
+      val (code, body) = get("/sql?q=" + java.net.URLEncoder.encode(sql, "UTF-8"))
+      assert(code === 400 && body.contains("rejected"), s"not rejected: $sql -> $body")
+    }
+    // still serves plain queries, including CTEs over registered views
+    val (ok, body) = get("/sql?q=" + java.net.URLEncoder.encode(
+      "WITH x AS (SELECT n_name FROM nation) SELECT count(*) AS n FROM x", "UTF-8"))
+    assert(ok === 200 && body.contains("\"n\":1"))
+  }
+
+  test("server binds loopback only by default") {
+    assert(server.getAddress.getAddress.isLoopbackAddress)
+  }
+
+  test("render json-escapes hostile column names") {
+    import spark.implicits._
+    val df = Seq(1).toDF("a\\b\"c\nd")
+    val out = Serve.render(df, 10)
+    assert(out.contains("\"a\\\\b\\\"c\\nd\""))
+  }
 }

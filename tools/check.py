@@ -46,8 +46,12 @@ def cell_eq(a, b) -> (bool, bool):
         # swap implies both cells round to the same 6-dp value, so the
         # loose tolerance is scoped to exactly that case — a genuine
         # small divergence between values that round apart still fails.
+        # The extra 1e-8 absolute band keeps ulp noise that happens to
+        # STRADDLE a 6-dp rounding boundary (0.1234564999 vs
+        # 0.1234565001: rel diff ~1.6e-9, rounds apart) from flaking.
         close = (math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
-                 or round(a, 6) == round(b, 6))
+                 or round(a, 6) == round(b, 6)
+                 or abs(a - b) < 1e-8)
         return a == b, close
     if (a is None) != (b is None):
         return False, False

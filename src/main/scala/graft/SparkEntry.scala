@@ -32,7 +32,9 @@ object SparkEntry {
       graft.queries.Multimodal.queries ++
       graft.queries.EventOps.queries ++
       graft.queries.Functions.queries ++
-      graft.queries.Curation.queries
+      graft.queries.Curation.queries ++
+      graft.queries.CorpusOps.queries ++
+      graft.queries.Bucketed.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -48,5 +50,7 @@ object SparkEntry {
       graft.queries.Multimodal.oracles ++
       graft.queries.EventOps.oracles ++
       graft.queries.Functions.oracles ++
-      graft.queries.Curation.oracles
+      graft.queries.Curation.oracles ++
+      graft.queries.CorpusOps.oracles ++
+      graft.queries.Bucketed.oracles
 }

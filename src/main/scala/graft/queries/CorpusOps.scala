@@ -1,0 +1,186 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.Tables
+
+/** Corpus-hygiene operators a production training-data pipeline runs
+  * between dedup and training — benchmark decontamination, repetition
+  * quality gates, and domain-mixture rebalancing. (The reference has no
+  * counterpart: its corpus is duplicate-prone and served raw,
+  * README.md:225-227 — these extend the LLM-pipeline family the same way
+  * [[LlmDedup]] and [[Curation]] do.)
+  *
+  * All three are shuffle-lean by construction: decontamination is ONE
+  * keyed join over a df-capped inverted n-gram index (never all-pairs),
+  * repetition metrics are per-document aggregations (shuffles keyed by
+  * doc_id only), and mixture sampling is one window pass.
+  */
+object CorpusOps {
+
+  /** Eval-set membership: a deterministic doc_id split standing in for
+    * "this doc is in a held-out benchmark". In production the eval side
+    * is a separately-loaded benchmark table; the overlap machinery is
+    * identical. */
+  private val EvalMod = 97
+
+  /** Train→eval benchmark contamination: pairs (train doc, eval doc)
+    * sharing ≥ 2 distinct informative word-3-shingles. The shingle
+    * identity (normalization, 3-gram window, md5 → two 32-bit halves)
+    * and the document-frequency cap are [[LlmDedup]]'s — the dedup
+    * family and decontamination must agree on what "same text" means,
+    * and the df cap keeps a stop-shingle from putting df² rows under one
+    * join key at 100 TB. Plan shape: one scan → inverted index (persisted
+    * once — Spark does not reuse identical subtrees), window df-cap (one
+    * pass, leaves the index partitioned on the join key), then a keyed
+    * equi-join whose eval side is benchmark-sized (tiny vs the corpus —
+    * AQE broadcasts it at scale). */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val g0 = docs
+      .select(col("doc_id"), split(LlmDedup.normText(col("text")), " ").as("t"))
+      .select(col("doc_id"), explode(LlmDedup.shingleCol(col("t"))).as("shingle"))
+      .select(col("doc_id"), md5(col("shingle")).as("h"))
+      .select(col("doc_id"),
+        conv(substring(col("h"), 1, 8), 16, 10).cast("long").as("a"),
+        conv(substring(col("h"), 9, 8), 16, 10).cast("long").as("b"))
+      .distinct()
+    val w = Window.partitionBy(col("a"), col("b"))
+    val g = g0
+      .withColumn("df", count(lit(1)).over(w))
+      .filter(col("df") <= LlmDedup.DfCap)
+      .drop("df")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ev = g.filter(col("doc_id") % EvalMod === 0)
+      .select(col("doc_id").as("eval_id"), col("a"), col("b"))
+    val tr = g.filter(col("doc_id") % EvalMod =!= 0)
+      .select(col("doc_id").as("train_id"), col("a"), col("b"))
+    tr.join(ev, Seq("a", "b"))
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+  }
+
+  val decontaminateSql: String =
+    s"""WITH g0 AS (SELECT DISTINCT doc_id,
+       |      ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS a,
+       |      ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS b
+       |    FROM (SELECT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+       |          FROM (SELECT doc_id, string_split(${LlmDedup.normTextSql()}, ' ') AS t
+       |                FROM documents),
+       |               unnest(range(1, len(t)-1)) AS r(i))),
+       |hot AS (SELECT a, b FROM g0 GROUP BY a, b HAVING COUNT(*) > ${LlmDedup.DfCap}),
+       |g AS (SELECT g0.* FROM g0 ANTI JOIN hot USING (a, b))
+       |SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id, COUNT(*) AS n_shared
+       |FROM g tr JOIN g ev USING (a, b)
+       |WHERE tr.doc_id % $EvalMod <> 0 AND ev.doc_id % $EvalMod = 0
+       |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin
+
+  /** Tagged n-gram array over a pre-materialized token array (the array
+    * is bound behind a projection boundary by the caller — `element_at`
+    * inside the lambda must not re-evaluate the split per element). */
+  private def gramArr(t: Column, n: Int): Column =
+    when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - (n - 1)),
+        i => struct(lit(n).as("kind"),
+          concat_ws(" ", (0 until n).map(k => element_at(t, i + k)): _*).as("gram"))))
+      .otherwise(array().cast("array<struct<kind:int,gram:string>>"))
+
+  /** Gopher-style repetition quality gates, per document:
+    * `top2_frac` = occurrences of the most frequent word-2-gram over all
+    * 2-gram occurrences; `dup5_frac` = fraction of word-5-gram
+    * occurrences that are repeats (1 − distinct/total). Docs too short
+    * for a 5-gram drop out (inner semantics, mirrored by the oracle).
+    * Both n-gram families explode from ONE projection of one scan; the
+    * three aggregations are all keyed by doc_id — per-doc state only,
+    * nothing global, so the plan is embarrassingly parallel at 100 TB. */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val grams = docs
+      .select(col("doc_id"), split(LlmDedup.normText(col("text")), " ").as("t"))
+      .select(col("doc_id"),
+        explode(concat(gramArr(col("t"), 2), gramArr(col("t"), 5))).as("g"))
+      .select(col("doc_id"), col("g.kind").as("kind"), col("g.gram").as("gram"))
+    grams
+      .groupBy(col("doc_id"), col("kind"), col("gram"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"), col("kind"))
+      .agg(sum(col("n")).as("total"), max(col("n")).as("top"),
+        count(lit(1)).as("nd"))
+      .groupBy(col("doc_id"))
+      .agg(
+        max(when(col("kind") === 2,
+          col("top").cast("double") / col("total"))).as("top2_frac"),
+        max(when(col("kind") === 5,
+          lit(1.0) - col("nd").cast("double") / col("total"))).as("dup5_frac"))
+      .filter(col("top2_frac").isNotNull && col("dup5_frac").isNotNull)
+      .withColumn("is_repetitive",
+        col("top2_frac") > 0.08 || col("dup5_frac") > 0.05)
+  }
+
+  val repetitionSql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(${LlmDedup.normTextSql()}, ' ') AS t
+       |             FROM documents),
+       |g2 AS (SELECT doc_id, 2 AS kind, concat_ws(' ', t[i], t[i+1]) AS gram
+       |       FROM toks, unnest(range(1, len(t))) AS r(i)),
+       |g5 AS (SELECT doc_id, 5 AS kind,
+       |         concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]) AS gram
+       |       FROM toks, unnest(range(1, len(t)-3)) AS r(i)),
+       |c AS (SELECT doc_id, kind, gram, COUNT(*) AS n
+       |      FROM (SELECT * FROM g2 UNION ALL SELECT * FROM g5) GROUP BY 1, 2, 3),
+       |k AS (SELECT doc_id, kind, CAST(SUM(n) AS DOUBLE) AS total,
+       |        CAST(MAX(n) AS DOUBLE) AS top, CAST(COUNT(*) AS DOUBLE) AS nd
+       |      FROM c GROUP BY 1, 2),
+       |p AS (SELECT doc_id,
+       |        MAX(CASE WHEN kind = 2 THEN top / total END) AS top2_frac,
+       |        MAX(CASE WHEN kind = 5 THEN 1.0 - nd / total END) AS dup5_frac
+       |      FROM k GROUP BY 1)
+       |SELECT doc_id, top2_frac, dup5_frac,
+       |  (top2_frac > 0.08 OR dup5_frac > 0.05) AS is_repetitive
+       |FROM p WHERE top2_frac IS NOT NULL AND dup5_frac IS NOT NULL""".stripMargin
+
+  /** Domain-mixture rebalancing: per-source budgets by sqrt scaling
+    * (n_take = ⌈√n_avail⌉ — the standard temperature-style de-biasing
+    * that downsamples hot domains hard and keeps the tail), selection by
+    * md5 hash order — reproducible on any engine, any partitioning (same
+    * determinism contract as [[Curation.stratifiedSample]], which takes
+    * a FIXED per-class count; here the budget is data-dependent). One
+    * window pass over one shuffle keyed by source; skew-safe because
+    * output per source is √n. */
+  def domainMixture(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val bySrc = Window.partitionBy(col("source"))
+    val w = bySrc.orderBy(col("skey").asc, col("doc_id").asc)
+    docs
+      .select(col("source"), col("doc_id"),
+        md5(col("doc_id").cast("string")).as("skey"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n_avail", count(lit(1)).over(bySrc))
+      .withColumn("n_take", ceil(sqrt(col("n_avail").cast("double"))).cast("long"))
+      .filter(col("rn") <= col("n_take"))
+      .select(col("source"), col("doc_id"), col("n_avail"), col("n_take"))
+  }
+
+  val domainMixtureSql: String =
+    """SELECT source, doc_id, n_avail, n_take FROM (
+      |  SELECT source, doc_id,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn,
+      |    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_avail,
+      |    CAST(CEIL(SQRT(COUNT(*) OVER (PARTITION BY source))) AS BIGINT) AS n_take
+      |  FROM documents)
+      |WHERE rn <= n_take""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_decontaminate" -> (decontaminate _),
+    "txt_repetition" -> (repetition _),
+    "llm_domain_mixture" -> (domainMixture _))
+
+  val oracles: Map[String, String] = Map(
+    "llm_decontaminate" -> decontaminateSql,
+    "txt_repetition" -> repetitionSql,
+    "llm_domain_mixture" -> domainMixtureSql)
+}

@@ -74,8 +74,9 @@ object LlmDedup {
   private def toks(text: Column): Column = split(normText(text), " ")
 
   /** word 3-gram shingles (empty array when < 3 tokens — mirrors DuckDB's
-    * empty `range`). */
-  private def shingleCol(t: Column): Column =
+    * empty `range`). Shared with [[CorpusOps.decontaminate]] so the
+    * dedup family and decontamination agree on the shingle identity. */
+  private[queries] def shingleCol(t: Column): Column =
     when(size(t) >= 3,
       transform(sequence(lit(1), size(t) - 2),
         i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))

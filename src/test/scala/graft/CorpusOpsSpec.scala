@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.CorpusOps
+
+/** Unit coverage for the corpus-hygiene operators (decontamination,
+  * repetition gates, domain mixture) over tiny synthetic documents
+  * tables with hand-computable answers; the oracle gate covers them at
+  * sf0.01. */
+class CorpusOpsSpec extends SparkSpec {
+
+  /** Synthetic documents table in the Tables.load layout. */
+  private def docsDir(rows: Seq[(Long, String, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus_docs").toString
+    rows.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("decontaminate flags train docs sharing >= 2 shingles with an eval doc") {
+    val leaked = "alpha beta gamma delta epsilon zeta"
+    val dir = docsDir(Seq(
+      (97L, leaked, "bench"), // eval: 97 % 97 == 0
+      (1L, leaked, "web"), // exact copy in train: 4 shared 3-grams
+      (2L, "alpha beta gamma nine ten eleven twelve", "web"), // only 1 shared
+      (3L, "one two three four five six seven", "web"))) // disjoint
+    val got = CorpusOps.decontaminate(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 97L, 4L)))
+  }
+
+  test("repetition computes top-2-gram and dup-5-gram fractions per doc") {
+    val dir = docsDir(Seq(
+      (1L, "a a a a a a", "s"), // 5x "a a" -> top2=1.0; 5-grams 2/1 distinct -> dup5=0.5
+      (2L, "w1 w2 w3 w4 w5 w6", "s"), // all distinct: top2=1/5, dup5=0
+      (3L, "x y", "s"))) // no 5-gram -> drops out
+    val got = CorpusOps.repetition(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq === Seq(1L, 2L))
+    assert(got(0)._2 === 1.0 && got(0)._3 === 0.5 && got(0)._4)
+    assert(got(1)._2 === 0.2 && got(1)._3 === 0.0 && got(1)._4) // 0.2 > 0.08
+  }
+
+  test("domain mixture takes ceil(sqrt(n)) per source in hash order") {
+    val rows = (1L to 5L).map(i => (i, s"doc $i text", "big")) :+
+      (10L, "single doc", "small")
+    val got = CorpusOps.domainMixture(spark, docsDir(rows)).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    // big: 5 avail -> ceil(sqrt(5)) = 3 taken; small: 1 -> 1
+    assert(got.count(_._1 == "big") === 3)
+    assert(got.count(_._1 == "small") === 1)
+    assert(got.filter(_._1 == "big").forall(t => t._2 == 5L && t._3 == 3L))
+    assert(got.filter(_._1 == "small").forall(t => t._2 == 1L && t._3 == 1L))
+  }
+
+  test("domain mixture selection is deterministic across runs") {
+    val rows = (1L to 20L).map(i => (i, s"words for doc $i", if (i <= 15) "a" else "b"))
+    val dir = docsDir(rows)
+    val a = CorpusOps.domainMixture(spark, dir).collect().map(_.toSeq).toSet
+    val b = CorpusOps.domainMixture(spark, dir).collect().map(_.toSeq).toSet
+    assert(a === b && a.nonEmpty)
+  }
+}

@@ -15,7 +15,7 @@ class PlanInvariantSpec extends SparkSpec {
   import PlanTestUtil.deepCollect
 
   private val eagerPrefixes = Seq("stream_", "ing_", "mm_")
-  private val eagerNames = Set("llm_dedup_clusters")
+  private val eagerNames = Set("llm_dedup_clusters", "rel_bucketed_join")
 
   test("every lazily-planned catalog query plans without a cartesian product") {
     val names = SparkEntry.queries.keys.toSeq.sorted

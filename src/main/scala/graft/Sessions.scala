@@ -21,11 +21,34 @@ object Sessions {
     * and vice versa), but an isolated SQLConf pre-seeded from the
     * parent's current runtime conf, so `body` may set confs freely
     * without any restore bookkeeping — the clone is garbage after. */
-  def confIsolated[T](spark: SparkSession)(body: SparkSession => T): T = {
+  def confIsolated[T](spark: SparkSession)(body: SparkSession => T): T =
+    body(freshClone(spark))
+
+  /** Memoized variant for operators that always want the SAME conf
+    * delta (e.g. the AQE-off clustering loop): the clone (with `setup`
+    * applied) is built once per (parent, key) and reused, so repeated
+    * calls skip session construction and the lazy SessionState init.
+    * The clone snapshots the parent's conf at FIRST use — later parent
+    * conf changes don't propagate, which is exactly the isolation
+    * contract. `setup` must be idempotent conf-setting only. */
+  def confIsolatedCached[T](spark: SparkSession, key: String)(
+      setup: SparkSession => Unit)(body: SparkSession => T): T = {
+    val s = cached.computeIfAbsent((spark, key), _ => {
+      val c = freshClone(spark)
+      setup(c)
+      c
+    })
+    body(s)
+  }
+
+  private val cached =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), SparkSession]
+
+  private def freshClone(spark: SparkSession): SparkSession = {
     val s = spark.newSession()
     spark.conf.getAll.foreach { case (k, v) =>
       if (s.conf.isModifiable(k)) s.conf.set(k, v)
     }
-    body(s)
+    s
   }
 }

@@ -104,18 +104,23 @@ object CorpusOps {
       .select(col("doc_id"),
         explode(concat(gramArr(col("t"), 2), gramArr(col("t"), 5))).as("g"))
       .select(col("doc_id"), col("g.kind").as("kind"), col("g.gram").as("gram"))
+    // Two aggregations, not three: after the per-(doc, kind, gram)
+    // count, BOTH kinds' stats fold into one conditional groupBy(doc_id)
+    // — sum/max/count gated on kind — saving a full shuffle of the gram
+    // counts. total5 is null (not 0) for docs with no 5-gram, so the
+    // dup5 division nulls out and the inner-semantics filter drops them.
     grams
       .groupBy(col("doc_id"), col("kind"), col("gram"))
       .agg(count(lit(1)).as("n"))
-      .groupBy(col("doc_id"), col("kind"))
-      .agg(sum(col("n")).as("total"), max(col("n")).as("top"),
-        count(lit(1)).as("nd"))
       .groupBy(col("doc_id"))
       .agg(
-        max(when(col("kind") === 2,
-          col("top").cast("double") / col("total"))).as("top2_frac"),
-        max(when(col("kind") === 5,
-          lit(1.0) - col("nd").cast("double") / col("total"))).as("dup5_frac"))
+        max(when(col("kind") === 2, col("n"))).cast("double").as("top2"),
+        sum(when(col("kind") === 2, col("n"))).cast("double").as("total2"),
+        count(when(col("kind") === 5, lit(1))).cast("double").as("nd5"),
+        sum(when(col("kind") === 5, col("n"))).cast("double").as("total5"))
+      .select(col("doc_id"),
+        (col("top2") / col("total2")).as("top2_frac"),
+        (lit(1.0) - col("nd5") / col("total5")).as("dup5_frac"))
       .filter(col("top2_frac").isNotNull && col("dup5_frac").isNotNull)
       .withColumn("is_repetitive",
         col("top2_frac") > 0.08 || col("dup5_frac") > 0.05)

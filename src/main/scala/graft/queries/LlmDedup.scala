@@ -523,17 +523,132 @@ object LlmDedup {
        |  (id = MIN(r)) AS is_survivor
        |FROM reach GROUP BY id""".stripMargin
 
+  // ---------------------------------------------------- incremental dedup
+
+  /** Batch split for [[incrementalDedup]]: doc_id % 7 == 0 stands in for
+    * "today's crawl" arriving against the existing corpus. */
+  private val BatchMod = 7
+
+  /** Incremental dedup — the production ingest path. A NEW batch of docs
+    * is vetted against the EXISTING corpus without re-running any
+    * corpus-wide pairwise work: exact matches resolve with ONE keyed
+    * join on the text hash against the corpus representative set
+    * (`kind = 'exact'`, jaccard 1 by identity); the remainder probe the
+    * corpus's df-capped inverted shingle index and keep their best
+    * jaccard ≥ 0.5 match (`kind = 'near'`; ties broken toward the
+    * smallest corpus id, so the verdict is deterministic on any engine).
+    *
+    * Scale shape: the corpus index is built over exact representatives
+    * (the family contract — a same-text clique contributes one vertex)
+    * and is write-once/probe-often in production, so per-ingest cost
+    * scales with the BATCH, not the corpus; the probe is a keyed join on
+    * the 64-bit shingle identity, and the df cap bounds any one key's
+    * fan-out. The cap is computed on the corpus side and applied to both
+    * sides, keeping the jaccard universe consistent (mirrored in the
+    * oracle). */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val docs = Tables.load(spark, dir, "documents")
+    val d = docs.select(col("doc_id"), normText(col("text")).as("norm"))
+      .withColumn("th", md5(col("norm")))
+      .withColumn("is_batch", col("doc_id") % BatchMod === 0)
+      .persist(sl)
+    val cr = d.filter(!col("is_batch")).groupBy(col("th"))
+      .agg(min(col("doc_id")).as("rep")).persist(sl)
+    val batch = d.filter(col("is_batch"))
+    val ex = batch.join(cr, "th")
+      .select(col("doc_id").as("batch_id"), col("rep").as("dup_of"))
+    val corpusDocs = d.filter(!col("is_batch")).select(col("doc_id"), col("norm"))
+    val crd = corpusDocs
+      .join(cr.select(col("rep")), corpusDocs("doc_id") === col("rep"))
+      .select(col("doc_id"), col("norm"))
+    val bd = batch.join(cr.select(col("th")), Seq("th"), "left_anti")
+      .select(col("doc_id"), col("norm"))
+    // one md5 per shingle, 64-bit (a, b) identity — strings never shuffle
+    def hashedGrams(side: DataFrame): DataFrame = side
+      .select(col("doc_id"), split(col("norm"), " ").as("t"))
+      .select(col("doc_id"), explode(shingleCol(col("t"))).as("shingle"))
+      .select(col("doc_id"), md5(col("shingle")).as("h"))
+      .select(col("doc_id"),
+        conv(substring(col("h"), 1, 8), 16, 10).cast("long").as("a"),
+        conv(substring(col("h"), 9, 8), 16, 10).cast("long").as("b"))
+      .distinct()
+    val cs0 = hashedGrams(crd).persist(sl)
+    val hot = cs0.groupBy(col("a"), col("b")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > DfCap).select(col("a"), col("b"))
+    val cs = cs0.join(hot, Seq("a", "b"), "left_anti").persist(sl)
+    val bs = hashedGrams(bd).join(hot, Seq("a", "b"), "left_anti").persist(sl)
+    val csz = cs.groupBy(col("doc_id")).agg(count(lit(1)).as("cn"))
+    val bsz = bs.groupBy(col("doc_id")).agg(count(lit(1)).as("bn"))
+    val sh = bs.select(col("doc_id").as("batch_id"), col("a"), col("b"))
+      .join(cs.select(col("doc_id").as("dup_of"), col("a"), col("b")), Seq("a", "b"))
+      .groupBy(col("batch_id"), col("dup_of")).agg(count(lit(1)).as("shared"))
+    val nr = sh
+      .join(bsz.withColumnRenamed("doc_id", "batch_id"), "batch_id")
+      .join(csz.withColumnRenamed("doc_id", "dup_of"), "dup_of")
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("bn") + col("cn") - col("shared")))
+      .filter(col("jaccard") >= 0.5)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("batch_id")).orderBy(col("jaccard").desc, col("dup_of").asc)
+    val nbest = nr.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("batch_id"), col("dup_of"), lit("near").as("kind"), col("jaccard"))
+    ex.select(col("batch_id"), col("dup_of"),
+        lit("exact").as("kind"), lit(1.0).as("jaccard"))
+      .unionByName(nbest)
+  }
+
+  val incrementalDedupSql: String =
+    s"""WITH d AS (SELECT doc_id, ${normTextSql()} AS norm,
+       |             md5(${normTextSql()}) AS th,
+       |             (doc_id % $BatchMod = 0) AS is_batch FROM documents),
+       |cr AS (SELECT th, MIN(doc_id) AS rep FROM d WHERE NOT is_batch GROUP BY th),
+       |ex AS (SELECT d.doc_id AS batch_id, cr.rep AS dup_of
+       |       FROM d JOIN cr USING (th) WHERE d.is_batch),
+       |crd AS (SELECT cr.rep AS doc_id, d.norm FROM cr JOIN d ON d.doc_id = cr.rep),
+       |bd AS (SELECT doc_id, norm FROM d
+       |       WHERE is_batch AND th NOT IN (SELECT th FROM cr)),
+       |ct AS (SELECT doc_id, string_split(norm, ' ') AS t FROM crd),
+       |bt AS (SELECT doc_id, string_split(norm, ' ') AS t FROM bd),
+       |cs0 AS (SELECT DISTINCT doc_id,
+       |          ('0x' || substr(md5(concat_ws(' ', t[i], t[i+1], t[i+2])), 1, 8))::BIGINT AS a,
+       |          ('0x' || substr(md5(concat_ws(' ', t[i], t[i+1], t[i+2])), 9, 8))::BIGINT AS b
+       |        FROM ct, unnest(range(1, len(t)-1)) AS r(i)),
+       |bs0 AS (SELECT DISTINCT doc_id,
+       |          ('0x' || substr(md5(concat_ws(' ', t[i], t[i+1], t[i+2])), 1, 8))::BIGINT AS a,
+       |          ('0x' || substr(md5(concat_ws(' ', t[i], t[i+1], t[i+2])), 9, 8))::BIGINT AS b
+       |        FROM bt, unnest(range(1, len(t)-1)) AS r(i)),
+       |hot AS (SELECT a, b FROM cs0 GROUP BY a, b HAVING COUNT(*) > $DfCap),
+       |cs AS (SELECT cs0.* FROM cs0 ANTI JOIN hot USING (a, b)),
+       |bs AS (SELECT bs0.* FROM bs0 ANTI JOIN hot USING (a, b)),
+       |csz AS (SELECT doc_id, COUNT(*) AS n FROM cs GROUP BY 1),
+       |bsz AS (SELECT doc_id, COUNT(*) AS n FROM bs GROUP BY 1),
+       |sh AS (SELECT bs.doc_id AS batch_id, cs.doc_id AS dup_of, COUNT(*) AS shared
+       |       FROM bs JOIN cs USING (a, b) GROUP BY 1, 2),
+       |nr AS (SELECT batch_id, dup_of, CAST(shared AS DOUBLE) / (b.n + c.n - shared) AS j
+       |       FROM sh JOIN bsz b ON b.doc_id = sh.batch_id
+       |               JOIN csz c ON c.doc_id = sh.dup_of
+       |       WHERE CAST(shared AS DOUBLE) / (b.n + c.n - shared) >= 0.5),
+       |nbest AS (SELECT batch_id, dup_of, j FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY batch_id
+       |      ORDER BY j DESC, dup_of ASC) AS rn FROM nr) WHERE rn = 1)
+       |SELECT batch_id, dup_of, 'exact' AS kind, CAST(1.0 AS DOUBLE) AS jaccard FROM ex
+       |UNION ALL
+       |SELECT batch_id, dup_of, 'near' AS kind, j AS jaccard FROM nbest""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_exact_dedup" -> (exactDedup _),
     "llm_minhash_neardup" -> (minhashNearDup _),
     "llm_simhash" -> (simhash _),
     "llm_shingle_jaccard" -> (shingleJaccard _),
-    "llm_dedup_clusters" -> (dedupClusters _))
+    "llm_dedup_clusters" -> (dedupClusters _),
+    "llm_incremental_dedup" -> (incrementalDedup _))
 
   val oracles: Map[String, String] = Map(
     "llm_exact_dedup" -> exactDedupSql,
     "llm_minhash_neardup" -> minhashNearDupSql,
     "llm_simhash" -> simhashSql,
     "llm_shingle_jaccard" -> shingleJaccardSql,
-    "llm_dedup_clusters" -> dedupClustersSql)
+    "llm_dedup_clusters" -> dedupClustersSql,
+    "llm_incremental_dedup" -> incrementalDedupSql)
 }

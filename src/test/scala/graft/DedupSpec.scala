@@ -81,6 +81,23 @@ class DedupSpec extends SparkSpec {
     assert(got === (1L to 60L).map(i => (i, 1L, i == 1L)).toSet)
   }
 
+  test("incremental dedup resolves exact hits by hash and near hits by best jaccard") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val dir = docsDir(Seq(
+      // corpus (ids not divisible by 7): an exact clique {1,2} and a bystander
+      (1L, base), (2L, base),
+      (3L, "unrelated totally different words here now indeed"),
+      // batch (ids divisible by 7)
+      (7L, base), // exact copy -> hash join, dup_of = clique rep 1
+      (14L, base.replace("theta", "iota")), // 5 of 7 shingles shared -> near
+      (21L, "completely novel content nothing shared at all"))) // clean
+    val got = queries.LlmDedup.incrementalDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSet
+    assert(got === Set(
+      (7L, 1L, "exact", 1.0),
+      (14L, 1L, "near", 5.0 / 7)))
+  }
+
   /** Write a synthetic documents table (Tables.load layout) to a temp
     * dir; returns the dir. */
   private def docsDir(rows: Seq[(Long, String)]): String = {

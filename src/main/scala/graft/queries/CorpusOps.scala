@@ -179,13 +179,65 @@ object CorpusOps {
       |  FROM documents)
       |WHERE rn <= n_take""".stripMargin
 
+  /** Token budget per packed bin. */
+  private val PackBudget = 512
+
+  /** Width of the hash-bucket pre-partitioning for [[packBins]]. */
+  private val PackBuckets = 8
+
+  /** Sequence packing: assign docs to fixed token-budget bins (the prep
+    * step that turns a ragged corpus into dense training batches). Docs
+    * are taken in md5-hash order and greedily fill bins of
+    * [[PackBudget]] tokens: bin = ⌊(running-total − own-tokens)/budget⌋.
+    *
+    * Scale shape: the running total is a windowed cumsum, and an
+    * un-partitioned cumsum is a single-partition scan — so packing runs
+    * inside (lang, hash-bucket) partitions ([[PackBuckets]]-way here,
+    * thousands-way at 100 TB). Bucketing costs nothing in packing
+    * quality (bins are budget-fulls either way, only their membership
+    * shifts) and bounds every window partition to corpus/buckets. One
+    * shuffle, one window pass, one partial-agg rollup. */
+  def packBins(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val d = docs.select(col("lang"), col("doc_id"),
+        size(split(LlmDedup.normText(col("text")), " ")).cast("long").as("toks"),
+        md5(col("doc_id").cast("string")).as("skey"))
+      .withColumn("bucket",
+        conv(substring(col("skey"), 1, 2), 16, 10).cast("long") % PackBuckets)
+    val w = Window.partitionBy(col("lang"), col("bucket"))
+      .orderBy(col("skey").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("cum", sum(col("toks")).over(w))
+      .withColumn("bin",
+        floor((col("cum") - col("toks")).cast("double") / PackBudget).cast("long"))
+      .groupBy(col("lang"), col("bucket"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("sum_tokens"))
+  }
+
+  val packBinsSql: String =
+    s"""WITH d AS (SELECT lang, doc_id,
+       |    len(string_split(${LlmDedup.normTextSql()}, ' ')) AS toks,
+       |    md5(CAST(doc_id AS VARCHAR)) AS skey,
+       |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT % $PackBuckets AS BIGINT) AS bucket
+       |  FROM documents),
+       |c AS (SELECT lang, bucket, toks,
+       |    SUM(toks) OVER (PARTITION BY lang, bucket ORDER BY skey, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM d)
+       |SELECT lang, bucket,
+       |  CAST(FLOOR((cum - toks) / $PackBudget.0) AS BIGINT) AS bin,
+       |  COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS sum_tokens
+       |FROM c GROUP BY 1, 2, 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_decontaminate" -> (decontaminate _),
     "txt_repetition" -> (repetition _),
-    "llm_domain_mixture" -> (domainMixture _))
+    "llm_domain_mixture" -> (domainMixture _),
+    "llm_pack_bins" -> (packBins _))
 
   val oracles: Map[String, String] = Map(
     "llm_decontaminate" -> decontaminateSql,
     "txt_repetition" -> repetitionSql,
-    "llm_domain_mixture" -> domainMixtureSql)
+    "llm_domain_mixture" -> domainMixtureSql,
+    "llm_pack_bins" -> packBinsSql)
 }

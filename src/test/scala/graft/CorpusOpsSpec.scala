@@ -58,6 +58,19 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.filter(_._1 == "small").forall(t => t._2 == 1L && t._3 == 1L))
   }
 
+  test("pack bins preserves totals, numbers bins consecutively, bounds bin size") {
+    val rows = (1L to 40L).map(i => (i, ("tok " * 100).trim, "s")) // 100 tokens each
+    val got = CorpusOps.packBins(spark, docsDir(rows)).collect()
+    assert(got.map(_.getLong(3)).sum === 40L) // docs preserved
+    assert(got.map(_.getLong(4)).sum === 4000L) // tokens preserved
+    got.groupBy(r => (r.getString(0), r.getLong(1))).foreach { case (_, rs) =>
+      val bins = rs.map(_.getLong(2)).sorted.toSeq
+      assert(bins === (0L until bins.length.toLong)) // consecutive from 0
+    }
+    // 512-token budget, 100-token docs: a bin closes within one doc of budget
+    assert(got.forall(_.getLong(4) <= 600L))
+  }
+
   test("domain mixture selection is deterministic across runs") {
     val rows = (1L to 20L).map(i => (i, s"words for doc $i", if (i <= 15) "a" else "b"))
     val dir = docsDir(rows)

@@ -29,7 +29,11 @@ object Bucketed {
   private val dec = "decimal(18,2)"
 
   /** Stage the bucketed tables (overwrite-idempotent; external data in a
-    * per-invocation scratch dir) and run the co-located join. */
+    * per-invocation scratch dir) and run the co-located join. The fixed
+    * staging-table names mean concurrent invocations in ONE session
+    * would race the drop/create — the catalog queries are sequential in
+    * Verify/Bench, and a production deployment stages its bucketed
+    * tables once, not per query. */
   def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
     val scratch = graft.Fixtures.scratchDir("bucketed")
     val orders = Tables.load(spark, dir, "orders")

@@ -5,7 +5,7 @@ import java.nio.charset.StandardCharsets.UTF_8
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedFunction, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.PlanExpression
 import org.apache.spark.sql.catalyst.plans.logical.{Command, InsertIntoDir, InsertIntoStatement, LogicalPlan, UnresolvedWith}
 import org.apache.spark.sql.graft.PlanShim
@@ -58,36 +58,62 @@ object Serve {
     s"""{"columns":[${cols.mkString(",")}],"n":${rows.length},"rows":[${rows.mkString(",")}]}"""
   }
 
-  /** Allowlist guard for `/sql`: only a pure query may run. The parsed
-    * (unexecuted) plan — including subqueries — must contain no command
-    * node (`SET`, DDL, `CACHE`, ...), no insert, and no multipart
-    * relation: single-part names can only hit the registered temp views,
-    * while a multipart name is a catalog table or a datasource path
-    * (``parquet.`/any/path` ``) — the host-file-read door a "read-only"
-    * check alone leaves open. Throws `IllegalArgumentException` (→ 400)
-    * with the offending node kind. */
-  private[graft] def guardSql(spark: SparkSession, sql: String): Unit = {
+  /** Allowlist guard for `/sql`: only a pure query over the registered
+    * views (plus its own CTE aliases) may run. The parsed (unexecuted)
+    * plan — including subqueries and CTE definitions — must contain:
+    * no command node (`SET`, DDL, `CACHE`, ...); no insert; no
+    * EXECUTE IMMEDIATE and no IDENTIFIER() clause (both defer name/SQL
+    * resolution past this static check — an inner string can smuggle
+    * anything); no multipart relation (catalog table or datasource path,
+    * the ``parquet.`/any/path` `` host-file-read door); no single-part
+    * relation outside the registered views (single-part names otherwise
+    * fall through to default-database catalog tables); and no
+    * `reflect`/`java_method` call (arbitrary static-method invocation —
+    * env exfiltration or `System.exit`). Throws
+    * `IllegalArgumentException` (→ 400) with the offending node kind. */
+  private[graft] def guardSql(spark: SparkSession, sql: String,
+      allowed: Set[String]): Unit = {
     // Explicit recursion (not collectWithSubqueries): CTE definitions in
     // UnresolvedWith live in a field, not in `children`, so a generic
     // tree walk would skip exactly the place an attacker would hide a
     // path relation (`WITH x AS (SELECT * FROM csv.`/etc/...`) ...`).
-    def offenders(p: LogicalPlan): Seq[String] = {
+    def nodes(p: LogicalPlan): Seq[LogicalPlan] = {
+      val nested = p.children ++
+        (p match { case w: UnresolvedWith => w.cteRelations.map(_._2); case _ => Nil }) ++
+        p.expressions.flatMap(_.collect {
+          case pe: PlanExpression[_] => pe.plan match { case lp: LogicalPlan => lp }
+        })
+      p +: nested.flatMap(nodes)
+    }
+    val all = nodes(PlanShim.parsePlan(spark, sql))
+    // CTE aliases are legal relation names anywhere in the statement —
+    // their defining plans are in `all` and vetted like everything else.
+    val ok = allowed.map(_.toLowerCase) ++ all.collect {
+      case w: UnresolvedWith => w.cteRelations.map(_._1.toLowerCase)
+    }.flatten
+    def deferred(name: String): Boolean =
+      name.contains("ExecuteImmediate") || name.contains("UnresolvedIdentifier")
+    val offending = all.flatMap { p =>
       val here = p match {
         case c: Command => Seq(s"command ${c.getClass.getSimpleName}")
         case _: InsertIntoStatement => Seq("INSERT")
         case _: InsertIntoDir => Seq("INSERT OVERWRITE DIRECTORY")
         case r: UnresolvedRelation if r.multipartIdentifier.length > 1 =>
           Seq(s"non-view relation ${r.multipartIdentifier.mkString(".")}")
+        case r: UnresolvedRelation if !ok(r.multipartIdentifier.head.toLowerCase) =>
+          Seq(s"unregistered relation ${r.multipartIdentifier.head}")
+        case p if deferred(p.getClass.getSimpleName) =>
+          Seq(s"deferred resolution ${p.getClass.getSimpleName}")
         case _ => Nil
       }
-      val nested = p.children ++
-        (p match { case w: UnresolvedWith => w.cteRelations.map(_._2); case _ => Nil }) ++
-        p.expressions.flatMap(_.collect {
-          case pe: PlanExpression[_] => pe.plan match { case lp: LogicalPlan => lp }
-        })
-      here ++ nested.flatMap(offenders)
+      here ++ p.expressions.flatMap(_.collect {
+        case f: UnresolvedFunction
+            if Set("reflect", "java_method")(f.nameParts.last.toLowerCase) =>
+          s"function ${f.nameParts.mkString(".")}"
+        case e if deferred(e.getClass.getSimpleName) =>
+          s"deferred resolution ${e.getClass.getSimpleName}"
+      })
     }
-    val offending = offenders(PlanShim.parsePlan(spark, sql))
     require(offending.isEmpty,
       s"rejected: /sql accepts read-only queries over registered views; found ${offending.head}")
   }
@@ -138,7 +164,7 @@ object Serve {
       val p = params(ex)
       p.get("q") match {
         case Some(sql) =>
-          guardSql(spark, sql)
+          guardSql(spark, sql, tables.toSet)
           (200, render(spark.sql(sql), p.getOrElse("limit", "100").toInt))
         case None => (400, """{"error":"missing q parameter"}""")
       }

@@ -46,8 +46,14 @@ object Sessions {
 
   private def freshClone(spark: SparkSession): SparkSession = {
     val s = spark.newSession()
+    // Copy-all with a throw guard, NOT an isModifiable filter:
+    // isModifiable is false for unregistered custom keys (e.g.
+    // graft.stream.statePartitions), which a filter would silently drop
+    // — the clone must see every runtime knob the caller set. Only
+    // static confs (which throw on set) are skipped.
     spark.conf.getAll.foreach { case (k, v) =>
-      if (s.conf.isModifiable(k)) s.conf.set(k, v)
+      try s.conf.set(k, v)
+      catch { case _: org.apache.spark.sql.AnalysisException => () }
     }
     s
   }

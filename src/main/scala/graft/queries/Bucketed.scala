@@ -28,30 +28,43 @@ object Bucketed {
 
   private val dec = "decimal(18,2)"
 
-  /** Stage the bucketed tables (overwrite-idempotent; external data in a
-    * per-invocation scratch dir) and run the co-located join. The fixed
-    * staging-table names mean concurrent invocations in ONE session
-    * would race the drop/create — the catalog queries are sequential in
-    * Verify/Bench, and a production deployment stages its bucketed
-    * tables once, not per query. */
-  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
-    val scratch = graft.Fixtures.scratchDir("bucketed")
+  /** One scratch root per (source dir) for the whole JVM: repeated
+    * invocations overwrite the same staged location instead of leaking
+    * a new directory per call (a long-lived Serve process would
+    * otherwise grow disk without bound). */
+  private val stagedRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** Stage the bucketed tables and run the co-located join. Table names
+    * and the staged path carry an md5 tag of the source dir, so two
+    * source dirs never share staging; same-dir invocations are
+    * serialized on this object (concurrent `/query/rel_bucketed_join`
+    * requests would otherwise race the overwrite) and rewrite identical
+    * content in place — benign for a reader that interleaves. A
+    * production deployment stages its bucketed facts once at ingest,
+    * not per query; the per-call write here is what makes the
+    * correctness row self-contained. */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = synchronized {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val scratch = stagedRoots.computeIfAbsent(tag,
+      _ => graft.Fixtures.scratchDir(s"bucketed_$tag"))
+    val ot = s"graft_bkt_orders_$tag"
+    val lt = s"graft_bkt_lineitem_$tag"
     val orders = Tables.load(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_orderpriority"))
     val li = Tables.load(spark, dir, "lineitem")
       .select(col("l_orderkey"),
         (col("l_extendedprice").cast(dec)
           * (lit(1).cast(dec) - col("l_discount").cast(dec))).as("rev"))
-    spark.sql("DROP TABLE IF EXISTS graft_bkt_orders")
-    spark.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
-    orders.write.option("path", s"$scratch/orders")
+    orders.write.mode("overwrite").option("path", s"$scratch/orders")
       .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .saveAsTable("graft_bkt_orders")
-    li.write.option("path", s"$scratch/lineitem")
+      .saveAsTable(ot)
+    li.write.mode("overwrite").option("path", s"$scratch/lineitem")
       .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .saveAsTable("graft_bkt_lineitem")
-    spark.table("graft_bkt_lineitem")
-      .join(spark.table("graft_bkt_orders"),
+      .saveAsTable(lt)
+    spark.table(lt)
+      .join(spark.table(ot),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(sum(col("rev")).cast("double").as("revenue"),

@@ -71,7 +71,16 @@ class ServeSpec extends SparkSpec {
       "SELECT * FROM json.`/etc`",
       // the guard must walk subqueries, not just the top level
       "SELECT 1 WHERE EXISTS (SELECT * FROM parquet.`/etc/passwd`)",
-      "WITH x AS (SELECT * FROM csv.`/etc/hostname`) SELECT * FROM x")
+      "WITH x AS (SELECT * FROM csv.`/etc/hostname`) SELECT * FROM x",
+      // deferred resolution defeats static vetting — both forms rejected
+      "EXECUTE IMMEDIATE 'SELECT * FROM text.`/etc/hostname`'",
+      "SELECT * FROM IDENTIFIER('text.`/etc/hostname`')",
+      // arbitrary static-method invocation (env exfiltration, System.exit)
+      "SELECT java_method('java.lang.System', 'getenv', 'HOME')",
+      "SELECT reflect('java.lang.System', 'getenv', 'HOME')",
+      // single-part names must not fall through to catalog tables
+      "SELECT * FROM graft_bkt_orders_00000000",
+      "SELECT * FROM some_unregistered_table")
     attacks.foreach { sql =>
       val (code, body) = get("/sql?q=" + java.net.URLEncoder.encode(sql, "UTF-8"))
       assert(code === 400 && body.contains("rejected"), s"not rejected: $sql -> $body")
@@ -80,6 +89,13 @@ class ServeSpec extends SparkSpec {
     val (ok, body) = get("/sql?q=" + java.net.URLEncoder.encode(
       "WITH x AS (SELECT n_name FROM nation) SELECT count(*) AS n FROM x", "UTF-8"))
     assert(ok === 200 && body.contains("\"n\":1"))
+  }
+
+  test("conf-isolated clones carry custom runtime keys (not just registered confs)") {
+    spark.conf.set("graft.stream.statePartitions", "4")
+    try Sessions.confIsolated(spark) { s =>
+      assert(s.conf.getOption("graft.stream.statePartitions") === Some("4"))
+    } finally spark.conf.unset("graft.stream.statePartitions")
   }
 
   test("server binds loopback only by default") {

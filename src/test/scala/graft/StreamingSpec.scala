@@ -297,4 +297,33 @@ class StreamingSpec extends SparkSpec {
     assert(first === 6L)
     assert(second === first)
   }
+
+  test("stream-stream interval join matches within the hour, across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(String, Timestamp)]
+    val clicks = MemoryStream[(String, Timestamp)]
+    val joined = graft.streaming.StreamJoin.attribute(
+      imps.toDF().toDF("imp_id", "imp_time"),
+      clicks.toDF().toDF("click_imp_id", "click_time"))
+    val q = joined.writeStream
+      .format("memory").queryName("attrib_mem")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      imps.addData(("i1", ts("2021-03-01 10:00:00")), ("i2", ts("2021-03-01 10:05:00")))
+      q.processAllAvailable()
+      // clicks arrive in a LATER batch: i1 in-window (+30m) joins from
+      // buffered state; i2's click is 90m after the impression — outside
+      // the 1h attribution window; c_orphan has no impression at all.
+      clicks.addData(
+        ("i1", ts("2021-03-01 10:30:00")),
+        ("i2", ts("2021-03-01 11:35:00")),
+        ("c_orphan", ts("2021-03-01 10:40:00")))
+      q.processAllAvailable()
+      val got = spark.table("attrib_mem").collect()
+        .map(r => (r.getAs[String]("imp_id"), r.getAs[Timestamp]("click_time").toString))
+      assert(got.toSeq === Seq(("i1", "2021-03-01 10:30:00.0")))
+    } finally q.stop()
+  }
 }

@@ -92,11 +92,64 @@ object Streaming {
       |            FROM events))
       |GROUP BY user_id, sid""".stripMargin
 
+  /** Watermarked stream-stream interval join driven end-to-end through
+    * file sources: the events table splits into a 'view' (impression)
+    * stream and a 'click' stream, [[graft.streaming.StreamJoin]] pairs
+    * each click with the same user's impressions from the preceding
+    * hour, and the result lands in a parquet sink via AvailableNow. The
+    * two-sided watermarks + range condition bound both join-state
+    * buffers — the DuckDB oracle is the equivalent batch interval join,
+    * so the streamed inner join must equal it row-for-row. */
+  def streamAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val scratch = graft.Fixtures.scratchDir("attr_rt")
+    val sink = s"$scratch/sink"
+    val ev = graft.Tables.load(spark, dir, "events")
+    ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("imp_time"), col("event_id").as("imp_id"))
+      .write.parquet(s"$scratch/imps")
+    ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"), col("ts").as("click_time"),
+        col("event_id").as("click_id"))
+      .write.parquet(s"$scratch/clicks")
+    graft.streaming.StateStores.streamingSession(spark) { s =>
+      val imps = s.readStream
+        .schema("user_id BIGINT, imp_time TIMESTAMP, imp_id BIGINT")
+        .parquet(s"$scratch/imps")
+      val clicks = s.readStream
+        .schema("click_user BIGINT, click_time TIMESTAMP, click_id BIGINT")
+        .parquet(s"$scratch/clicks")
+      val q = graft.streaming.StreamJoin
+        .attribute(imps, clicks, impKey = "user_id", clickKey = "click_user")
+        .select(col("imp_id"), col("click_id"),
+          date_format(col("imp_time"), "yyyy-MM-dd HH:mm:ss").as("imp_t"),
+          date_format(col("click_time"), "yyyy-MM-dd HH:mm:ss").as("click_t"))
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(sink)
+  }
+
+  val streamAttributionSql: String =
+    """SELECT i.event_id AS imp_id, c.event_id AS click_id,
+      |  strftime(i.ts, '%Y-%m-%d %H:%M:%S') AS imp_t,
+      |  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_t
+      |FROM events i JOIN events c
+      |  ON i.user_id = c.user_id
+      | AND i.event_type = 'view' AND c.event_type = 'click'
+      | AND c.ts >= i.ts AND c.ts <= i.ts + INTERVAL 1 HOUR""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_news_dedup" -> (newsDedup _),
-    "stream_sessionize" -> (streamSessionize _))
+    "stream_sessionize" -> (streamSessionize _),
+    "stream_attribution" -> (streamAttribution _))
 
   val oracles: Map[String, String] = Map(
     "stream_news_dedup" -> newsDedupSql,
-    "stream_sessionize" -> streamSessionizeSql)
+    "stream_sessionize" -> streamSessionizeSql,
+    "stream_attribution" -> streamAttributionSql)
 }

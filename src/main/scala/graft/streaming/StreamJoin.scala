@@ -21,14 +21,18 @@ import org.apache.spark.sql.functions.expr
   */
 object StreamJoin {
 
-  /** `impressions`: (imp_id, imp_time); `clicks`: (click_imp_id,
-    * click_time). Returns matched pairs with both timestamps. */
-  def attribute(impressions: DataFrame, clicks: DataFrame): DataFrame = {
+  /** Join `impressions` (keyed by `impKey`, timed by `imp_time`) with
+    * `clicks` (keyed by `clickKey`, timed by `click_time`): matched
+    * pairs where the click lands within one hour after the impression.
+    * Key column names are parameters so the same operator serves any
+    * two streams whose key columns differ in name. */
+  def attribute(impressions: DataFrame, clicks: DataFrame,
+      impKey: String = "imp_id", clickKey: String = "click_imp_id"): DataFrame = {
     val i = impressions.withWatermark("imp_time", "1 hour")
     val c = clicks.withWatermark("click_time", "2 hours")
     i.join(c, expr(
-      """imp_id = click_imp_id AND
-        |click_time >= imp_time AND
-        |click_time <= imp_time + interval 1 hour""".stripMargin))
+      s"""$impKey = $clickKey AND
+         |click_time >= imp_time AND
+         |click_time <= imp_time + interval 1 hour""".stripMargin))
   }
 }

@@ -98,6 +98,24 @@ class ServeSpec extends SparkSpec {
     } finally spark.conf.unset("graft.stream.statePartitions")
   }
 
+  test("concurrent conf-mutating queries can't race the shared session's conf") {
+    // Two overlapping /query hits on the AQE-toggling clustering
+    // operator: both must succeed, and the shared serving session's AQE
+    // conf must be untouched afterward (the set/restore race this
+    // design replaced would leave a stale 'false' behind).
+    val before = spark.conf.get("spark.sql.adaptive.enabled")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val results = Await.result(
+      Future.sequence(Seq.fill(2)(Future(get("/query/llm_dedup_clusters?limit=5")))),
+      5.minutes)
+    results.foreach { case (code, body) =>
+      assert(code === 200 && body.contains("cluster_id"), body.take(200))
+    }
+    assert(spark.conf.get("spark.sql.adaptive.enabled") === before)
+  }
+
   test("server binds loopback only by default") {
     assert(server.getAddress.getAddress.isLoopbackAddress)
   }

@@ -221,17 +221,81 @@ object Ingestion {
        |WHERE dx.date_start IS NOT NULL""".stripMargin
   }
 
+  /** SCD Type-2 dimension merge: apply a change batch to a versioned
+    * dimension, KEEPING history — each change closes the key's open row
+    * (`valid_to` = effective date) and opens a new one; new keys insert
+    * an open row; untouched keys pass through. The reference full-
+    * refreshes its dims (insert_owid.py drop-and-reload) and the T2
+    * upsert replaces in place; SCD2 is the third maintenance mode — the
+    * one an auditable 100 TB lake wants for dims whose past must stay
+    * queryable ("what region was this nation in when the order shipped").
+    *
+    * Shape: one inner join (close), one anti join (pass-through /
+    * insert), one union — every leg keyed on the dimension key, change
+    * batch broadcast-sized in practice. Nothing iterative, no window.
+    *
+    * Inputs are deterministic derivations of `nation` (the "current
+    * dim" opens at 2020-01-01; the change batch re-homes every third
+    * nation and adds key 990), so the oracle mirrors them exactly. */
+  def scd2Merge(spark: SparkSession, dir: String): DataFrame = {
+    val eff = "2021-06-01"
+    val nation = graft.Tables.load(spark, dir, "nation")
+    val dim = nation.select(
+      col("n_nationkey").as("key"), col("n_name").as("name"),
+      col("n_regionkey").as("region"),
+      lit("2020-01-01").as("valid_from"), lit(null).cast("string").as("valid_to"))
+    val changes = nation
+      .filter(col("n_nationkey") % 3 === 0)
+      .select(col("n_nationkey").as("key"), col("n_name").as("name"),
+        (col("n_regionkey") + 1).as("region"))
+      .unionByName(spark.range(990, 991)
+        .select(col("id").cast("int").as("key"),
+          lit("NEWLAND").as("name"), lit(9).as("region")))
+    val closed = dim.join(changes.select(col("key")), Seq("key"))
+      .withColumn("valid_to", lit(eff))
+    val untouched = dim.join(changes.select(col("key")), Seq("key"), "left_anti")
+    val opened = changes
+      .withColumn("valid_from", lit(eff))
+      .withColumn("valid_to", lit(null).cast("string"))
+    untouched.unionByName(closed).unionByName(opened)
+      .select(col("key"), col("name"), col("region").cast("long").as("region"),
+        col("valid_from"), col("valid_to"))
+  }
+
+  val scd2MergeSql: String =
+    """WITH dim AS (SELECT n_nationkey AS key, n_name AS name,
+      |    n_regionkey AS region,
+      |    '2020-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to
+      |  FROM nation),
+      |changes AS (SELECT n_nationkey AS key, n_name AS name,
+      |    n_regionkey + 1 AS region FROM nation WHERE n_nationkey % 3 = 0
+      |  UNION ALL SELECT 990, 'NEWLAND', 9),
+      |closed AS (SELECT dim.key, dim.name, dim.region, dim.valid_from,
+      |    '2021-06-01' AS valid_to
+      |  FROM dim JOIN changes ON dim.key = changes.key),
+      |untouched AS (SELECT dim.* FROM dim
+      |  ANTI JOIN changes ON dim.key = changes.key),
+      |opened AS (SELECT key, name, region,
+      |    '2021-06-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to
+      |  FROM changes)
+      |SELECT key, name, CAST(region AS BIGINT) AS region, valid_from, valid_to
+      |FROM (SELECT * FROM untouched UNION ALL
+      |      SELECT * FROM closed UNION ALL
+      |      SELECT * FROM opened)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ing_cases_norm" -> (casesNorm _),
     "ing_cases_by_country" -> (casesByCountry _),
     "ing_lake_roundtrip" -> (lakeRoundtrip _),
     "ing_lake_pruned" -> (lakePruned _),
-    "ing_geo_extend" -> (geoExtendIngest _))
+    "ing_geo_extend" -> (geoExtendIngest _),
+    "ing_scd2_merge" -> (scd2Merge _))
 
   val oracles: Map[String, String] = Map(
     "ing_cases_norm" -> casesNormSql,
     "ing_cases_by_country" -> casesByCountrySql,
     "ing_lake_roundtrip" -> lakeRoundtripSql,
     "ing_lake_pruned" -> lakePrunedSql,
-    "ing_geo_extend" -> geoExtendSql)
+    "ing_geo_extend" -> geoExtendSql,
+    "ing_scd2_merge" -> scd2MergeSql)
 }

@@ -108,4 +108,17 @@ class IngestGoldenSpec extends SparkSpec {
       .map(_.getString(0)).toSet ===
       Set("contamination_a.csv", "vaccination_b.csv"))
   }
+
+  test("SCD2 merge: every changed key gets a closed row plus a new open row") {
+    val rows = queries.Ingestion.scd2Merge(spark, sf0001).collect()
+      .map(r => (r.getInt(0), Option(r.getString(4)))) // (key, valid_to)
+    val byKey = rows.groupBy(_._1)
+    byKey.foreach { case (key, vs) =>
+      val (closed, open) = vs.partition(_._2.isDefined)
+      assert(open.length === 1, s"key $key must have exactly one open row")
+      assert(closed.length === (if (key != 990 && key % 3 == 0) 1 else 0),
+        s"key $key closed-row count")
+    }
+    assert(byKey.contains(990)) // the insert path
+  }
 }

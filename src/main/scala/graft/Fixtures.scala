@@ -32,4 +32,16 @@ object Fixtures {
     }
     p.toString
   }
+
+  private val reused = new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** A scratch root memoized per prefix for the JVM's lifetime (ONE
+    * directory, ONE shutdown hook). For queries that stage a fresh
+    * run's state per invocation: they clean their subdirectories at
+    * call start instead of leaking a new temp root per call — a
+    * long-lived Serve process would otherwise grow disk and the
+    * shutdown-hook list linearly with request count. Callers that
+    * clean-then-reuse must serialize their own invocations. */
+  def reusedScratchDir(prefix: String): String =
+    reused.computeIfAbsent(prefix, _ => scratchDir(prefix))
 }

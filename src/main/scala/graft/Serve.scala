@@ -5,9 +5,9 @@ import java.nio.charset.StandardCharsets.UTF_8
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.{UnresolvedFunction, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedFunction, UnresolvedRelation, UnresolvedTableValuedFunction}
 import org.apache.spark.sql.catalyst.expressions.PlanExpression
-import org.apache.spark.sql.catalyst.plans.logical.{Command, InsertIntoDir, InsertIntoStatement, LogicalPlan, UnresolvedWith}
+import org.apache.spark.sql.catalyst.plans.logical.{Command, InsertIntoDir, InsertIntoStatement, LogicalPlan, ScriptTransformation, UnresolvedWith}
 import org.apache.spark.sql.graft.PlanShim
 
 /** Thin interactive serving layer — the Spark-side stand-in for the
@@ -98,6 +98,14 @@ object Serve {
         case c: Command => Seq(s"command ${c.getClass.getSimpleName}")
         case _: InsertIntoStatement => Seq("INSERT")
         case _: InsertIntoDir => Seq("INSERT OVERWRITE DIRECTORY")
+        // SELECT TRANSFORM ... USING '<cmd>' spawns a host process (works
+        // without Hive in no-serde mode) — the single worst thing a
+        // "query" can smuggle.
+        case _: ScriptTransformation => Seq("TRANSFORM ... USING (script execution)")
+        // FROM range(…)/any table-valued function is a non-view source:
+        // unbounded generators are a compute-DoS on the shared session.
+        case f: UnresolvedTableValuedFunction =>
+          Seq(s"table-valued function ${f.name.mkString(".")}")
         case r: UnresolvedRelation if r.multipartIdentifier.length > 1 =>
           Seq(s"non-view relation ${r.multipartIdentifier.mkString(".")}")
         case r: UnresolvedRelation if !ok(r.multipartIdentifier.head.toLowerCase) =>

@@ -33,7 +33,15 @@ object Sessions {
     * contract. `setup` must be idempotent conf-setting only. */
   def confIsolatedCached[T](spark: SparkSession, key: String)(
       setup: SparkSession => Unit)(body: SparkSession => T): T = {
-    val s = cached.computeIfAbsent((spark, key), _ => {
+    val perParent = cached.synchronized {
+      var m = cached.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, SparkSession]
+        cached.put(spark, m)
+      }
+      m
+    }
+    val s = perParent.computeIfAbsent(key, _ => {
       val c = freshClone(spark)
       setup(c)
       c
@@ -41,8 +49,14 @@ object Sessions {
     body(s)
   }
 
+  // Weak-keyed by the PARENT session so a stopped/unreferenced parent
+  // releases its clones (a clone references the shared state, not the
+  // parent object, so the weak key can actually clear) — an unbounded
+  // strong map would pin one SessionState per (parent, key) forever in
+  // any workload that builds sessions repeatedly.
   private val cached =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), SparkSession]
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, SparkSession]]
 
   private def freshClone(spark: SparkSession): SparkSession = {
     val s = spark.newSession()

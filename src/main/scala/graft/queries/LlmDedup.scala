@@ -401,7 +401,15 @@ object LlmDedup {
     * without taxing the dense-clique common case. The driver loop
     * carries only a convergence scalar, never data; the MaxIters cap
     * turns a pathological graph into an error, not an endless job. */
-  private[graft] def connectedComponents(pairsIn: DataFrame): DataFrame = {
+  /** Serializes [[connectedComponents]]: concurrent runs build
+    * structurally identical plans whose cache entries the shared
+    * CacheManager dedupes — one run's per-round `unpersist` would evict
+    * entries another run is still iterating on, silently recomputing
+    * the whole pair pipeline every remaining round. The loop is heavy
+    * enough that queueing beats that multiplied cost. */
+  private val ccLock = new Object
+
+  private[graft] def connectedComponents(pairsIn: DataFrame): DataFrame = ccLock.synchronized {
     val MaxIters = 20
     val EscalateAfter = 4
     val scratch = scala.collection.mutable.ArrayBuffer.empty[DataFrame]

@@ -18,9 +18,15 @@ object Streaming {
 
   private val landing = graft.Fixtures.newsLanding
 
-  def newsDedup(spark: SparkSession, dir: String): DataFrame = {
-    val scratch = graft.Fixtures.scratchDir("news_rt")
-    NewsStream.freshRun(spark, landing, scratch)
+  // Per-query locks: these queries clean-then-reuse ONE memoized scratch
+  // root per JVM (Fixtures.reusedScratchDir) so a long-lived Serve
+  // process doesn't leak a sink+checkpoint directory per request; the
+  // clean step makes concurrent same-query runs unsafe, hence the lock.
+  private val newsLock, sessLock, attrLock = new Object
+
+  def newsDedup(spark: SparkSession, dir: String): DataFrame = newsLock.synchronized {
+    val scratch = graft.Fixtures.reusedScratchDir("news_rt")
+    NewsStream.freshRun(spark, landing, scratch) // deletes scratch first
       .select(col("link"), col("title"), col("lang"),
         col("source.crawler").as("crawler"),
         date_format(col("date"), "yyyy-MM-dd HH:mm").as("event_time"))
@@ -43,12 +49,15 @@ object Streaming {
     * sentinel's own session stays open forever, so it never reaches the
     * sink and the result equals the BATCH sessionization of the table —
     * which is exactly what the DuckDB oracle computes. */
-  def streamSessionize(spark: SparkSession, dir: String): DataFrame = {
+  def streamSessionize(spark: SparkSession, dir: String): DataFrame = sessLock.synchronized {
     import spark.implicits._
-    val scratch = graft.Fixtures.scratchDir("sess_rt")
+    val scratch = graft.Fixtures.reusedScratchDir("sess_rt")
     val in = s"$scratch/in"
     val sink = s"$scratch/sink"
     val ckpt = s"$scratch/ckpt"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    Seq(in, sink, ckpt).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
 
     def runOnce(): Unit =
       graft.streaming.StateStores.streamingSession(spark) { s =>
@@ -108,7 +117,7 @@ object Streaming {
   private val attrInputs =
     new java.util.concurrent.ConcurrentHashMap[String, String]
 
-  def streamAttribution(spark: SparkSession, dir: String): DataFrame = {
+  def streamAttribution(spark: SparkSession, dir: String): DataFrame = attrLock.synchronized {
     val in = attrInputs.computeIfAbsent(dir, _ => {
       val d = graft.Fixtures.scratchDir("attr_in")
       val ev = graft.Tables.load(spark, dir, "events")
@@ -121,8 +130,11 @@ object Streaming {
         .write.parquet(s"$d/clicks")
       d
     })
-    val scratch = graft.Fixtures.scratchDir("attr_rt")
+    val scratch = graft.Fixtures.reusedScratchDir("attr_rt")
     val sink = s"$scratch/sink"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    Seq(sink, s"$scratch/ckpt").foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
     graft.streaming.StateStores.streamingSession(spark) { s =>
       val imps = s.readStream
         .schema("user_id BIGINT, imp_time TIMESTAMP, imp_id BIGINT")

@@ -80,7 +80,11 @@ class ServeSpec extends SparkSpec {
       "SELECT reflect('java.lang.System', 'getenv', 'HOME')",
       // single-part names must not fall through to catalog tables
       "SELECT * FROM graft_bkt_orders_00000000",
-      "SELECT * FROM some_unregistered_table")
+      "SELECT * FROM some_unregistered_table",
+      // script transform spawns a host process (no-serde mode needs no Hive)
+      "SELECT TRANSFORM(n_name) USING 'cat /etc/passwd' AS (out STRING) FROM nation",
+      // table-valued functions are non-view sources (unbounded generators)
+      "SELECT count(*) FROM range(9223372036854775807)")
     attacks.foreach { sql =>
       val (code, body) = get("/sql?q=" + java.net.URLEncoder.encode(sql, "UTF-8"))
       assert(code === 400 && body.contains("rejected"), s"not rejected: $sql -> $body")

@@ -6,7 +6,7 @@ import java.nio.charset.StandardCharsets.UTF_8
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedFunction, UnresolvedRelation, UnresolvedTableValuedFunction}
-import org.apache.spark.sql.catalyst.expressions.PlanExpression
+import org.apache.spark.sql.catalyst.expressions.{CallMethodViaReflection, PlanExpression, TryReflect}
 import org.apache.spark.sql.catalyst.plans.logical.{Command, InsertIntoDir, InsertIntoStatement, LogicalPlan, ScriptTransformation, UnresolvedWith}
 import org.apache.spark.sql.graft.PlanShim
 
@@ -58,6 +58,15 @@ object Serve {
     s"""{"columns":[${cols.mkString(",")}],"n":${rows.length},"rows":[${rows.mkString(",")}]}"""
   }
 
+  /** Function names rejected at parse time: every registered door into
+    * `CallMethodViaReflection` (arbitrary static-method invocation — env
+    * exfiltration or `System.exit`). `try_reflect` is the same capability
+    * behind a TRY wrapper. The name list is a fast, well-messaged first
+    * gate; the rot-proof backstop is [[guardAnalyzed]], which rejects the
+    * resolved expression CLASS, so a new alias Spark registers tomorrow
+    * cannot slip through on its name. */
+  private val BlockedFunctions = Set("reflect", "java_method", "try_reflect")
+
   /** Allowlist guard for `/sql`: only a pure query over the registered
     * views (plus its own CTE aliases) may run. The parsed (unexecuted)
     * plan — including subqueries and CTE definitions — must contain:
@@ -68,32 +77,26 @@ object Serve {
     * the ``parquet.`/any/path` `` host-file-read door); no single-part
     * relation outside the registered views (single-part names otherwise
     * fall through to default-database catalog tables); and no
-    * `reflect`/`java_method` call (arbitrary static-method invocation —
-    * env exfiltration or `System.exit`). Throws
-    * `IllegalArgumentException` (→ 400) with the offending node kind. */
+    * [[BlockedFunctions]] call. Throws `IllegalArgumentException` (→ 400)
+    * with the offending node kind.
+    *
+    * CTE aliases are vetted SCOPE-AWARE: an alias whitelists a relation
+    * name only where SQL makes it visible — its `WITH` body, and
+    * later definitions of the same `WITH` clause (plus its own definition
+    * under `WITH RECURSIVE`). A decoy CTE in one union branch must not
+    * whitelist that name in a sibling branch, where the analyzer would
+    * resolve it to a default-database catalog table instead (e.g. the
+    * `graft_bkt_*` staging tables [[graft.queries.Bucketed]] creates). */
   private[graft] def guardSql(spark: SparkSession, sql: String,
       allowed: Set[String]): Unit = {
+    def deferred(name: String): Boolean =
+      name.contains("ExecuteImmediate") || name.contains("UnresolvedIdentifier")
     // Explicit recursion (not collectWithSubqueries): CTE definitions in
     // UnresolvedWith live in a field, not in `children`, so a generic
     // tree walk would skip exactly the place an attacker would hide a
-    // path relation (`WITH x AS (SELECT * FROM csv.`/etc/...`) ...`).
-    def nodes(p: LogicalPlan): Seq[LogicalPlan] = {
-      val nested = p.children ++
-        (p match { case w: UnresolvedWith => w.cteRelations.map(_._2); case _ => Nil }) ++
-        p.expressions.flatMap(_.collect {
-          case pe: PlanExpression[_] => pe.plan match { case lp: LogicalPlan => lp }
-        })
-      p +: nested.flatMap(nodes)
-    }
-    val all = nodes(PlanShim.parsePlan(spark, sql))
-    // CTE aliases are legal relation names anywhere in the statement —
-    // their defining plans are in `all` and vetted like everything else.
-    val ok = allowed.map(_.toLowerCase) ++ all.collect {
-      case w: UnresolvedWith => w.cteRelations.map(_._1.toLowerCase)
-    }.flatten
-    def deferred(name: String): Boolean =
-      name.contains("ExecuteImmediate") || name.contains("UnresolvedIdentifier")
-    val offending = all.flatMap { p =>
+    // path relation (`WITH x AS (SELECT * FROM csv.`/etc/...`) ...`) —
+    // and `scope` must grow per-subtree, not globally.
+    def offenses(p: LogicalPlan, scope: Set[String]): Seq[String] = {
       val here = p match {
         case c: Command => Seq(s"command ${c.getClass.getSimpleName}")
         case _: InsertIntoStatement => Seq("INSERT")
@@ -108,22 +111,65 @@ object Serve {
           Seq(s"table-valued function ${f.name.mkString(".")}")
         case r: UnresolvedRelation if r.multipartIdentifier.length > 1 =>
           Seq(s"non-view relation ${r.multipartIdentifier.mkString(".")}")
-        case r: UnresolvedRelation if !ok(r.multipartIdentifier.head.toLowerCase) =>
+        case r: UnresolvedRelation if !scope(r.multipartIdentifier.head.toLowerCase) =>
           Seq(s"unregistered relation ${r.multipartIdentifier.head}")
         case p if deferred(p.getClass.getSimpleName) =>
           Seq(s"deferred resolution ${p.getClass.getSimpleName}")
         case _ => Nil
       }
-      here ++ p.expressions.flatMap(_.collect {
+      val inExprs = p.expressions.flatMap(_.collect {
         case f: UnresolvedFunction
-            if Set("reflect", "java_method")(f.nameParts.last.toLowerCase) =>
-          s"function ${f.nameParts.mkString(".")}"
+            if BlockedFunctions(f.nameParts.last.toLowerCase) =>
+          Seq(s"function ${f.nameParts.mkString(".")}")
         case e if deferred(e.getClass.getSimpleName) =>
-          s"deferred resolution ${e.getClass.getSimpleName}"
-      })
+          Seq(s"deferred resolution ${e.getClass.getSimpleName}")
+        // subquery expressions see the enclosing scope's aliases
+        case pe: PlanExpression[_] => pe.plan match {
+          case lp: LogicalPlan => offenses(lp, scope)
+          case _ => Nil
+        }
+      }).flatten
+      val inChildren = p match {
+        case w: UnresolvedWith =>
+          // Each definition sees the aliases defined BEFORE it (and
+          // itself only under WITH RECURSIVE — without the keyword,
+          // Spark resolves a self-reference against the catalog, which
+          // is exactly the fall-through this guard exists to stop).
+          var seen = scope
+          val defOff = w.cteRelations.flatMap { case (name, rel, _) =>
+            val defScope = if (w.allowRecursion) seen + name.toLowerCase else seen
+            val o = offenses(rel, defScope)
+            seen = seen + name.toLowerCase
+            o
+          }
+          defOff ++ offenses(w.child, seen)
+        case _ => p.children.flatMap(offenses(_, scope))
+      }
+      here ++ inExprs ++ inChildren
     }
+    val offending =
+      offenses(PlanShim.parsePlan(spark, sql), allowed.map(_.toLowerCase))
     require(offending.isEmpty,
       s"rejected: /sql accepts read-only queries over registered views; found ${offending.head}")
+  }
+
+  /** Post-analysis backstop for [[guardSql]]'s function denylist: reject
+    * any resolved plan containing the reflection expression CLASSES
+    * themselves ([[CallMethodViaReflection]] = `reflect`/`java_method`,
+    * [[TryReflect]] = `try_reflect`), whatever surface name reached them.
+    * Name denylists rot — `try_reflect` shipped after the original two —
+    * but every alias Spark registers must resolve to one of these
+    * expressions, so this check does not. Analysis executes nothing, so
+    * running it on a guard-passed statement is side-effect-free. */
+  private[graft] def guardAnalyzed(plan: LogicalPlan): Unit = {
+    val bad = plan.collectWithSubqueries { case p =>
+      p.expressions.flatMap(_.collect {
+        case e: CallMethodViaReflection => e.prettyName
+        case e: TryReflect => e.prettyName
+      })
+    }.flatten
+    require(bad.isEmpty,
+      s"rejected: /sql accepts read-only queries over registered views; found reflection function ${bad.head}")
   }
 
   /** Register the lake tables of `dir` as temp views so `/sql` sees them
@@ -173,7 +219,9 @@ object Serve {
       p.get("q") match {
         case Some(sql) =>
           guardSql(spark, sql, tables.toSet)
-          (200, render(spark.sql(sql), p.getOrElse("limit", "100").toInt))
+          val df = spark.sql(sql)
+          guardAnalyzed(PlanShim.analyzed(df))
+          (200, render(df, p.getOrElse("limit", "100").toInt))
         case None => (400, """{"error":"missing q parameter"}""")
       }
     })

@@ -78,6 +78,11 @@ class ServeSpec extends SparkSpec {
       // arbitrary static-method invocation (env exfiltration, System.exit)
       "SELECT java_method('java.lang.System', 'getenv', 'HOME')",
       "SELECT reflect('java.lang.System', 'getenv', 'HOME')",
+      // try_reflect wraps the same CallMethodViaReflection capability —
+      // the round-5 denylist missed it (any case, qualified or not)
+      "SELECT try_reflect('java.lang.System', 'getenv', 'HOME')",
+      "SELECT TRY_REFLECT('java.lang.System', 'getenv', 'HOME')",
+      "SELECT builtin.try_reflect('java.lang.System', 'getenv', 'HOME')",
       // single-part names must not fall through to catalog tables
       "SELECT * FROM graft_bkt_orders_00000000",
       "SELECT * FROM some_unregistered_table",
@@ -93,6 +98,65 @@ class ServeSpec extends SparkSpec {
     val (ok, body) = get("/sql?q=" + java.net.URLEncoder.encode(
       "WITH x AS (SELECT n_name FROM nation) SELECT count(*) AS n FROM x", "UTF-8"))
     assert(ok === 200 && body.contains("\"n\":1"))
+  }
+
+  test("CTE aliases whitelist a name only where SQL makes it visible") {
+    def rejected(sql: String): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        Serve.guardSql(spark, sql, Tables.names.toSet)
+      }
+      assert(e.getMessage.contains("rejected"), s"not rejected: $sql")
+    }
+    // self-reference without RECURSIVE resolves against the CATALOG, not
+    // the CTE — the name must not whitelist its own definition's body
+    rejected("WITH graft_bkt_x AS (SELECT * FROM graft_bkt_x) " +
+      "SELECT * FROM graft_bkt_x")
+    // a definition must not see aliases defined AFTER it
+    rejected("WITH b AS (SELECT * FROM a), " +
+      "a AS (SELECT n_name FROM nation) SELECT * FROM b")
+    // a decoy CTE inside one branch's subquery must not whitelist the
+    // name in a sibling branch (where it falls through to the catalog —
+    // e.g. a graft_bkt_* staging table)
+    rejected("SELECT n_name FROM nation " +
+      "WHERE EXISTS (WITH sneak AS (SELECT 1 AS x) SELECT x FROM sneak) " +
+      "UNION ALL SELECT * FROM sneak")
+    // in-scope uses stay legal: later definitions see earlier ones
+    Serve.guardSql(spark,
+      "WITH a AS (SELECT n_name FROM nation), b AS (SELECT * FROM a) " +
+        "SELECT count(*) AS n FROM b", Tables.names.toSet)
+    // ... and RECURSIVE makes the self-reference a real CTE reference
+    Serve.guardSql(spark,
+      "WITH RECURSIVE r AS (SELECT 1 AS n UNION ALL " +
+        "SELECT n + 1 FROM r WHERE n < 3) SELECT * FROM r", Tables.names.toSet)
+  }
+
+  test("guardAnalyzed rejects reflection by expression class, not name") {
+    // The backstop that keeps the denylist from rotting: whatever surface
+    // name resolves to CallMethodViaReflection/TryReflect is rejected at
+    // the analyzed plan, even if the parse-time name check were bypassed.
+    Seq(
+      "SELECT try_reflect('java.lang.System', 'getenv', 'HOME')",
+      "SELECT reflect('java.lang.System', 'getenv', 'HOME')",
+      "SELECT 1 WHERE java_method('java.lang.System', 'getenv', 'HOME') IS NOT NULL"
+    ).foreach { sql =>
+      val e = intercept[IllegalArgumentException] {
+        Serve.guardAnalyzed(
+          org.apache.spark.sql.graft.PlanShim.analyzed(spark.sql(sql)))
+      }
+      assert(e.getMessage.contains("reflection"), s"not rejected: $sql")
+    }
+    // a plain query passes the backstop untouched
+    Serve.guardAnalyzed(org.apache.spark.sql.graft.PlanShim.analyzed(
+      spark.sql("SELECT 1 AS one")))
+  }
+
+  test("a rejected /sql request leaves no catalog residue behind") {
+    val before = spark.catalog.listTables().collect().map(_.name).toSet
+    val (code, _) = get("/sql?q=" + java.net.URLEncoder.encode(
+      "WITH decoy AS (SELECT 1) SELECT * FROM parquet.`/etc/passwd`", "UTF-8"))
+    assert(code === 400)
+    val after = spark.catalog.listTables().collect().map(_.name).toSet
+    assert(after === before)
   }
 
   test("conf-isolated clones carry custom runtime keys (not just registered confs)") {

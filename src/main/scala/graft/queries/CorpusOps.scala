@@ -58,10 +58,16 @@ object CorpusOps {
       .select(col("doc_id").as("eval_id"), col("a"), col("b"))
     val tr = g.filter(col("doc_id") % EvalMod =!= 0)
       .select(col("doc_id").as("train_id"), col("a"), col("b"))
-    tr.join(ev, Seq("a", "b"))
+    val out = tr.join(ev, Seq("a", "b"))
       .groupBy(col("train_id"), col("eval_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 2)
+    // Materialize the (tiny) contamination pairs once, then release the
+    // index cache — a long-lived Serve session must not accumulate one
+    // persisted index per dir (see [[LlmDedup.incrementalDedup]]).
+    val snap = out.localCheckpoint()
+    g.unpersist()
+    snap
   }
 
   val decontaminateSql: String =

@@ -601,11 +601,26 @@ object LlmDedup {
       .partitionBy(col("batch_id")).orderBy(col("jaccard").desc, col("dup_of").asc)
     val nbest = nr.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("batch_id"), col("dup_of"), lit("near").as("kind"), col("jaccard"))
-    ex.select(col("batch_id"), col("dup_of"),
+    val out = ex.select(col("batch_id"), col("dup_of"),
         lit("exact").as("kind"), lit(1.0).as("jaccard"))
       .unionByName(nbest)
+    // Materialize the batch-sized verdicts ONCE (lineage truncated), then
+    // drop every working cache — under a long-lived Serve session the
+    // persists above would otherwise accumulate per distinct dir forever
+    // (the [[connectedComponents]] discipline). A lazy return can't do
+    // this: unpersisting before the caller's action would recompute the
+    // whole pipeline cache-less. Checkpoint blocks are executor-local and
+    // freed by the ContextCleaner with the frame, not cacheManager entries.
+    val snap = out.localCheckpoint()
+    Seq(d, cr, cs0, cs, bs).foreach(_.unpersist())
+    snap
   }
 
+  /** `bd` must ANTI JOIN `cr`, not `th NOT IN (SELECT th FROM cr)`: a
+    * NULL `documents.text` puts a NULL th into `cr`, and SQL `NOT IN`
+    * over a NULL-bearing set returns NO rows — while the Spark side's
+    * `left_anti` (and the anti join here) keeps every non-matching batch
+    * doc. */
   val incrementalDedupSql: String =
     s"""WITH d AS (SELECT doc_id, ${normTextSql()} AS norm,
        |             md5(${normTextSql()}) AS th,
@@ -614,8 +629,8 @@ object LlmDedup {
        |ex AS (SELECT d.doc_id AS batch_id, cr.rep AS dup_of
        |       FROM d JOIN cr USING (th) WHERE d.is_batch),
        |crd AS (SELECT cr.rep AS doc_id, d.norm FROM cr JOIN d ON d.doc_id = cr.rep),
-       |bd AS (SELECT doc_id, norm FROM d
-       |       WHERE is_batch AND th NOT IN (SELECT th FROM cr)),
+       |bd AS (SELECT d.doc_id, d.norm FROM d ANTI JOIN cr USING (th)
+       |       WHERE d.is_batch),
        |ct AS (SELECT doc_id, string_split(norm, ' ') AS t FROM crd),
        |bt AS (SELECT doc_id, string_split(norm, ' ') AS t FROM bd),
        |cs0 AS (SELECT DISTINCT doc_id,

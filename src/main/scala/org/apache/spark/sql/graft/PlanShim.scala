@@ -22,6 +22,12 @@ object PlanShim {
   def analyzed(df: DataFrame): LogicalPlan =
     df.queryExecution.analyzed
 
+  /** True when the session's shared plan cache holds no entries
+    * (`sharedState` is `private[sql]`). Lets tests assert an operator
+    * released every frame it persisted. */
+  def cacheIsEmpty(spark: SparkSession): Boolean =
+    spark.asInstanceOf[classic.SparkSession].sharedState.cacheManager.isEmpty
+
   /** Parse SQL to its unresolved logical plan WITHOUT executing it
     * (`sessionState` is `private[sql]`, hence here). Lets callers vet a
     * statement's shape — command vs query, relations referenced —

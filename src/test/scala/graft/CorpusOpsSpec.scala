@@ -28,9 +28,13 @@ class CorpusOpsSpec extends SparkSpec {
       (1L, leaked, "web"), // exact copy in train: 4 shared 3-grams
       (2L, "alpha beta gamma nine ten eleven twelve", "web"), // only 1 shared
       (3L, "one two three four five six seven", "web"))) // disjoint
+    spark.catalog.clearCache()
     val got = CorpusOps.decontaminate(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got === Set((1L, 97L, 4L)))
+    // lifecycle: the persisted shingle index was released with the result
+    assert(org.apache.spark.sql.graft.PlanShim.cacheIsEmpty(spark),
+      "decontaminate left its persisted index behind")
   }
 
   test("repetition computes top-2-gram and dup-5-gram fractions per doc") {

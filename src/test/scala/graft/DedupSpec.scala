@@ -87,15 +87,26 @@ class DedupSpec extends SparkSpec {
       // corpus (ids not divisible by 7): an exact clique {1,2} and a bystander
       (1L, base), (2L, base),
       (3L, "unrelated totally different words here now indeed"),
+      // NULL text on BOTH sides: a NULL-th corpus rep must not pair with
+      // anything, and a NULL-th batch doc must come out clean — this is
+      // the divergence class the oracle's former `th NOT IN (SELECT th
+      // FROM cr)` collapsed on (NULL in the set -> zero rows)
+      (5L, null),
       // batch (ids divisible by 7)
       (7L, base), // exact copy -> hash join, dup_of = clique rep 1
       (14L, base.replace("theta", "iota")), // 5 of 7 shingles shared -> near
-      (21L, "completely novel content nothing shared at all"))) // clean
+      (21L, "completely novel content nothing shared at all"), // clean
+      (28L, null)))
+    spark.catalog.clearCache()
     val got = queries.LlmDedup.incrementalDedup(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSet
     assert(got === Set(
       (7L, 1L, "exact", 1.0),
       (14L, 1L, "near", 5.0 / 7)))
+    // lifecycle: every frame the operator persisted was released (a
+    // long-lived Serve session must not accumulate caches per dir)
+    assert(org.apache.spark.sql.graft.PlanShim.cacheIsEmpty(spark),
+      "incrementalDedup left persisted frames behind")
   }
 
   /** Write a synthetic documents table (Tables.load layout) to a temp

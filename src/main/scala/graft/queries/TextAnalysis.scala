@@ -80,6 +80,87 @@ object TextAnalysis {
        |SELECT doc_id, score, CAST(rank AS BIGINT) AS rank
        |FROM r WHERE rank BETWEEN 9 AND 16""".stripMargin
 
+  // ----------------------------------------------------------- bm25 search
+
+  /** BM25 shape parameters (the textbook defaults). */
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+
+  /** The fixed demo query shared by [[searchBm25]] and its oracle. */
+  private val Bm25Terms = Seq("spark", "join", "src3")
+
+  /** IDF-weighted full-text ranking — the BM25-lite upgrade of
+    * [[search]]'s unweighted token-overlap score, closing the semantic
+    * gap with the ES `best_fields` relevance the reference serves
+    * (news_app/app/app/src/SearchUI.js:15-33): a term appearing in few
+    * documents now outranks a corpus-wide one, and long documents stop
+    * winning on raw hit count.
+    *
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    * idf(t) = ln(1 + (N−df+0.5)/(df+0.5)) — BM25 with the standard
+    * k1=1.2, b=0.75.
+    *
+    * Scale shape: pass 1 folds the corpus statistics (N, Σdl, per-term
+    * df) to ONE row — integer sums only, so the fold is order-exact —
+    * which then rides a broadcast to pass 2's narrow per-doc scoring;
+    * the final top-k is the same WindowGroupLimit rank the other search
+    * uses (per-partition top-k, one k-row merge — never a corpus-wide
+    * single-partition window). Cross-engine determinism: every input to
+    * the float math is exact (counts, lengths, shared literals) and the
+    * expression order is mirrored in the oracle, with the one
+    * transcendental (`ln`) fenced by round(…, 6) on both sides. */
+  def searchBm25(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .withColumn("t", toks(col("text"))) // materialize once (see LlmDedup)
+    val dl = size(col("t")).cast("long")
+    val stats = docs.select(
+      struct(
+        count(lit(1)).cast("double").as("n"),
+        (sum(dl).cast("double") / count(lit(1))).as("avgdl") +:
+          Bm25Terms.zipWithIndex.map { case (term, i) =>
+            sum(array_contains(col("t"), term).cast("long"))
+              .cast("double").as(s"df$i")
+          }: _*).as("st"))
+    val scored = docs.join(broadcast(stats))
+    val dlD = size(col("t")).cast("double")
+    val score = Bm25Terms.zipWithIndex.map { case (term, i) =>
+      val tf = size(filter(col("t"), w => w === term)).cast("double")
+      val df = col("st").getField(s"df$i")
+      val idf = log(lit(1.0) + (col("st").getField("n") - df + 0.5) / (df + 0.5))
+      val tfc = (tf * (Bm25K1 + 1.0)) /
+        (tf + lit(Bm25K1) * (lit(1.0 - Bm25B) +
+          lit(Bm25B) * dlD / col("st").getField("avgdl")))
+      idf * tfc
+    }.reduce(_ + _)
+    val w = Window.orderBy(col("score").desc, col("doc_id").asc)
+    scored.select(col("doc_id"), round(score, 6).as("score"))
+      .filter(col("score") > 0)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+  }
+
+  val searchBm25Sql: String = {
+    val statCols = Bm25Terms.zipWithIndex.map { case (term, i) =>
+      s"CAST(CAST(SUM(CASE WHEN list_contains(t, '$term') THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) AS df$i"
+    }.mkString(",\n    ")
+    val scoreTerms = Bm25Terms.zipWithIndex.map { case (term, i) =>
+      s"""ln(1.0 + (n - df$i + 0.5) / (df$i + 0.5)) *
+         |      ((len(list_filter(t, w -> w = '$term')) * ${Bm25K1 + 1.0}) /
+         |       (len(list_filter(t, w -> w = '$term')) + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * len(t) / avgdl)))""".stripMargin
+    }.mkString(" +\n      ")
+    s"""WITH d AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |    CAST(CAST(SUM(len(t)) AS BIGINT) AS DOUBLE) / COUNT(*) AS avgdl,
+       |    $statCols
+       |  FROM d),
+       |s AS (SELECT doc_id, round($scoreTerms, 6) AS score FROM d, st),
+       |r AS (SELECT doc_id, score,
+       |        row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+       |      FROM s WHERE score > 0)
+       |SELECT doc_id, score, CAST(rank AS BIGINT) AS rank FROM r
+       |WHERE rank <= 10""".stripMargin
+  }
+
   // -------------------------------------------------------------- lang id
 
   private val lexicons: Seq[(String, Seq[String])] = Seq(
@@ -265,6 +346,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_search_topk" -> (searchTopk _),
+    "txt_search_bm25" -> (searchBm25 _),
     "txt_lang_id" -> (langId _),
     "txt_quality" -> (quality _),
     "txt_token_stats" -> (tokenStats _),
@@ -273,6 +355,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "txt_search_topk" -> searchTopkSql,
+    "txt_search_bm25" -> searchBm25Sql,
     "txt_lang_id" -> langIdSql,
     "txt_quality" -> qualitySql,
     "txt_token_stats" -> tokenStatsSql,

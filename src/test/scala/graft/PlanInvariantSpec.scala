@@ -15,7 +15,9 @@ class PlanInvariantSpec extends SparkSpec {
   import PlanTestUtil.deepCollect
 
   private val eagerPrefixes = Seq("stream_", "ing_", "mm_")
-  private val eagerNames = Set("llm_dedup_clusters", "rel_bucketed_join")
+  private val eagerNames = Set("llm_dedup_clusters", "rel_bucketed_join",
+    // checkpoint-then-unpersist their working caches on construction
+    "llm_incremental_dedup", "llm_decontaminate")
 
   test("every lazily-planned catalog query plans without a cartesian product") {
     val names = SparkEntry.queries.keys.toSeq.sorted

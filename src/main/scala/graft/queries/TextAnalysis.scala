@@ -113,14 +113,14 @@ object TextAnalysis {
     val docs = Tables.load(spark, dir, "documents")
       .withColumn("t", toks(col("text"))) // materialize once (see LlmDedup)
     val dl = size(col("t")).cast("long")
-    val stats = docs.select(
-      struct(
-        count(lit(1)).cast("double").as("n"),
+    val statCols: Seq[Column] =
+      count(lit(1)).cast("double").as("n") +:
         (sum(dl).cast("double") / count(lit(1))).as("avgdl") +:
-          Bm25Terms.zipWithIndex.map { case (term, i) =>
-            sum(array_contains(col("t"), term).cast("long"))
-              .cast("double").as(s"df$i")
-          }: _*).as("st"))
+        Bm25Terms.zipWithIndex.map { case (term, i) =>
+          sum(array_contains(col("t"), term).cast("long"))
+            .cast("double").as(s"df$i")
+        }
+    val stats = docs.select(struct(statCols: _*).as("st"))
     val scored = docs.join(broadcast(stats))
     val dlD = size(col("t")).cast("double")
     val score = Bm25Terms.zipWithIndex.map { case (term, i) =>

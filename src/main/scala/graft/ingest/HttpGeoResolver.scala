@@ -1,0 +1,88 @@
+package graft.ingest
+
+import java.net.{URI, URLEncoder}
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+import java.time.Duration
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+/** Live HTTP [[GeoResolver]] over a Nominatim-style search endpoint
+  * (reference: insert_owid.py:81-87 — `Nominatim(...).geocode(name,
+  * addressdetails=True)`, keeping a hit only when the response carries
+  * both coordinates and `address.country_code`).
+  *
+  * Request shape matches Nominatim's public search API:
+  * `GET {endpoint}?q=<name>&format=json&addressdetails=1&limit=1`,
+  * response a JSON array of candidates with string `lat`/`lon` and an
+  * `address.country_code` field. A well-formed miss (empty array, or a
+  * candidate without country_code/coords — the reference's
+  * geocode-miss branch) returns None; a transport failure after
+  * `retries` attempts throws, because silently mapping outages to
+  * "unresolvable name" would poison the extension parquet.
+  *
+  * Serializable per the [[GeoResolver]] contract ([[GeoExtend.extension]]
+  * runs resolvers inside executor tasks); the HttpClient and JSON
+  * mapper are per-executor transient lazies. Rate limiting stays where
+  * it is — `extension(numSlots = 1)` funnels all names through one
+  * task, exactly the serial discipline the reference applies.
+  */
+class HttpGeoResolver(
+    endpoint: String,
+    retries: Int = 3,
+    backoffMs: Long = 500,
+    timeoutSeconds: Long = 10) extends GeoResolver {
+
+  @transient private lazy val client = HttpClient.newBuilder()
+    .connectTimeout(Duration.ofSeconds(timeoutSeconds))
+    .followRedirects(HttpClient.Redirect.NORMAL)
+    .build()
+
+  @transient private lazy val mapper = new ObjectMapper()
+
+  def resolve(name: String): Option[GeoResolver.Hit] = {
+    val q = URLEncoder.encode(name, StandardCharsets.UTF_8)
+    val url = s"$endpoint?q=$q&format=json&addressdetails=1&limit=1"
+    val req = HttpRequest.newBuilder(URI.create(url))
+      .timeout(Duration.ofSeconds(timeoutSeconds))
+      .header("User-Agent", "graft-geoextend") // Nominatim requires one
+      .GET().build()
+
+    var attempt = 0
+    var lastErr: Throwable = null
+    while (attempt < retries) {
+      try {
+        val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+        if (resp.statusCode() >= 200 && resp.statusCode() < 300)
+          return parse(resp.body())
+        lastErr = new RuntimeException(s"HTTP ${resp.statusCode()} for $url")
+      } catch { case e: Exception => lastErr = e }
+      attempt += 1
+      if (attempt < retries) Thread.sleep(backoffMs * (1L << (attempt - 1)))
+    }
+    throw new RuntimeException(
+      s"geocode failed after $retries attempts: $url", lastErr)
+  }
+
+  /** First candidate with coords + country_code, else None — the same
+    * acceptance test as the reference's `if location and location.raw
+    * and "country_code" in location.raw["address"]`. */
+  private def parse(body: String): Option[GeoResolver.Hit] = {
+    val root = mapper.readTree(body)
+    if (root == null || !root.isArray || root.size() == 0) return None
+    val c = root.get(0)
+    val cc = Option(c.path("address").path("country_code").asText(null))
+    (cc, numeric(c.path("lat")), numeric(c.path("lon"))) match {
+      case (Some(code), Some(lat), Some(lon)) if code.nonEmpty =>
+        Some(GeoResolver.Hit(code.toUpperCase, lat, lon))
+      case _ => None
+    }
+  }
+
+  /** Nominatim serializes coordinates as strings ("48.85"); accept
+    * either a JSON number or a parseable string. */
+  private def numeric(n: JsonNode): Option[Double] =
+    if (n.isNumber) Some(n.asDouble)
+    else if (n.isTextual) n.asText.toDoubleOption
+    else None
+}

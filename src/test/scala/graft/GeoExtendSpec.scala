@@ -1,7 +1,12 @@
 package graft
 
+import java.net.{InetSocketAddress, URLDecoder}
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.atomic.AtomicInteger
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 import org.apache.spark.sql.functions._
-import graft.ingest.{CasesIngest, GeoExtend, GeoResolver, SourceSpec}
+import graft.ingest.{CasesIngest, GeoExtend, GeoResolver, HttpGeoResolver, SourceSpec}
 
 /** Golden test for the P5 geocoder-tail extension job
   * (reference: flow/scripts/insert_owid.py:81-87 calls Nominatim per
@@ -53,6 +58,46 @@ class GeoExtendSpec extends SparkSpec {
     assert(atlantis.length === 1)
     assert(atlantis(0).getAs[Long]("confirmed") === 77L)
     assert(atlantis(0).getAs[String]("iso_code2") === "AT")
+  }
+
+  test("HTTP resolver resolves end-to-end against a live Nominatim-style server") {
+    // Nominatim-shaped answers: Atlantis/Narnia place (string lat/lon +
+    // address.country_code), Mu returns a candidate WITHOUT country_code
+    // — the reference's geocode-miss branch (insert_owid.py:90-96).
+    val answers = Map(
+      "Atlantis" -> """[{"lat":"12.5","lon":"-44.25","address":{"country_code":"at"}}]""",
+      "Narnia" -> """[{"lat":"51.0","lon":"3.5","address":{"country_code":"na"}}]""",
+      "Mu" -> """[{"lat":"0.0","lon":"0.0","address":{}}]""")
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val count = new AtomicInteger(0)
+    server.createContext("/search", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        // First request 503s to prove the retry path, like HttpFetchSpec.
+        if (count.getAndIncrement() < 1) {
+          ex.sendResponseHeaders(503, -1); ex.close(); return
+        }
+        val q = ex.getRequestURI.getQuery.split("&")
+          .map(_.split("=", 2)).collectFirst {
+            case Array("q", v) => URLDecoder.decode(v, StandardCharsets.UTF_8)
+          }.getOrElse("")
+        val body = answers.getOrElse(q, "[]").getBytes(StandardCharsets.UTF_8)
+        ex.getResponseHeaders.add("Content-Type", "application/json")
+        ex.sendResponseHeaders(200, body.length)
+        ex.getResponseBody.write(body); ex.close()
+      }
+    })
+    server.start()
+    try {
+      val resolver = new HttpGeoResolver(
+        s"http://127.0.0.1:${server.getAddress.getPort}/search",
+        retries = 3, backoffMs = 1)
+      val ext = GeoExtend.extension(spark, Seq(spec), dim, resolver)
+      val rows = ext.collect().map(r => r.getAs[String]("name") ->
+        (r.getAs[String]("iso2"), r.getAs[Double]("lat"), r.getAs[Double]("lon"))).toMap
+      assert(rows.keySet === Set("Atlantis", "Narnia")) // Mu: no country_code
+      assert(rows("Atlantis") === (("AT", 12.5, -44.25)))
+      assert(rows("Narnia") === (("NA", 51.0, 3.5)))
+    } finally server.stop(0)
   }
 
   test("extension uids are deterministic and never collide with the dim") {

@@ -41,13 +41,18 @@ class PlanInvariantSpec extends SparkSpec {
     // doesn't fire — WindowGroupLimit pre-limits each partition. If a
     // plan change ever loses both, the query silently becomes a
     // full-corpus single-partition sort — fail here instead.
-    val df = SparkEntry.queries("txt_search_topk")(spark, sf0001)
-    val plan = df.queryExecution.executedPlan
-    val bounded = deepCollect(plan) {
-      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec if t.limit <= 16 => t
-      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    // txt_search_bm25's `rank <= 10` filter rides the same rewrite over
+    // its un-partitioned scoring window — pin both search queries.
+    Seq("txt_search_topk" -> 16, "txt_search_bm25" -> 10).foreach {
+      case (name, k) =>
+        val df = SparkEntry.queries(name)(spark, sf0001)
+        val plan = df.queryExecution.executedPlan
+        val bounded = deepCollect(plan) {
+          case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec if t.limit <= k => t
+          case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+        }
+        assert(bounded.nonEmpty,
+          s"$name lost its pre-limit (TakeOrderedAndProject/WindowGroupLimit):\n$plan")
     }
-    assert(bounded.nonEmpty,
-      s"txt_search_topk lost its pre-limit (TakeOrderedAndProject/WindowGroupLimit):\n$plan")
   }
 }

@@ -100,6 +100,34 @@ class GeoExtendSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("HTTP resolver accepts numeric coords and treats an empty result as a miss") {
+    val answers = Map(
+      // Some Nominatim proxies serialize coords as JSON numbers, not
+      // strings — both must parse.
+      "Numville" -> """[{"lat":7.25,"lon":-3.5,"address":{"country_code":"nu"}}]""")
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/search", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val q = ex.getRequestURI.getQuery.split("&")
+          .map(_.split("=", 2)).collectFirst {
+            case Array("q", v) => URLDecoder.decode(v, StandardCharsets.UTF_8)
+          }.getOrElse("")
+        val body = answers.getOrElse(q, "[]").getBytes(StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(200, body.length)
+        ex.getResponseBody.write(body); ex.close()
+      }
+    })
+    server.start()
+    try {
+      val resolver = new HttpGeoResolver(
+        s"http://127.0.0.1:${server.getAddress.getPort}/search",
+        retries = 2, backoffMs = 1)
+      assert(resolver.resolve("Numville") ===
+        Some(GeoResolver.Hit("NU", 7.25, -3.5)))
+      assert(resolver.resolve("Nowhere") === None) // empty JSON array
+    } finally server.stop(0)
+  }
+
   test("extension uids are deterministic and never collide with the dim") {
     val ext = GeoExtend.extension(spark, Seq(spec), dim, GeoResolver.Fixture)
     val extNames = ext.select("name")

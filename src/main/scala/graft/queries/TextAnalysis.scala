@@ -161,6 +161,66 @@ object TextAnalysis {
        |WHERE rank <= 10""".stripMargin
   }
 
+  // ------------------------------------------------------- unigram LM
+
+  /** Corpus-unigram language-model scoring — the exact-LM core of a
+    * CCNet-style perplexity filter (Wenzek et al. 2020 filter on LM
+    * score; here the LM is the corpus's own unigram distribution, so the
+    * whole thing is closed-form and oracle-checkable): per doc, the mean
+    * token log-probability `avg_lp = (1/n) Σ_w tf(w)·ln(c(w)/T)` under
+    * corpus counts `c(w)`, total `T`. Low scores flag outlier/rare-token
+    * docs; a pipeline thresholds on the band it wants to keep.
+    *
+    * Scale shape — the canonical TF-IDF join family, which nothing else
+    * in the catalog exercises: one exploded pass map-side-collapses to
+    * per-doc term frequencies (distinct (doc,w) pairs, far smaller than
+    * the token stream), a second exploded pass folds the vocabulary
+    * counts (Zipf-bounded — millions of rows at 100 TB, not
+    * corpus-sized), `T` folds doc lengths in a narrow third scan (no
+    * explode — Σ|t_d| = Σc(w)) to ONE broadcast row, and the tf⋈vocab
+    * join on `w` is AQE's choice: broadcast while the vocab is small,
+    * shuffle-join co-partitioned with the vocab agg once it isn't. The
+    * final per-doc re-agg shuffles the already-collapsed tf rows only.
+    * Cross-engine determinism: every input to the float math is exact
+    * (counts), the only transcendental (`ln`) stays unrounded inside a
+    * double sum whose accumulated ulp error (~1e-13 at any realistic
+    * doc length) sits far inside check.py's 1e-8 band, and the single
+    * round(…,6) happens at the very end on both sides — the same fence
+    * [[searchBm25]] uses. */
+  def unigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .withColumn("t", toks(col("text"))) // materialize once (see LlmDedup)
+    val tok = docs.select(col("doc_id"), explode(col("t")).as("w"))
+    val tf = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val uni = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    // T = Σ_w c(w) = Σ_d |t_d|: fold doc lengths instead of re-aggregating
+    // the vocabulary — Spark doesn't reuse the uni subtree across branches
+    // (see PLANS.md), and this form replaces that third token-level
+    // explode+shuffle pass with a narrow column-pruned scan.
+    val tot = docs.agg(sum(size(col("t")).cast("long")).cast("double").as("tot"))
+    tf.join(uni, "w").join(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).cast("long").as("n_toks"),
+        sum(col("tf").cast("double") *
+          log(col("c").cast("double") / col("tot"))).as("slp"))
+      .select(col("doc_id"), col("n_toks"),
+        round(col("slp") / col("n_toks").cast("double"), 6).as("avg_lp"))
+  }
+
+  val unigramLmSql: String =
+    s"""WITH d AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |tok AS (SELECT doc_id, unnest(t) AS w FROM d),
+       |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+       |uni AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+       |tot AS (SELECT CAST(CAST(SUM(len(t)) AS BIGINT) AS DOUBLE) AS tot FROM d)
+       |SELECT doc_id,
+       |  CAST(SUM(tf) AS BIGINT) AS n_toks,
+       |  round(SUM(CAST(tf AS DOUBLE) * ln(CAST(c AS DOUBLE) / tot))
+       |        / CAST(SUM(tf) AS BIGINT), 6) AS avg_lp
+       |FROM tf JOIN uni USING (w), tot
+       |GROUP BY doc_id""".stripMargin
+
   // -------------------------------------------------------------- lang id
 
   private val lexicons: Seq[(String, Seq[String])] = Seq(
@@ -347,6 +407,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_search_topk" -> (searchTopk _),
     "txt_search_bm25" -> (searchBm25 _),
+    "txt_unigram_lm" -> (unigramLm _),
     "txt_lang_id" -> (langId _),
     "txt_quality" -> (quality _),
     "txt_token_stats" -> (tokenStats _),
@@ -356,6 +417,7 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "txt_search_topk" -> searchTopkSql,
     "txt_search_bm25" -> searchBm25Sql,
+    "txt_unigram_lm" -> unigramLmSql,
     "txt_lang_id" -> langIdSql,
     "txt_quality" -> qualitySql,
     "txt_token_stats" -> tokenStatsSql,

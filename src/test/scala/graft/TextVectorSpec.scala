@@ -28,6 +28,35 @@ class TextVectorSpec extends SparkSpec {
     assert(n === Tables.load(spark, sf0001, "documents").count())
   }
 
+  test("unigram-LM scores: every doc covered, token totals exact, hand-check") {
+    val rows = TextAnalysis.unigramLm(spark, sf0001).collect()
+    val docs = Tables.load(spark, sf0001, "documents")
+    assert(rows.length === docs.count())
+    // n_toks per doc must equal the whitespace token count exactly.
+    import org.apache.spark.sql.functions._
+    val expected = docs.select(col("doc_id"),
+      size(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " "))
+        .cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_toks") === expected(r.getAs[Long]("doc_id")))
+      // avg log-prob under the corpus's own unigram LM is strictly
+      // negative (no word is the whole corpus) and ≥ ln(1/T).
+      val lp = r.getAs[Double]("avg_lp")
+      assert(lp < 0.0)
+    }
+    // Hand-check one doc end-to-end against a driver-side recompute.
+    val toks = docs.select(col("doc_id"),
+      split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1))
+    val counts = toks.flatMap(_._2).groupBy(identity).map { case (w, g) => w -> g.length.toLong }
+    val total = counts.values.sum.toDouble
+    val (docId, t) = toks.head
+    val exp = t.map(w => math.log(counts(w) / total)).sum / t.length
+    val got = rows.find(_.getAs[Long]("doc_id") == docId).get.getAs[Double]("avg_lp")
+    assert(math.abs(got - BigDecimal(exp).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 2e-6)
+  }
+
   test("brute-force top-k: scores descend, no self-match, k respected") {
     val rows = VectorSearch.bruteTopk(spark, sf0001).collect()
     val byQ = rows.groupBy(_.getAs[Long]("q_id"))

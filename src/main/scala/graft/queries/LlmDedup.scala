@@ -659,13 +659,78 @@ object LlmDedup {
        |UNION ALL
        |SELECT batch_id, dup_of, 'near' AS kind, j AS jaccard FROM nbest""".stripMargin
 
+  // ------------------------------------------------- substring-dup coverage
+
+  /** Cross-document duplicated-substring coverage — the ExactSubstr
+    * signal of Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better", arXiv:2107.06499): per document, the
+    * fraction of token positions covered by at least one word 5-gram
+    * that also occurs in ANOTHER document. [[CorpusOps.repetition]]
+    * measures within-doc repetition; this is the cross-doc axis — the
+    * number substring-level dedup (remove-the-span, not
+    * drop-the-document) keys its decisions on.
+    *
+    * Scale shape: the gram stream is built narrowly (one projected
+    * md5-per-position array per doc, then posexplode — the token array
+    * is never duplicated per position), the dup-gram set is two
+    * map-side-collapsing aggregations (distinct (gram, doc) pairs →
+    * grams in ≥2 docs), the gram⋈dup join is keyed on the 128-bit gram
+    * hash (AQE broadcasts while the dup set is small), and coverage is
+    * a bounded 5× position explode followed by doc-keyed distinct +
+    * count. Nothing is pairwise; cost is linear in corpus tokens plus
+    * the duplicated-span volume. Determinism: counts and positions are
+    * exact integers; `dup_frac` is a division of identical ints —
+    * bit-identical cross-engine with no rounding fence needed. */
+  def substrDupCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .withColumn("t", toks(col("text")))
+    val gramArr = when(size(col("t")) >= 5,
+      transform(sequence(lit(1), size(col("t")) - 4),
+        p => md5(array_join(slice(col("t"), p, lit(5)), " "))))
+      .otherwise(array().cast("array<string>"))
+    val grams = docs
+      .select(col("doc_id"), posexplode(gramArr).as(Seq("p0", "g")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("g"))
+    val dup = grams.select(col("g"), col("doc_id")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("g"))
+    val covered = grams.join(dup, "g")
+      .select(col("doc_id"), explode(sequence(col("p"), col("p") + 4)).as("pos"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_pos"))
+    docs.select(col("doc_id"), size(col("t")).cast("long").as("n_toks"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("n_dup_pos"), lit(0L)).as("n_dup_pos"),
+        (coalesce(col("n_dup_pos"), lit(0L)).cast("double") /
+          col("n_toks").cast("double")).as("dup_frac"))
+  }
+
+  val substrDupCoverageSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(${normTextSql()}, ' ') AS t FROM documents),
+       |gr AS (SELECT doc_id, i AS p, md5(array_to_string(t[i:i+4], ' ')) AS g
+       |       FROM d, unnest(range(1, len(t) - 3)) AS r(i)
+       |       WHERE len(t) >= 5),
+       |dup AS (SELECT g FROM (SELECT DISTINCT g, doc_id FROM gr)
+       |        GROUP BY g HAVING COUNT(*) >= 2),
+       |cov AS (SELECT DISTINCT doc_id, p + o AS pos
+       |        FROM gr SEMI JOIN dup USING (g), unnest([0,1,2,3,4]) AS u(o)),
+       |cc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_pos
+       |       FROM cov GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(len(t) AS BIGINT) AS n_toks,
+       |       COALESCE(n_dup_pos, 0) AS n_dup_pos,
+       |       CAST(COALESCE(n_dup_pos, 0) AS DOUBLE) / CAST(len(t) AS BIGINT) AS dup_frac
+       |FROM d LEFT JOIN cc USING (doc_id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_exact_dedup" -> (exactDedup _),
     "llm_minhash_neardup" -> (minhashNearDup _),
     "llm_simhash" -> (simhash _),
     "llm_shingle_jaccard" -> (shingleJaccard _),
     "llm_dedup_clusters" -> (dedupClusters _),
-    "llm_incremental_dedup" -> (incrementalDedup _))
+    "llm_incremental_dedup" -> (incrementalDedup _),
+    "llm_substr_dup" -> (substrDupCoverage _))
 
   val oracles: Map[String, String] = Map(
     "llm_exact_dedup" -> exactDedupSql,
@@ -673,5 +738,6 @@ object LlmDedup {
     "llm_simhash" -> simhashSql,
     "llm_shingle_jaccard" -> shingleJaccardSql,
     "llm_dedup_clusters" -> dedupClustersSql,
-    "llm_incremental_dedup" -> incrementalDedupSql)
+    "llm_incremental_dedup" -> incrementalDedupSql,
+    "llm_substr_dup" -> substrDupCoverageSql)
 }

@@ -122,6 +122,26 @@ class DedupSpec extends SparkSpec {
     dir
   }
 
+  test("substring-dup coverage: overlapping shared 5-gram spans union per doc") {
+    val dir = docsDir(Seq(
+      1L -> "a b c d e f g h", // shares "a b c d e" (p1) and "b c d e f" (p2)
+      2L -> "x y a b c d e z", // shares "a b c d e" at p3
+      3L -> "q w e r t", //        its only 5-gram is unique -> no coverage
+      4L -> "a b c d e", //        exactly the shared gram -> fully covered
+      5L -> "a b c d e f", //      identical pair: both grams dup, spans
+      6L -> "a b c d e f")) //     1-5 and 2-6 union to 1-6 -> fully covered
+    val rows = graft.queries.LlmDedup.substrDupCoverage(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_toks"), r.getAs[Long]("n_dup_pos"),
+          r.getAs[Double]("dup_frac")))).toMap
+    assert(rows(1L) === ((8L, 6L, 6.0 / 8))) // union of 1-5 and 2-6
+    assert(rows(2L) === ((8L, 5L, 5.0 / 8)))
+    assert(rows(3L) === ((5L, 0L, 0.0)))
+    assert(rows(4L) === ((5L, 5L, 1.0)))
+    assert(rows(5L) === ((6L, 6L, 1.0)))
+    assert(rows(6L) === ((6L, 6L, 1.0)))
+  }
+
   test("a 1k-copy duplicate clique collapses before the band join") {
     // The scale regression guarded here: a same-text clique of size k
     // used to reach the LSH band join as O(k²) candidate pairs (and the

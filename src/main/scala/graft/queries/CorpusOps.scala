@@ -235,15 +235,59 @@ object CorpusOps {
        |  COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS sum_tokens
        |FROM c GROUP BY 1, 2, 3""".stripMargin
 
+  // ------------------------------------------------------- JSONL export
+
+  /** Number of export shards. Here 8 so sf0.01 exercises multi-shard
+    * layout; at 100 TB the same op runs with thousands of shards plus
+    * `maxRecordsPerFile` — the shard key and layout are what matter. */
+  private val ExportShards = 8
+
+  /** Sharded gzip-JSONL export — the delivery last-mile of a training
+    * corpus (the lake stores parquet; trainers consume JSONL shards).
+    * Deterministic sharding on `doc_id % shards`, written as one
+    * directory per shard (`partitionBy`), gzip-compressed. The query
+    * returns the ROUNDTRIP: the exported JSONL read back and folded to
+    * per-shard counts, char totals, and an order-independent content
+    * signature (sum of 32-bit md5 prefixes of the text) — proving both
+    * the shard layout and schema/content fidelity through the JSON
+    * boundary. The oracle computes the identical fold from the parquet
+    * source, so any loss or mangling in the export path hash-fails.
+    *
+    * Scale: the export itself is one narrow pass (no shuffle beyond the
+    * partitioned write); the verification fold is one shuffle keyed on
+    * the shard id. */
+  def exportJsonl(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_export"
+    Tables.load(spark, dir, "documents")
+      .withColumn("shard", pmod(col("doc_id"), lit(ExportShards.toLong)))
+      .write.mode("overwrite").partitionBy("shard")
+      .option("compression", "gzip").json(out)
+    spark.read.json(out)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+          .as("text_sig"))
+  }
+
+  val exportJsonlSql: String =
+    s"""SELECT doc_id % $ExportShards AS shard, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       |  CAST(SUM(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS text_sig
+       |FROM documents GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_decontaminate" -> (decontaminate _),
     "txt_repetition" -> (repetition _),
     "llm_domain_mixture" -> (domainMixture _),
-    "llm_pack_bins" -> (packBins _))
+    "llm_pack_bins" -> (packBins _),
+    "llm_export_jsonl" -> (exportJsonl _))
 
   val oracles: Map[String, String] = Map(
     "llm_decontaminate" -> decontaminateSql,
     "txt_repetition" -> repetitionSql,
     "llm_domain_mixture" -> domainMixtureSql,
-    "llm_pack_bins" -> packBinsSql)
+    "llm_pack_bins" -> packBinsSql,
+    "llm_export_jsonl" -> exportJsonlSql)
 }

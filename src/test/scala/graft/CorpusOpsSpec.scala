@@ -75,6 +75,23 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.forall(_.getLong(4) <= 600L))
   }
 
+  test("JSONL export: sharded gzip layout on disk, roundtrip totals exact") {
+    val rows = CorpusOps.exportJsonl(spark, sf0001).collect()
+    val docs = Tables.load(spark, sf0001, "documents")
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    assert(rows.length === 8 && rows.map(_.getAs[Long]("shard")).toSet === (0L to 7L).toSet)
+    // The export really is a sharded gzip-JSONL tree on disk.
+    val out = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_export")
+    val shardDirs = out.listFiles().filter(_.getName.startsWith("shard="))
+    assert(shardDirs.length === 8)
+    assert(shardDirs.forall(_.listFiles().exists(_.getName.endsWith(".json.gz"))))
+    // Char totals survive the JSON boundary exactly.
+    import org.apache.spark.sql.functions._
+    val expectChars = docs.agg(sum(col("n_chars"))).collect()(0).getLong(0)
+    assert(rows.map(_.getAs[Long]("sum_chars")).sum === expectChars)
+  }
+
   test("domain mixture selection is deterministic across runs") {
     val rows = (1L to 20L).map(i => (i, s"words for doc $i", if (i <= 15) "a" else "b"))
     val dir = docsDir(rows)

@@ -332,6 +332,37 @@ object TextAnalysis {
        |  MAX(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS max_bpe_toks
        |FROM documents GROUP BY source""".stripMargin
 
+  // ------------------------------------------------------------ vocabulary
+
+  /** Corpus vocabulary, top-100 tokens by frequency — the count table a
+    * tokenizer trainer (BPE/SentencePiece) consumes and the first
+    * artifact any corpus audit asks for. One exploded pass with map-side
+    * partial aggregation folds the token stream to vocabulary rows
+    * (Zipf-bounded), and the global top-k rides the same
+    * WindowGroupLimit/TakeOrderedAndProject pre-limit as the search
+    * queries — per-partition top-100, one 100-row merge, never a
+    * vocabulary-wide single-partition sort. Ties break on the token
+    * itself, so the cut is deterministic. */
+  def vocabTopk(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .withColumn("t", toks(col("text")))
+    val w = Window.orderBy(col("n_occ").desc, col("token").asc)
+    docs.select(explode(col("t")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occ"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 100)
+  }
+
+  val vocabTopkSql: String =
+    s"""WITH tok AS (SELECT unnest($toksSql) AS token FROM documents),
+       |v AS (SELECT token, COUNT(*) AS n_occ FROM tok GROUP BY token),
+       |r AS (SELECT token, n_occ,
+       |        row_number() OVER (ORDER BY n_occ DESC, token ASC) AS rank
+       |      FROM v)
+       |SELECT token, n_occ, CAST(rank AS BIGINT) AS rank
+       |FROM r WHERE rank <= 100""".stripMargin
+
   // -------------------------------------------------------- fingerprint
 
   /** Rolling char-16-gram fingerprint (winnowing-lite): md5 each 16-char
@@ -411,6 +442,7 @@ object TextAnalysis {
     "txt_lang_id" -> (langId _),
     "txt_quality" -> (quality _),
     "txt_token_stats" -> (tokenStats _),
+    "txt_vocab_topk" -> (vocabTopk _),
     "txt_fingerprint" -> (fingerprint _),
     "txt_scrub" -> (scrub _))
 
@@ -421,6 +453,7 @@ object TextAnalysis {
     "txt_lang_id" -> langIdSql,
     "txt_quality" -> qualitySql,
     "txt_token_stats" -> tokenStatsSql,
+    "txt_vocab_topk" -> vocabTopkSql,
     "txt_fingerprint" -> fingerprintSql,
     "txt_scrub" -> scrubSql)
 }

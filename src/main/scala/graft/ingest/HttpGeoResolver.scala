@@ -53,10 +53,23 @@ class HttpGeoResolver(
     while (attempt < retries) {
       try {
         val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
-        if (resp.statusCode() >= 200 && resp.statusCode() < 300)
-          return parse(resp.body())
-        lastErr = new RuntimeException(s"HTTP ${resp.statusCode()} for $url")
-      } catch { case e: Exception => lastErr = e }
+        val code = resp.statusCode()
+        if (code >= 200 && code < 300) return parse(resp.body())
+        // Retry only what can heal: 5xx (server trouble) and 429 (rate
+        // limit). Any other 4xx is a permanent request defect — burning
+        // the retry budget on exponential sleeps just delays the
+        // inevitable throw inside an executor task.
+        if (code >= 400 && code < 500 && code != 429)
+          throw new RuntimeException(s"geocode rejected (HTTP $code, not retryable): $url")
+        lastErr = new RuntimeException(s"HTTP $code for $url")
+      } catch {
+        // Task cancellation must propagate promptly — never swallowed
+        // into a retry sleep.
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt(); throw e
+        case e: java.net.http.HttpTimeoutException => lastErr = e
+        case e: java.io.IOException => lastErr = e
+      }
       attempt += 1
       if (attempt < retries) Thread.sleep(backoffMs * (1L << (attempt - 1)))
     }

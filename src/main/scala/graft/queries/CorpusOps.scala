@@ -242,6 +242,18 @@ object CorpusOps {
     * `maxRecordsPerFile` — the shard key and layout are what matter. */
   private val ExportShards = 8
 
+  // exportJsonl clean-then-reuses ONE memoized scratch root per JVM
+  // (Fixtures.reusedScratchDir) — the overwrite-then-read-back sequence
+  // makes concurrent same-query runs unsafe, hence the per-query lock
+  // (same convention as Streaming's newsLock, Streaming.scala:21-29).
+  private val exportLock = new Object
+
+  /** The export's on-disk location (exposed for CorpusOpsSpec's layout
+    * assertions; one stable directory per JVM, never a shared fixed
+    * path two JVMs could clobber). */
+  private[graft] def exportDir: String =
+    graft.Fixtures.reusedScratchDir("jsonl_export")
+
   /** Sharded gzip-JSONL export — the delivery last-mile of a training
     * corpus (the lake stores parquet; trainers consume JSONL shards).
     * Deterministic sharding on `doc_id % shards`, written as one
@@ -256,12 +268,15 @@ object CorpusOps {
     * Scale: the export itself is one narrow pass (no shuffle beyond the
     * partitioned write); the verification fold is one shuffle keyed on
     * the shard id. */
-  def exportJsonl(spark: SparkSession, dir: String): DataFrame = {
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_export"
+  def exportJsonl(spark: SparkSession, dir: String): DataFrame = exportLock.synchronized {
+    val out = exportDir
     Tables.load(spark, dir, "documents")
       .withColumn("shard", pmod(col("doc_id"), lit(ExportShards.toLong)))
       .write.mode("overwrite").partitionBy("shard")
       .option("compression", "gzip").json(out)
+    // The fold must finish before the lock releases (a lazy frame read
+    // after the next overwrite would fold the NEXT invocation's shards),
+    // so pin the read-back eagerly and return the pinned snapshot.
     spark.read.json(out)
       .groupBy(col("shard").cast("long").as("shard"))
       .agg(
@@ -269,10 +284,15 @@ object CorpusOps {
         sum(col("n_chars")).as("sum_chars"),
         sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
           .as("text_sig"))
+      .localCheckpoint()
   }
 
+  // pmod on the Spark side is always non-negative; mirror it exactly in
+  // the oracle (DuckDB's % is sign-preserving) so a negative doc_id
+  // lands in the same shard group on both sides.
   val exportJsonlSql: String =
-    s"""SELECT doc_id % $ExportShards AS shard, COUNT(*) AS n_docs,
+    s"""SELECT ((doc_id % $ExportShards) + $ExportShards) % $ExportShards AS shard,
+       |  COUNT(*) AS n_docs,
        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
        |  CAST(SUM(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS text_sig
        |FROM documents GROUP BY 1""".stripMargin

@@ -81,8 +81,7 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_docs")).sum === docs.count())
     assert(rows.length === 8 && rows.map(_.getAs[Long]("shard")).toSet === (0L to 7L).toSet)
     // The export really is a sharded gzip-JSONL tree on disk.
-    val out = new java.io.File(
-      s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_export")
+    val out = new java.io.File(CorpusOps.exportDir)
     val shardDirs = out.listFiles().filter(_.getName.startsWith("shard="))
     assert(shardDirs.length === 8)
     assert(shardDirs.forall(_.listFiles().exists(_.getName.endsWith(".json.gz"))))
@@ -90,6 +89,24 @@ class CorpusOpsSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val expectChars = docs.agg(sum(col("n_chars"))).collect()(0).getLong(0)
     assert(rows.map(_.getAs[Long]("sum_chars")).sum === expectChars)
+  }
+
+  test("JSONL export: concurrent invocations serialize, both folds correct") {
+    // Regression for the r9 fixed-tmp-path race: two overlapping exports
+    // (e.g. two Serve clients) must not interleave an overwrite with a
+    // read-back. With the per-query lock both folds see a complete,
+    // single-dataset shard tree.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val expect = CorpusOps.exportJsonl(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val runs = Seq.fill(2)(Future {
+      CorpusOps.exportJsonl(spark, sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    })
+    Await.result(Future.sequence(runs), 120.seconds)
+      .foreach(got => assert(got === expect))
   }
 
   test("domain mixture selection is deterministic across runs") {

@@ -22,7 +22,12 @@ import org.apache.spark.sql.graft.PlanShim
   *   - `GET /tables`                       registered table names
   *   - `GET /sql?q=<sql>&limit=N`          ad-hoc Spark SQL over the lake
   *   - `GET /search?q=<terms>&page=P&size=N` best-fields doc search
-  *     (the F6 EP3 shape, [[graft.queries.TextAnalysis.search]])
+  *     (the F6 EP3 shape): multi-field BM25 relevance ranking
+  *     ([[graft.queries.TextAnalysis.bm25Search]]) — IDF-weighted,
+  *     length-normalized, max-over-fields, the same scoring family the
+  *     reference's ES `multi_match best_fields` serves; `rank=overlap`
+  *     selects the unweighted token-overlap ranker
+  *     ([[graft.queries.TextAnalysis.search]]) for comparison
   *   - `GET /query/<name>`                 any catalog query by name
   *
   * Serving, not analytics: every response is `limit`-bounded before
@@ -233,7 +238,11 @@ object Serve {
       else {
         val page = p.getOrElse("page", "1").toInt
         val size = p.getOrElse("size", "10").toInt
-        (200, render(graft.queries.TextAnalysis.search(spark, dir, terms, page, size), size))
+        val df =
+          if (p.get("rank").contains("overlap"))
+            graft.queries.TextAnalysis.search(spark, dir, terms, page, size)
+          else graft.queries.TextAnalysis.bm25Search(spark, dir, terms, page, size)
+        (200, render(df, size))
       }
     })
 

@@ -23,15 +23,19 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
   *
   * Serializable per the [[GeoResolver]] contract ([[GeoExtend.extension]]
   * runs resolvers inside executor tasks); the HttpClient and JSON
-  * mapper are per-executor transient lazies. Rate limiting stays where
-  * it is — `extension(numSlots = 1)` funnels all names through one
-  * task, exactly the serial discipline the reference applies.
+  * mapper are per-executor transient lazies. Concurrency limiting stays
+  * where it is — `extension(numSlots = 1)` funnels all names through one
+  * task, exactly the serial discipline the reference applies — and
+  * `minIntervalMs` adds the REQUEST-RATE half of politeness: at least
+  * that many ms between consecutive HTTP sends from this resolver
+  * (public Nominatim policy is 1 req/s → 1000), covering retries too.
   */
 class HttpGeoResolver(
     endpoint: String,
     retries: Int = 3,
     backoffMs: Long = 500,
-    timeoutSeconds: Long = 10) extends GeoResolver {
+    timeoutSeconds: Long = 10,
+    minIntervalMs: Long = 0) extends GeoResolver {
 
   @transient private lazy val client = HttpClient.newBuilder()
     .connectTimeout(Duration.ofSeconds(timeoutSeconds))
@@ -39,6 +43,17 @@ class HttpGeoResolver(
     .build()
 
   @transient private lazy val mapper = new ObjectMapper()
+
+  /** Wall-clock of the last HTTP send (politeness state; per-executor
+    * instance, which is the whole population because `numSlots = 1`). */
+  @transient private var lastSendAt = 0L
+
+  /** Sleep until `minIntervalMs` has elapsed since the previous send. */
+  private def politePause(): Unit = if (minIntervalMs > 0) synchronized {
+    val wait = lastSendAt + minIntervalMs - System.currentTimeMillis()
+    if (wait > 0) Thread.sleep(wait)
+    lastSendAt = System.currentTimeMillis()
+  }
 
   def resolve(name: String): Option[GeoResolver.Hit] = {
     val q = URLEncoder.encode(name, StandardCharsets.UTF_8)
@@ -51,25 +66,32 @@ class HttpGeoResolver(
     var attempt = 0
     var lastErr: Throwable = null
     while (attempt < retries) {
-      try {
+      politePause()
+      // The try covers ONLY the transport (send + status triage): a 2xx
+      // body is parsed OUTSIDE it, so a malformed body — a permanent
+      // schema/content defect, e.g. the endpoint switching to HTML —
+      // fails fast instead of burning the whole retry budget as if it
+      // were a transient transport error. (HttpTimeoutException needs no
+      // case of its own: it IS an IOException.)
+      val body: Option[String] = try {
         val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
         val code = resp.statusCode()
-        if (code >= 200 && code < 300) return parse(resp.body())
+        if (code >= 200 && code < 300) Some(resp.body())
         // Retry only what can heal: 5xx (server trouble) and 429 (rate
         // limit). Any other 4xx is a permanent request defect — burning
         // the retry budget on exponential sleeps just delays the
         // inevitable throw inside an executor task.
-        if (code >= 400 && code < 500 && code != 429)
+        else if (code >= 400 && code < 500 && code != 429)
           throw new RuntimeException(s"geocode rejected (HTTP $code, not retryable): $url")
-        lastErr = new RuntimeException(s"HTTP $code for $url")
+        else { lastErr = new RuntimeException(s"HTTP $code for $url"); None }
       } catch {
         // Task cancellation must propagate promptly — never swallowed
         // into a retry sleep.
         case e: InterruptedException =>
           Thread.currentThread().interrupt(); throw e
-        case e: java.net.http.HttpTimeoutException => lastErr = e
-        case e: java.io.IOException => lastErr = e
+        case e: java.io.IOException => lastErr = e; None
       }
+      body.foreach(b => return parse(b))
       attempt += 1
       if (attempt < retries) Thread.sleep(backoffMs * (1L << (attempt - 1)))
     }

@@ -242,15 +242,19 @@ object CorpusOps {
     * `maxRecordsPerFile` — the shard key and layout are what matter. */
   private val ExportShards = 8
 
-  // exportJsonl clean-then-reuses ONE memoized scratch root per JVM
-  // (Fixtures.reusedScratchDir) — the overwrite-then-read-back sequence
-  // makes concurrent same-query runs unsafe, hence the per-query lock
-  // (same convention as Streaming's newsLock, Streaming.scala:21-29).
-  private val exportLock = new Object
+  // The overwrite-then-read-back sequence makes concurrent runs against
+  // the SAME output path unsafe, so each path gets its own lock (same
+  // convention as Streaming's newsLock, Streaming.scala:21-29) — two
+  // different datasets exporting to two different destinations proceed
+  // fully concurrently.
+  private val exportLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]
+  private def lockFor(out: String): Object =
+    exportLocks.computeIfAbsent(out, _ => new Object)
 
-  /** The export's on-disk location (exposed for CorpusOpsSpec's layout
-    * assertions; one stable directory per JVM, never a shared fixed
-    * path two JVMs could clobber). */
+  /** The catalog entry's default export location (exposed for
+    * CorpusOpsSpec's layout assertions; one stable directory per JVM,
+    * never a shared fixed path two JVMs could clobber). */
   private[graft] def exportDir: String =
     graft.Fixtures.reusedScratchDir("jsonl_export")
 
@@ -268,24 +272,36 @@ object CorpusOps {
     * Scale: the export itself is one narrow pass (no shuffle beyond the
     * partitioned write); the verification fold is one shuffle keyed on
     * the shard id. */
-  def exportJsonl(spark: SparkSession, dir: String): DataFrame = exportLock.synchronized {
-    val out = exportDir
-    Tables.load(spark, dir, "documents")
-      .withColumn("shard", pmod(col("doc_id"), lit(ExportShards.toLong)))
-      .write.mode("overwrite").partitionBy("shard")
-      .option("compression", "gzip").json(out)
-    // The fold must finish before the lock releases (a lazy frame read
-    // after the next overwrite would fold the NEXT invocation's shards),
-    // so pin the read-back eagerly and return the pinned snapshot.
-    spark.read.json(out)
-      .groupBy(col("shard").cast("long").as("shard"))
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum(col("n_chars")).as("sum_chars"),
-        sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
-          .as("text_sig"))
-      .localCheckpoint()
-  }
+  def exportJsonl(spark: SparkSession, dir: String): DataFrame =
+    exportJsonlTo(spark, dir, exportDir)
+
+  /** [[exportJsonl]] with a caller-chosen destination — the production
+    * form (shards land next to the lake, not in scratch). Callers
+    * exporting different datasets to different paths run concurrently;
+    * only same-path invocations serialize. */
+  def exportJsonlTo(spark: SparkSession, dir: String, out: String): DataFrame =
+    lockFor(out).synchronized {
+      Tables.load(spark, dir, "documents")
+        .withColumn("shard", pmod(col("doc_id"), lit(ExportShards.toLong)))
+        .write.mode("overwrite").partitionBy("shard")
+        .option("compression", "gzip").json(out)
+      // The fold must finish before the lock releases (a lazy frame read
+      // after the next overwrite would fold the NEXT invocation's
+      // shards). Pin it as DRIVER-held rows, not localCheckpoint: the
+      // result is one row per shard (bounded, small at any scale), and
+      // executor-memory blocks would not survive executor churn on a
+      // real cluster (dynamic allocation, preemption).
+      val folded = spark.read.json(out)
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+            .as("text_sig"))
+      val rows = folded.collect() // bounded: ExportShards rows
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), folded.schema)
+    }
 
   // pmod on the Spark side is always non-negative; mirror it exactly in
   // the oracle (DuckDB's % is sign-preserving) so a negative doc_id

@@ -161,6 +161,107 @@ object TextAnalysis {
        |WHERE rank <= 10""".stripMargin
   }
 
+  // ------------------------------------------------ bm25 best_fields
+
+  /** The two scored fields: full text, and a synthesized title (the
+    * leading 8 tokens — the corpus has no separate title column; the
+    * POINT is the per-field statistics machinery, which is identical
+    * whatever column the tokens come from). */
+  private val Bm25TitleLen = 8
+
+  /** Multi-field BM25 with `best_fields` semantics — the full shape of
+    * the reference's ES `multi_match` query
+    * (news_app/app/app/src/SearchUI.js:22-26): EVERY queried field is
+    * scored as its own BM25 corpus (own df, own avgdl, own dl) and the
+    * document's score is the MAX over fields, so a doc whose TITLE
+    * matches all terms outranks one whose body mentions them in passing.
+    * [[searchBm25]] scores the single `text` field; this closes the
+    * best_fields gap on top of it.
+    *
+    * Scale shape (unchanged from the single-field op): pass 1 folds ALL
+    * per-field statistics — shared N, per-field Σdl, per-(field, term)
+    * df — into the SAME one-row broadcast (integer sums only, so the
+    * fold is order-exact; 2 fields × 3 terms = 8 numbers, constant
+    * size at any corpus), pass 2 scores each field narrowly per doc and
+    * takes `greatest`, and the top-k is the WindowGroupLimit pre-limit
+    * rank (per-partition top-k, one k-row merge). Cross-engine
+    * determinism: same contract as [[searchBm25]] — exact inputs,
+    * mirrored expression order, one round(…,6) fence at the end. */
+  def searchBm25Fields(spark: SparkSession, dir: String): DataFrame =
+    bm25Search(spark, dir, Bm25Terms, page = 1, pageSize = 10)
+
+  /** The parameterized form behind [[searchBm25Fields]] and the `/search`
+    * endpoint of [[graft.Serve]]: arbitrary query terms, 1-based page —
+    * the relevance-ranked replacement for the unweighted [[search]]. */
+  def bm25Search(spark: SparkSession, dir: String, terms: Seq[String],
+      page: Int, pageSize: Int): DataFrame = {
+    require(terms.nonEmpty && page >= 1 && pageSize >= 1,
+      s"bm25Search needs >=1 term, page>=1, pageSize>=1 (got $terms, $page, $pageSize)")
+    val docs = Tables.load(spark, dir, "documents")
+      .withColumn("t", toks(col("text"))) // materialize once (see LlmDedup)
+      .withColumn("ttl", slice(col("t"), 1, Bm25TitleLen))
+    val fields = Seq("text" -> col("t"), "title" -> col("ttl"))
+    val statCols: Seq[Column] =
+      count(lit(1)).cast("double").as("n") +:
+        fields.flatMap { case (f, tc) =>
+          (sum(size(tc).cast("long")).cast("double") / count(lit(1)))
+            .as(s"avgdl_$f") +:
+            terms.zipWithIndex.map { case (term, i) =>
+              sum(array_contains(tc, term).cast("long"))
+                .cast("double").as(s"df_${f}_$i")
+            }
+        }
+    val stats = docs.select(struct(statCols: _*).as("st"))
+    val scored = docs.join(broadcast(stats))
+    def fieldScore(f: String, tc: Column): Column = {
+      val dlD = size(tc).cast("double")
+      terms.zipWithIndex.map { case (term, i) =>
+        val tf = size(filter(tc, w => w === term)).cast("double")
+        val df = col("st").getField(s"df_${f}_$i")
+        val idf = log(lit(1.0) + (col("st").getField("n") - df + 0.5) / (df + 0.5))
+        val tfc = (tf * (Bm25K1 + 1.0)) /
+          (tf + lit(Bm25K1) * (lit(1.0 - Bm25B) +
+            lit(Bm25B) * dlD / col("st").getField(s"avgdl_$f")))
+        idf * tfc
+      }.reduce(_ + _)
+    }
+    val best = greatest(fields.map { case (f, tc) => fieldScore(f, tc) }: _*)
+    val w = Window.orderBy(col("score").desc, col("doc_id").asc)
+    val (lo, hi) = ((page - 1) * pageSize + 1, page * pageSize)
+    scored.select(col("doc_id"), round(best, 6).as("score"))
+      .filter(col("score") > 0)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") >= lo && col("rank") <= hi)
+  }
+
+  val searchBm25FieldsSql: String = {
+    val fields = Seq("text" -> "t", "title" -> s"t[1:$Bm25TitleLen]")
+    val statCols = fields.flatMap { case (f, tc) =>
+      s"CAST(CAST(SUM(len($tc)) AS BIGINT) AS DOUBLE) / COUNT(*) AS avgdl_$f" +:
+        Bm25Terms.zipWithIndex.map { case (term, i) =>
+          s"CAST(CAST(SUM(CASE WHEN list_contains($tc, '$term') THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) AS df_${f}_$i"
+        }
+    }.mkString(",\n    ")
+    def fieldScore(f: String, tc: String): String =
+      Bm25Terms.zipWithIndex.map { case (term, i) =>
+        s"""ln(1.0 + (n - df_${f}_$i + 0.5) / (df_${f}_$i + 0.5)) *
+           |      ((len(list_filter($tc, w -> w = '$term')) * ${Bm25K1 + 1.0}) /
+           |       (len(list_filter($tc, w -> w = '$term')) + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * len($tc) / avgdl_$f)))""".stripMargin
+      }.mkString(" +\n      ")
+    val best = fields.map { case (f, tc) => fieldScore(f, tc) }
+      .mkString("greatest(", ",\n      ", ")")
+    s"""WITH d AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |    $statCols
+       |  FROM d),
+       |s AS (SELECT doc_id, round($best, 6) AS score FROM d, st),
+       |r AS (SELECT doc_id, score,
+       |        row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+       |      FROM s WHERE score > 0)
+       |SELECT doc_id, score, CAST(rank AS BIGINT) AS rank FROM r
+       |WHERE rank <= 10""".stripMargin
+  }
+
   // ------------------------------------------------------- unigram LM
 
   /** Corpus-unigram language-model scoring — the exact-LM core of a
@@ -182,11 +283,12 @@ object TextAnalysis {
     * shuffle-join co-partitioned with the vocab agg once it isn't. The
     * final per-doc re-agg shuffles the already-collapsed tf rows only.
     * Cross-engine determinism: every input to the float math is exact
-    * (counts), the only transcendental (`ln`) stays unrounded inside a
-    * double sum whose accumulated ulp error (~1e-13 at any realistic
-    * doc length) sits far inside check.py's 1e-8 band, and the single
-    * round(…,6) happens at the very end on both sides — the same fence
-    * [[searchBm25]] uses. */
+    * (counts), and the per-term contributions `tf·ln(c/T)` — doubles
+    * that get RE-AGGREGATED across shuffle partitions — go through
+    * DECIMAL(28,12) (the file-wide invariant, same as [[quality]]), so
+    * the per-doc sum is order-independent whatever the partition count
+    * or AQE's add order; the single round(…,6) happens at the very end
+    * on both sides. */
   def unigramLm(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
       .withColumn("t", toks(col("text"))) // materialize once (see LlmDedup)
@@ -202,8 +304,9 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(
         sum(col("tf")).cast("long").as("n_toks"),
-        sum(col("tf").cast("double") *
-          log(col("c").cast("double") / col("tot"))).as("slp"))
+        sum((col("tf").cast("double") *
+          log(col("c").cast("double") / col("tot")))
+          .cast("decimal(28,12)")).cast("double").as("slp"))
       .select(col("doc_id"), col("n_toks"),
         round(col("slp") / col("n_toks").cast("double"), 6).as("avg_lp"))
   }
@@ -216,7 +319,8 @@ object TextAnalysis {
        |tot AS (SELECT CAST(CAST(SUM(len(t)) AS BIGINT) AS DOUBLE) AS tot FROM d)
        |SELECT doc_id,
        |  CAST(SUM(tf) AS BIGINT) AS n_toks,
-       |  round(SUM(CAST(tf AS DOUBLE) * ln(CAST(c AS DOUBLE) / tot))
+       |  round(CAST(SUM(CAST(CAST(tf AS DOUBLE) * ln(CAST(c AS DOUBLE) / tot)
+       |                      AS DECIMAL(28,12))) AS DOUBLE)
        |        / CAST(SUM(tf) AS BIGINT), 6) AS avg_lp
        |FROM tf JOIN uni USING (w), tot
        |GROUP BY doc_id""".stripMargin
@@ -438,6 +542,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_search_topk" -> (searchTopk _),
     "txt_search_bm25" -> (searchBm25 _),
+    "txt_search_bm25_fields" -> (searchBm25Fields _),
     "txt_unigram_lm" -> (unigramLm _),
     "txt_lang_id" -> (langId _),
     "txt_quality" -> (quality _),
@@ -449,6 +554,7 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "txt_search_topk" -> searchTopkSql,
     "txt_search_bm25" -> searchBm25Sql,
+    "txt_search_bm25_fields" -> searchBm25FieldsSql,
     "txt_unigram_lm" -> unigramLmSql,
     "txt_lang_id" -> langIdSql,
     "txt_quality" -> qualitySql,

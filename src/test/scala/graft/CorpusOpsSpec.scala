@@ -91,22 +91,47 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("sum_chars")).sum === expectChars)
   }
 
-  test("JSONL export: concurrent invocations serialize, both folds correct") {
-    // Regression for the r9 fixed-tmp-path race: two overlapping exports
-    // (e.g. two Serve clients) must not interleave an overwrite with a
-    // read-back. With the per-query lock both folds see a complete,
-    // single-dataset shard tree.
+  test("JSONL export: concurrent same-path invocations serialize, all folds correct") {
+    // Regression for the r9 fixed-tmp-path race: overlapping exports to
+    // the SAME path (e.g. several Serve clients) must not interleave an
+    // overwrite with a read-back. Six concurrent runs, not two — with
+    // the per-path lock removed, low overlap pressure passes by timing
+    // luck; this makes a reintroduced race deterministically visible.
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
     val expect = CorpusOps.exportJsonl(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
-    val runs = Seq.fill(2)(Future {
+    val runs = Seq.fill(6)(Future {
       CorpusOps.exportJsonl(spark, sf0001).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     })
-    Await.result(Future.sequence(runs), 120.seconds)
+    Await.result(Future.sequence(runs), 300.seconds)
       .foreach(got => assert(got === expect))
+  }
+
+  test("JSONL export: two datasets export concurrently to two paths") {
+    // Different destinations take different locks: neither dataset's
+    // overwrite can clobber the other's read-back, and nothing forces
+    // them to serialize. Interleave 2 runs per (dataset, path) pair.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    def fold(dir: String, out: String): Set[(Long, Long, Long, Long)] =
+      CorpusOps.exportJsonlTo(spark, dir, out).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val dirB = docsDir((1L to 30L).map(i => (i, s"body text of document $i", "s")))
+    val outA = java.nio.file.Files.createTempDirectory("graft_export_a").toString
+    val outB = java.nio.file.Files.createTempDirectory("graft_export_b").toString
+    val expectA = fold(sf0001, outA)
+    val expectB = fold(dirB, outB)
+    assert(expectA !== expectB) // distinguishable datasets, or the test proves nothing
+    val runs = (1 to 2).flatMap(_ => Seq(
+      Future(("a", fold(sf0001, outA))), Future(("b", fold(dirB, outB)))))
+    Await.result(Future.sequence(runs), 300.seconds).foreach {
+      case ("a", got) => assert(got === expectA)
+      case (_, got) => assert(got === expectB)
+    }
   }
 
   test("domain mixture selection is deterministic across runs") {

@@ -128,6 +128,43 @@ class GeoExtendSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("minIntervalMs paces consecutive requests; malformed 2xx JSON fails fast") {
+    val hits = new AtomicInteger(0)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/search", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val n = hits.incrementAndGet()
+        // Request 4+ answers HTML — the "endpoint changed under us" case.
+        val body = (if (n <= 3)
+          """[{"lat":"1.0","lon":"2.0","address":{"country_code":"xx"}}]"""
+        else "<html>maintenance</html>").getBytes(StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(200, body.length)
+        ex.getResponseBody.write(body); ex.close()
+      }
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/search"
+      val polite = new HttpGeoResolver(url, retries = 2, backoffMs = 1,
+        minIntervalMs = 150)
+      val t0 = System.nanoTime()
+      (1 to 3).foreach(i => assert(polite.resolve(s"Place$i").isDefined))
+      // 3 sends, 2 enforced gaps → ≥ 300 ms wall (politeness floor).
+      assert((System.nanoTime() - t0) / 1e6 >= 300,
+        "minIntervalMs did not pace consecutive requests")
+
+      // Malformed 2xx body: fails fast (single request), never retried
+      // with backoff as if it were a transport error.
+      val blunt = new HttpGeoResolver(url, retries = 3, backoffMs = 60000)
+      val before = hits.get()
+      val t1 = System.nanoTime()
+      intercept[Exception](blunt.resolve("Anything"))
+      assert(hits.get() === before + 1, "malformed body was retried")
+      assert((System.nanoTime() - t1) / 1e6 < 10000,
+        "malformed body burned the retry backoff budget")
+    } finally server.stop(0)
+  }
+
   test("extension uids are deterministic and never collide with the dim") {
     val ext = GeoExtend.extension(spark, Seq(spec), dim, GeoResolver.Fixture)
     val extNames = ext.select("name")

@@ -44,7 +44,7 @@ class PlanInvariantSpec extends SparkSpec {
     // txt_search_bm25's `rank <= 10` filter rides the same rewrite over
     // its un-partitioned scoring window — pin both search queries.
     Seq("txt_search_topk" -> 16, "txt_search_bm25" -> 10,
-        "txt_vocab_topk" -> 100).foreach {
+        "txt_search_bm25_fields" -> 10, "txt_vocab_topk" -> 100).foreach {
       case (name, k) =>
         val df = SparkEntry.queries(name)(spark, sf0001)
         val plan = df.queryExecution.executedPlan

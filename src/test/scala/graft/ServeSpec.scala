@@ -48,6 +48,27 @@ class ServeSpec extends SparkSpec {
     assert(body.contains("\"rank\":1"))
   }
 
+  test("/search ranking equals bm25Search; rank=overlap selects the old ranker") {
+    // Rank→doc_id extracted from the response rows, order-insensitively.
+    def ranking(body: String): Map[Long, Long] =
+      """\{"doc_id":(\d+),"score":[^,]+,"rank":(\d+)\}""".r
+        .findAllMatchIn(body).map(m => m.group(2).toLong -> m.group(1).toLong).toMap
+    def expected(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getAs[Long]("rank") -> r.getAs[Long]("doc_id")).toMap
+
+    val (code, body) = get("/search?q=spark+join&page=1&size=5")
+    assert(code === 200)
+    val bm25 = expected(graft.queries.TextAnalysis
+      .bm25Search(spark, sf0001, Seq("spark", "join"), page = 1, pageSize = 5))
+    assert(ranking(body) === bm25 && bm25.nonEmpty)
+
+    val (code2, body2) = get("/search?q=spark+join&page=1&size=5&rank=overlap")
+    assert(code2 === 200)
+    val overlap = expected(graft.queries.TextAnalysis
+      .search(spark, sf0001, Seq("spark", "join"), page = 1, pageSize = 5))
+    assert(ranking(body2) === overlap && overlap.nonEmpty)
+  }
+
   test("/query/<name> serves any catalog entry; unknown names 404") {
     val (code, body) = get("/query/rel_pricing_summary")
     assert(code === 200 && body.contains("\"l_returnflag\""))

@@ -224,15 +224,70 @@ object VectorSearch {
        |FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
        |WHERE ${sqlCos("a.v", "b.v")} >= 0.4""".stripMargin
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication in embedding space — vectors are clustered (here the
+    * deterministic 16-centroid Voronoi assignment [[ivfTopk]] uses), and
+    * within each cluster a vector is DROPPED when a lower-id member sits
+    * above the cosine threshold — the paper's keep-one-per-semantic-
+    * duplicate-group rule with a deterministic canonical (min id), which
+    * complements the LEXICAL dedup family ([[LlmDedup]]) by catching
+    * paraphrases and re-encodings that share no shingles.
+    *
+    * Scale shape: assignment is one narrow broadcast pass; the pairwise
+    * test runs ONLY within a cell (keyed self-join on cid — never
+    * corpus × corpus), which is exactly the paper's trick: centroid
+    * count scales with the corpus (k ~ √N), holding per-cell pair work
+    * bounded. Threshold 0.4 (not a production 0.95) because the
+    * synthetic embeddings' max pairwise cosine is 0.51 — see
+    * [[embedNearDup]]. */
+  def semDedup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val cents = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cscore").desc, col("cid").asc)
+    val assign = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("cid"), cosine(col("v"), col("cv")).as("cscore"))
+      .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("cid"))
+    val dominated = assign.as("a")
+      .join(assign.as("b"), col("a.cid") === col("b.cid") &&
+        col("a.vec_id") < col("b.vec_id") &&
+        cosine(col("a.v"), col("b.v")) >= 0.4)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    assign
+      .join(dominated.withColumn("dropped", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        coalesce(col("dropped"), lit(false)).as("dropped"))
+  }
+
+  val semDedupSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+       |asg AS (SELECT vec_id, v, cid FROM (
+       |    SELECT e.vec_id, e.v, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${sqlCos("e.v", "c.cv")} DESC, c.cid ASC) AS rn
+       |    FROM e CROSS JOIN c) WHERE rn = 1),
+       |d AS (SELECT DISTINCT b.vec_id
+       |      FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |      WHERE ${sqlCos("a.v", "b.v")} >= 0.4)
+       |SELECT asg.vec_id, asg.cid, (d.vec_id IS NOT NULL) AS dropped
+       |FROM asg LEFT JOIN d ON asg.vec_id = d.vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_embed_topk" -> (bruteTopk _),
     "llm_embed_ann_lsh" -> (lshBucketTopk _),
     "llm_embed_ann_ivf" -> (ivfTopk _),
-    "llm_embed_neardup" -> (embedNearDup _))
+    "llm_embed_neardup" -> (embedNearDup _),
+    "llm_semdedup" -> (semDedup _))
 
   val oracles: Map[String, String] = Map(
     "llm_embed_topk" -> bruteTopkSql,
     "llm_embed_ann_lsh" -> lshBucketTopkSql,
     "llm_embed_ann_ivf" -> ivfTopkSql,
-    "llm_embed_neardup" -> embedNearDupSql)
+    "llm_embed_neardup" -> embedNearDupSql,
+    "llm_semdedup" -> semDedupSql)
 }

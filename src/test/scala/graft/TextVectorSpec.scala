@@ -15,6 +15,31 @@ class TextVectorSpec extends SparkSpec {
     assert(ranks.toSeq === (9L to (8L + rows.length)).toSeq)
   }
 
+  test("best-fields BM25: ranks dense, scores descend, dominates single-field") {
+    val ff = TextAnalysis.searchBm25Fields(spark, sf0001).collect()
+    assert(ff.nonEmpty)
+    val ranks = ff.map(_.getAs[Long]("rank")).sorted
+    assert(ranks.toSeq === (1L to ff.length).toSeq)
+    val byRank = ff.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("score"))
+    assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    // One of the fields IS the full text with identical corpus stats, so
+    // the max-over-fields score can never fall below the single-field
+    // score for the same document (round-6 on both sides → 1e-6 slack).
+    // The two TOP-10s can be disjoint (title hits legitimately displace
+    // body-ranked docs), so compare against the full fields ranking.
+    val single = TextAnalysis.searchBm25(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    val fieldsAll = TextAnalysis
+      .bm25Search(spark, sf0001, Seq("spark", "join", "src3"), page = 1, pageSize = 100000)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    assert(single.nonEmpty)
+    single.foreach { case (id, s) =>
+      assert(fieldsAll.contains(id), s"doc $id lost by best-fields scoring")
+      assert(fieldsAll(id) >= s - 1e-6,
+        s"doc $id: best-fields ${fieldsAll(id)} < single-field $s")
+    }
+  }
+
   test("quality buckets partition all documents") {
     val n = TextAnalysis.quality(spark, sf0001)
       .agg(sum(col("n_docs"))).collect()(0).getLong(0)
@@ -68,6 +93,20 @@ class TextVectorSpec extends SparkSpec {
       assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
         s"scores not descending for q=$q: ${byRank.mkString(",")}")
       assert(rs.forall(r => math.abs(r.getAs[Double]("score")) <= 1.0 + 1e-9))
+    }
+  }
+
+  test("semDedup covers every vector and never drops a cell's minimum id") {
+    val rows = VectorSearch.semDedup(spark, sf0001).collect()
+    assert(rows.length === Tables.load(spark, sf0001, "embeddings").count())
+    // The drop rule is dominated-by-LOWER-id: a cell's minimum id has no
+    // lower-id member to dominate it, so it must always survive — the
+    // canonical-representative guarantee SemDeDup's greedy rule provides.
+    rows.groupBy(_.getAs[Long]("cid")).foreach { case (cid, rs) =>
+      val minId = rs.map(_.getAs[Long]("vec_id")).min
+      val minRow = rs.find(_.getAs[Long]("vec_id") == minId).get
+      assert(!minRow.getAs[Boolean]("dropped"),
+        s"cell $cid dropped its canonical (min-id) member $minId")
     }
   }
 

@@ -86,7 +86,13 @@ object Bench {
       .mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
     val total = times.values.sum
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
+    // 1-min system load average at measurement end: round 10's numbers
+    // were contaminated by box-wide contention that was invisible in the
+    // artifact (PLANS.md "r10 dedup-family bench regression") — carry
+    // the evidence with the measurement. -1.0 = platform unsupported.
+    val load = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir","loadavg":${f3(load)}}""")
     spark.stop()
   }
 }

@@ -28,6 +28,9 @@ import org.apache.spark.sql.graft.PlanShim
   *     reference's ES `multi_match best_fields` serves; `rank=overlap`
   *     selects the unweighted token-overlap ranker
   *     ([[graft.queries.TextAnalysis.search]]) for comparison
+  *   - `GET /ann?id=<vec_id>&k=N`          exact cosine top-k neighbors
+  *     of an embedding ([[graft.queries.VectorSearch.annSearch]]) — the
+  *     interactive face of the similarity-search family
   *   - `GET /query/<name>`                 any catalog query by name
   *
   * Serving, not analytics: every response is `limit`-bounded before
@@ -51,6 +54,8 @@ import org.apache.spark.sql.graft.PlanShim
 object Serve {
 
   private val MaxLimit = 10000
+
+  private def clamp(v: Int, hi: Int): Int = math.min(math.max(v, 1), hi)
 
   /** One DataFrame → one JSON payload: `{"columns":[...],"n":K,
     * "rows":[{...}]}`. Rows render via Spark's own `toJSON` (schema-aware,
@@ -236,13 +241,27 @@ object Serve {
       val terms = p.getOrElse("q", "").trim.split("\\s+").toSeq.filter(_.nonEmpty)
       if (terms.isEmpty) (400, """{"error":"missing q parameter"}""")
       else {
-        val page = p.getOrElse("page", "1").toInt
-        val size = p.getOrElse("size", "10").toInt
+        // Clamp BEFORE the query: render() caps the collect, but the
+        // rank pre-limit is page*size — an absurd page/size would turn
+        // the bounded top-k into a corpus-wide single-partition window.
+        val page = clamp(p.getOrElse("page", "1").toInt, MaxLimit)
+        val size = clamp(p.getOrElse("size", "10").toInt, MaxLimit)
         val df =
           if (p.get("rank").contains("overlap"))
             graft.queries.TextAnalysis.search(spark, dir, terms, page, size)
           else graft.queries.TextAnalysis.bm25Search(spark, dir, terms, page, size)
         (200, render(df, size))
+      }
+    })
+
+    server.createContext("/ann", (ex: HttpExchange) => handle(ex) {
+      val p = params(ex)
+      p.get("id").flatMap(_.toLongOption) match {
+        case Some(id) =>
+          val k = clamp(p.getOrElse("k", "10").toInt, MaxLimit)
+          (200, render(
+            graft.queries.VectorSearch.annSearch(spark, dir, Seq(id), k), k))
+        case None => (400, """{"error":"missing or non-numeric id parameter"}""")
       }
     })
 

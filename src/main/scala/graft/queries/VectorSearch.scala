@@ -55,11 +55,22 @@ object VectorSearch {
     s"round(${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})), 6)"
 
   /** Exact cosine top-10 for query vectors vec_id < 5. */
-  def bruteTopk(spark: SparkSession, dir: String): DataFrame = {
+  def bruteTopk(spark: SparkSession, dir: String): DataFrame =
+    annSearch(spark, dir, 0L until 5L, k = 10)
+
+  /** The parameterized form behind [[bruteTopk]] and the `/ann` endpoint
+    * of [[graft.Serve]]: exact cosine top-k for arbitrary query ids.
+    * Query side stays broadcast-tiny (a handful of ids per request);
+    * the corpus side is one narrow pass — the serving-time plan is the
+    * same one the catalog entry pins. */
+  def annSearch(spark: SparkSession, dir: String, queryIds: Seq[Long],
+      k: Int): DataFrame = {
+    require(queryIds.nonEmpty && k >= 1,
+      s"annSearch needs >=1 query id and k>=1 (got $queryIds, $k)")
     graft.functions.GraftFunctions.register(spark)
     val emb = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val q = emb.filter(col("vec_id") < 5)
+    val q = emb.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("vec_id").asc)
@@ -67,7 +78,7 @@ object VectorSearch {
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), cosine(col("qv"), col("v")).as("score"))
       .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 10)
+      .filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("score"), col("rank"))
   }
 

@@ -69,6 +69,19 @@ class ServeSpec extends SparkSpec {
     assert(ranking(body2) === overlap && overlap.nonEmpty)
   }
 
+  test("/ann serves exact top-k neighbors matching annSearch; bad id 400s") {
+    val (code, body) = get("/ann?id=3&k=5")
+    assert(code === 200)
+    assert(body.contains("\"n\":5"))
+    val got = """\{"q_id":3,"neighbor_id":(\d+),[^}]*"rank":(\d+)\}""".r
+      .findAllMatchIn(body).map(m => m.group(2).toLong -> m.group(1).toLong).toMap
+    val expect = graft.queries.VectorSearch.annSearch(spark, sf0001, Seq(3L), 5)
+      .collect().map(r => r.getAs[Long]("rank") -> r.getAs[Long]("neighbor_id")).toMap
+    assert(got === expect && expect.size === 5)
+    val (bad, err) = get("/ann?id=notanumber")
+    assert(bad === 400 && err.contains("error"))
+  }
+
   test("/query/<name> serves any catalog entry; unknown names 404") {
     val (code, body) = get("/query/rel_pricing_summary")
     assert(code === 200 && body.contains("\"l_returnflag\""))

@@ -96,6 +96,16 @@ class TextVectorSpec extends SparkSpec {
     }
   }
 
+  test("bm25Search pagination: two size-5 pages equal one size-10 page") {
+    val terms = Seq("spark", "join", "src3")
+    def page(p: Int, n: Int): Seq[(Long, Long)] =
+      TextAnalysis.bm25Search(spark, sf0001, terms, p, n).collect()
+        .map(r => r.getAs[Long]("rank") -> r.getAs[Long]("doc_id"))
+        .sortBy(_._1).toSeq
+    val paged = page(1, 5) ++ page(2, 5)
+    assert(paged === page(1, 10) && paged.size === 10)
+  }
+
   test("semDedup covers every vector and never drops a cell's minimum id") {
     val rows = VectorSearch.semDedup(spark, sf0001).collect()
     assert(rows.length === Tables.load(spark, sf0001, "embeddings").count())

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -120,15 +120,76 @@ object EventOps {
       |  round(quantile_cont(value, 0.95), 6) AS p95
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** Per-step conversion window for [[funnel]]: each next stage must
+    * land within 24 h of the previous one (without a bound the synthetic
+    * events convert every user — a 1-row result verifies nothing). */
+  private val FunnelWindowUs = 24L * 3600L * 1000000L
+
+  /** Time-bounded ordered funnel (view → click within 24 h → purchase
+    * within 24 h of that click): per user, the first view, the first
+    * qualifying click STRICTLY after it, the first qualifying purchase
+    * strictly after that; report how many users reach each stage (0 =
+    * never viewed … 3 = full conversion) — the product-analytics staple
+    * the dashboard family lacks, and the classic sequence query engines
+    * bolt on as `windowFunnel`/`MATCH_RECOGNIZE`.
+    *
+    * Composed instead: three chained conditional-min windows over the
+    * SAME user_id partitioning. ONE shuffle total — Spark reuses the
+    * exchange across the window projections and the per-user collapse —
+    * then a 4-row histogram. SQL's three-valued logic does the stage
+    * gating for free: `ts > NULL` is NULL, so a missing earlier stage
+    * nulls every later stage in both engines identically; the step
+    * bound is exact µs integer arithmetic (the [[sessionize]]
+    * convention). */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val w = Window.partitionBy(col("user_id"))
+    def stepAfter(kind: String, prev: Column): Column =
+      min(when(col("event_type") === kind && col("ts") > prev &&
+        unix_micros(col("ts")) - unix_micros(prev) <= FunnelWindowUs,
+        col("ts"))).over(w)
+    ev
+      .withColumn("tv",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("tc", stepAfter("click", col("tv")))
+      .withColumn("tp", stepAfter("purchase", col("tc")))
+      .groupBy(col("user_id"))
+      .agg(max(col("tv")).as("tv"), max(col("tc")).as("tc"), max(col("tp")).as("tp"))
+      .select(
+        when(col("tv").isNull, 0L).when(col("tc").isNull, 1L)
+          .when(col("tp").isNull, 2L).otherwise(3L).as("stage"))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  val funnelSql: String =
+    s"""WITH w1 AS (SELECT user_id, event_type, ts,
+      |    MIN(CASE WHEN event_type = 'view' THEN ts END)
+      |      OVER (PARTITION BY user_id) AS tv FROM events),
+      |w2 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > tv
+      |        AND epoch_us(ts) - epoch_us(tv) <= $FunnelWindowUs THEN ts END)
+      |      OVER (PARTITION BY user_id) AS tc FROM w1),
+      |w3 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > tc
+      |        AND epoch_us(ts) - epoch_us(tc) <= $FunnelWindowUs THEN ts END)
+      |      OVER (PARTITION BY user_id) AS tp FROM w2),
+      |u AS (SELECT user_id, MAX(tv) AS tv, MAX(tc) AS tc, MAX(tp) AS tp
+      |      FROM w3 GROUP BY 1)
+      |SELECT CAST(CASE WHEN tv IS NULL THEN 0 WHEN tc IS NULL THEN 1
+      |            WHEN tp IS NULL THEN 2 ELSE 3 END AS BIGINT) AS stage,
+      |  COUNT(*) AS n_users
+      |FROM u GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_asof_join" -> (asofJoin _),
     "evt_asof_custom" -> (asofCustom _),
     "evt_sessionize" -> (sessionize _),
-    "evt_percentiles" -> (percentiles _))
+    "evt_percentiles" -> (percentiles _),
+    "evt_funnel" -> (funnel _))
 
   val oracles: Map[String, String] = Map(
     "evt_asof_join" -> asofJoinSql,
     "evt_asof_custom" -> asofCustomSql,
     "evt_sessionize" -> sessionizeSql,
-    "evt_percentiles" -> percentilesSql)
+    "evt_percentiles" -> percentilesSql,
+    "evt_funnel" -> funnelSql)
 }

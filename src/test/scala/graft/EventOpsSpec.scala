@@ -45,4 +45,28 @@ class EventOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(sessions === Map(1L -> 1L, 2L -> 1L, 3L -> 2L))
   }
+
+  test("funnel: stage gating respects event order and strict inequality") {
+    import spark.implicits._
+    // Tables.load("events") expects ts as epoch-NANOS long (the testdata
+    // parquet convention) and rebuilds a microsecond timestamp.
+    val h = 3600L * 1000000000L
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel_ev").toString
+    Seq(
+      (1L, 10 * h, 1L, "view"), (2L, 11 * h, 1L, "click"), (3L, 12 * h, 1L, "purchase"),
+      (4L, 10 * h, 2L, "view"), (5L, 11 * h, 2L, "click"), // no purchase -> 2
+      (6L, 10 * h, 3L, "view"), // view only -> 1
+      (7L, 10 * h, 4L, "click"), (8L, 11 * h, 4L, "purchase"), // no view -> 0
+      // purchase BEFORE the click must not convert: order matters -> 2
+      (9L, 9 * h, 5L, "purchase"), (10L, 10 * h, 5L, "view"), (11L, 11 * h, 5L, "click"),
+      // click at the SAME instant as the first view: strict > -> 1
+      (12L, 10 * h, 6L, "view"), (13L, 10 * h, 6L, "click"),
+      // click 30h after the view: outside the 24h step window -> 1
+      (14L, 10 * h, 7L, "view"), (15L, 40 * h, 7L, "click"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.queries.EventOps.funnel(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 1L, 1L -> 3L, 2L -> 2L, 3L -> 1L))
+  }
 }

@@ -179,17 +179,65 @@ object EventOps {
       |  COUNT(*) AS n_users
       |FROM u GROUP BY 1""".stripMargin
 
+  /** Weekly cohort retention — the other half of the product-analytics
+    * pair next to [[funnel]]: users are cohorted by the ISO week of
+    * their FIRST `signup` event, and each later week they show ANY
+    * activity counts them active; the (cohort, week-offset) matrix is
+    * the classic retention triangle. Users who never sign up are out of
+    * scope (no cohort).
+    *
+    * Scale shape: cohorts = one shuffle keyed user_id (map-side-combined
+    * min); activity = (user, week) distinct — the same user_id-keyed
+    * exchange, so AQE plans the cohort⋈activity equi-join co-partitioned
+    * (or broadcasts the smaller side); the final matrix aggregation
+    * groups a few hundred (cohort, offset) cells. Week truncation is
+    * ISO-Monday on both engines, so the offset division is an EXACT
+    * multiple of 7 — no rounding-direction divergence can exist; the
+    * cohort key is exported as a yyyy-MM-dd STRING (the
+    * rel_date_histogram convention — engines disagree on DATE vs
+    * TIMESTAMP frame dtypes, strings compare exactly). */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val cohorts = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort"))
+    val active = ev
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"))
+      .distinct()
+    cohorts.join(active, "user_id")
+      .filter(col("wk") >= col("cohort"))
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+        (datediff(col("wk"), col("cohort")) / 7).cast("long").as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+  }
+
+  val retentionSql: String =
+    """WITH cohorts AS (SELECT user_id,
+      |    CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort
+      |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+      |active AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      |           FROM events)
+      |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+      |  CAST(date_diff('day', cohort, wk) / 7 AS BIGINT) AS week_offset,
+      |  COUNT(*) AS n_active
+      |FROM cohorts JOIN active USING (user_id)
+      |WHERE wk >= cohort
+      |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_asof_join" -> (asofJoin _),
     "evt_asof_custom" -> (asofCustom _),
     "evt_sessionize" -> (sessionize _),
     "evt_percentiles" -> (percentiles _),
-    "evt_funnel" -> (funnel _))
+    "evt_funnel" -> (funnel _),
+    "evt_retention" -> (retention _))
 
   val oracles: Map[String, String] = Map(
     "evt_asof_join" -> asofJoinSql,
     "evt_asof_custom" -> asofCustomSql,
     "evt_sessionize" -> sessionizeSql,
     "evt_percentiles" -> percentilesSql,
-    "evt_funnel" -> funnelSql)
+    "evt_funnel" -> funnelSql,
+    "evt_retention" -> retentionSql)
 }

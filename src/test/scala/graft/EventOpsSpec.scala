@@ -69,4 +69,27 @@ class EventOpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(0L -> 1L, 1L -> 3L, 2L -> 2L, 3L -> 1L))
   }
+
+  test("retention: cohort by first signup week, pre-signup and signup-less excluded") {
+    import spark.implicits._
+    // Epoch-day arithmetic (not Timestamp.valueOf) so the fixture is
+    // JVM-default-timezone-proof: day 19723 = Monday 2024-01-01 UTC.
+    val d0 = 19723L
+    def ns(day: Long) = (day * 24 + 12) * 3600L * 1000000000L // noon UTC
+    val dir = java.nio.file.Files.createTempDirectory("graft_retention_ev").toString
+    Seq(
+      (1L, ns(d0 - 3), 1L, "view"), // BEFORE u1's cohort week -> excluded
+      (2L, ns(d0 + 1), 1L, "signup"), // cohort = week of 2024-01-01
+      (3L, ns(d0 + 8), 1L, "click"), // next week -> offset 1
+      (4L, ns(d0 + 7), 2L, "signup"), // cohort = week of 2024-01-08
+      (5L, ns(d0), 3L, "click")) // never signs up -> no cohort
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.queries.EventOps.retention(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === Map(
+      ("2024-01-01", 0L) -> 1L, // u1 active in cohort week (the signup)
+      ("2024-01-01", 1L) -> 1L, // u1 active the week after
+      ("2024-01-08", 0L) -> 1L)) // u2 active in its own cohort week
+  }
 }

@@ -7,16 +7,20 @@ import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
 /** Event-stream analytics over `events`: as-of join, gap sessionization,
-  * exact percentiles — the time-series operators a training-data /
-  * analytics engine needs beyond the reference's dashboard shapes
-  * (SURVEY §2 addendum; the brief names as-of join as a canonical
-  * compose-don't-custom operator).
+  * exact percentiles, time-bounded funnel, cohort retention — the
+  * time-series operators a training-data / analytics engine needs
+  * beyond the reference's dashboard shapes (SURVEY §2 addendum; the
+  * brief names as-of join as a canonical compose-don't-custom
+  * operator).
   *
-  * All three are single-shuffle plans: one hash partition on `user_id`
-  * (windows) or `event_type` (percentiles); no joins at all — the as-of
-  * join is COMPOSED as a partitioned window carry-forward, which at
-  * 100 TB beats a range-join (no per-row binary search, no broadcast of
-  * a time index; just a sort within each user partition that AQE sizes).
+  * All of them put ONE data-sized shuffle on the fact stream: one hash
+  * partition on `user_id` (windows, funnel stages, cohort/activity
+  * sides of retention) or `event_type` (percentiles) — the as-of join
+  * is COMPOSED as a partitioned window carry-forward, which at 100 TB
+  * beats a range-join (no per-row binary search, no broadcast of a time
+  * index; just a sort within each user partition that AQE sizes), and
+  * the only joins (retention's cohort⋈activity) are equi-joins on the
+  * same key, broadcast or co-partitioned by AQE.
   */
 object EventOps {
 

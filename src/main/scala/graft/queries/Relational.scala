@@ -228,12 +228,21 @@ object Relational {
       |      FROM orders) WHERE rn = 1""".stripMargin
 
   /** Running cumulative sum per group — SURVEY §2.7 "cumulative from
-    * deltas" (the OWID daily-delta inverse, insert_owid.py:39). */
+    * deltas" (the OWID daily-delta inverse, insert_owid.py:39).
+    *
+    * The window order ends on `l_quantity`: the synthetic sf0.1 lineitem
+    * carries a duplicate (suppkey, shipdate, orderkey, linenumber) pair
+    * with DIFFERENT quantities, and a ROWS running sum over a tied order
+    * is engine-scheduling-dependent (DuckDB's parallel window broke the
+    * tie differently run to run — a once-per-several-runs hash flake).
+    * With quantity as the final key the order is value-unique; rows tied
+    * on ALL keys are full duplicates whose running totals coincide as a
+    * set, so the output is deterministic on both engines either way. */
   def runningSum(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(spark, dir, "lineitem")
     import spark.implicits._
     val w = Window.partitionBy($"l_suppkey")
-      .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+      .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber", $"l_quantity")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     li.select($"l_suppkey", $"l_orderkey", $"l_linenumber",
       sum($"l_quantity").over(w).cast("long").as("running_qty"))
@@ -242,7 +251,7 @@ object Relational {
   val runningSumSql: String =
     """SELECT l_suppkey, l_orderkey, l_linenumber,
       |  CAST(SUM(l_quantity) OVER (PARTITION BY l_suppkey
-      |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_qty
       |FROM lineitem""".stripMargin
 

@@ -5,6 +5,7 @@ import java.nio.charset.StandardCharsets.UTF_8
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedFunction, UnresolvedRelation, UnresolvedTableValuedFunction}
 import org.apache.spark.sql.catalyst.expressions.{CallMethodViaReflection, PlanExpression, TryReflect}
 import org.apache.spark.sql.catalyst.plans.logical.{Command, InsertIntoDir, InsertIntoStatement, LogicalPlan, ScriptTransformation, UnresolvedWith}
@@ -27,7 +28,11 @@ import org.apache.spark.sql.graft.PlanShim
   *     length-normalized, max-over-fields, the same scoring family the
   *     reference's ES `multi_match best_fields` serves; `rank=overlap`
   *     selects the unweighted token-overlap ranker
-  *     ([[graft.queries.TextAnalysis.search]]) for comparison
+  *     ([[graft.queries.TextAnalysis.search]]) for comparison. Hits
+  *     carry their document payload (title/snippet/lang/source/
+  *     n_chars — [[graft.queries.TextAnalysis.searchHits]]), the
+  *     `_source` doc the reference's UI renders per hit
+  *     (SearchUI.js:71-99), so a results page is ONE request
   *   - `GET /ann?id=<vec_id>&k=N`          exact cosine top-k neighbors
   *     of an embedding ([[graft.queries.VectorSearch.annSearch]]) — the
   *     interactive face of the similarity-search family
@@ -244,24 +249,41 @@ object Serve {
         // Clamp BEFORE the query: render() caps the collect, but the
         // rank pre-limit is page*size — an absurd page/size would turn
         // the bounded top-k into a corpus-wide single-partition window.
+        // The PRODUCT is the bound that matters (each factor ≤ MaxLimit
+        // still allows a 10^8-row pre-limit), so page*size > MaxLimit is
+        // rejected outright rather than silently serving a different
+        // page than the one asked for.
         val page = clamp(p.getOrElse("page", "1").toInt, MaxLimit)
         val size = clamp(p.getOrElse("size", "10").toInt, MaxLimit)
-        val df =
-          if (p.get("rank").contains("overlap"))
-            graft.queries.TextAnalysis.search(spark, dir, terms, page, size)
-          else graft.queries.TextAnalysis.bm25Search(spark, dir, terms, page, size)
-        (200, render(df, size))
+        if (page.toLong * size > MaxLimit)
+          (400, s"""{"error":"page*size must be <= $MaxLimit (got ${page.toLong * size})"}""")
+        else {
+          val ranker = if (p.get("rank").contains("overlap")) "overlap" else "bm25"
+          (200, render(
+            graft.queries.TextAnalysis.searchHits(spark, dir, terms, page, size, ranker),
+            size))
+        }
       }
     })
 
     server.createContext("/ann", (ex: HttpExchange) => handle(ex) {
       val p = params(ex)
-      p.get("id").flatMap(_.toLongOption) match {
-        case Some(id) =>
-          val k = clamp(p.getOrElse("k", "10").toInt, MaxLimit)
-          (200, render(
+      // Both parameters are parsed with *Option so a malformed value gets
+      // a shaped 400, not a NumberFormatException string from the generic
+      // handler; a well-formed id that is absent from the table gets an
+      // explicit 404 (otherwise "no such vector" and "vector with zero
+      // neighbors" would both serve an indistinguishable empty 200).
+      (p.get("id").map(_.toLongOption),
+        p.getOrElse("k", "10").toIntOption) match {
+        case (Some(Some(id)), Some(kRaw)) =>
+          val k = clamp(kRaw, MaxLimit)
+          val exists = !Tables.load(spark, dir, "embeddings")
+            .filter(col("vec_id") === id).isEmpty
+          if (!exists) (404, s"""{"error":"no embedding with vec_id $id"}""")
+          else (200, render(
             graft.queries.VectorSearch.annSearch(spark, dir, Seq(id), k), k))
-        case None => (400, """{"error":"missing or non-numeric id parameter"}""")
+        case (_, None) => (400, """{"error":"non-numeric k parameter"}""")
+        case _ => (400, """{"error":"missing or non-numeric id parameter"}""")
       }
     })
 

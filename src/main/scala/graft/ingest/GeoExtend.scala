@@ -15,6 +15,12 @@ trait GeoResolver extends Serializable {
   /** None = the resolver cannot place the name (it stays unresolved,
     * exactly like the reference's geocode-miss branch). */
   def resolve(name: String): Option[GeoResolver.Hit]
+
+  /** Declared request-rate floor (ms between sends), 0 = unpaced.
+    * A resolver that declares one is talking to a rate-limited remote
+    * endpoint; [[GeoExtend.extension]] uses this to enforce the
+    * single-slot coupling that makes the floor hold cluster-wide. */
+  def minIntervalMs: Long = 0
 }
 
 object GeoResolver {
@@ -79,6 +85,14 @@ object GeoExtend {
       dim: DataFrame,
       resolver: GeoResolver,
       numSlots: Int = 1): DataFrame = {
+    // A rate-declaring resolver paces per JVM (HttpGeoResolver keys its
+    // gate on the endpoint), but slots on DIFFERENT executors are
+    // different JVMs — the only configuration where the declared floor
+    // holds globally is one slot. Fail loudly instead of silently
+    // violating a remote endpoint's rate policy.
+    require(numSlots == 1 || resolver.minIntervalMs == 0,
+      s"resolver declares minIntervalMs=${resolver.minIntervalMs}: " +
+        s"pacing is per-JVM, so numSlots must be 1 (got $numSlots)")
     import spark.implicits._
     val hits = unresolved(spark, specs, dim)
       .select(col("loc")).as[String]

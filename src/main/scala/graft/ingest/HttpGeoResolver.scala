@@ -27,15 +27,22 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
   * where it is — `extension(numSlots = 1)` funnels all names through one
   * task, exactly the serial discipline the reference applies — and
   * `minIntervalMs` adds the REQUEST-RATE half of politeness: at least
-  * that many ms between consecutive HTTP sends from this resolver
+  * that many ms between consecutive HTTP sends to this ENDPOINT
   * (public Nominatim policy is 1 req/s → 1000), covering retries too.
+  * The pacing gate lives in the companion, keyed by endpoint — NOT in
+  * the instance — because every deserialized task closure gets its own
+  * instance copy; instance state would quietly degrade to per-task
+  * pacing the moment a caller raised the slot count. Per-JVM is as far
+  * as a JVM-local gate can reach, so [[GeoExtend.extension]] asserts
+  * the declared-rate ⇒ single-slot coupling (`minIntervalMs` is
+  * surfaced through the [[GeoResolver]] contract for exactly that).
   */
 class HttpGeoResolver(
     endpoint: String,
     retries: Int = 3,
     backoffMs: Long = 500,
     timeoutSeconds: Long = 10,
-    minIntervalMs: Long = 0) extends GeoResolver {
+    override val minIntervalMs: Long = 0) extends GeoResolver {
 
   @transient private lazy val client = HttpClient.newBuilder()
     .connectTimeout(Duration.ofSeconds(timeoutSeconds))
@@ -44,16 +51,10 @@ class HttpGeoResolver(
 
   @transient private lazy val mapper = new ObjectMapper()
 
-  /** Wall-clock of the last HTTP send (politeness state; per-executor
-    * instance, which is the whole population because `numSlots = 1`). */
-  @transient private var lastSendAt = 0L
-
-  /** Sleep until `minIntervalMs` has elapsed since the previous send. */
-  private def politePause(): Unit = if (minIntervalMs > 0) synchronized {
-    val wait = lastSendAt + minIntervalMs - System.currentTimeMillis()
-    if (wait > 0) Thread.sleep(wait)
-    lastSendAt = System.currentTimeMillis()
-  }
+  /** Sleep until `minIntervalMs` has elapsed since the previous send to
+    * this endpoint — from ANY resolver instance in this JVM. */
+  private def politePause(): Unit =
+    if (minIntervalMs > 0) HttpGeoResolver.gate(endpoint).pause(minIntervalMs)
 
   def resolve(name: String): Option[GeoResolver.Hit] = {
     val q = URLEncoder.encode(name, StandardCharsets.UTF_8)
@@ -120,4 +121,28 @@ class HttpGeoResolver(
     if (n.isNumber) Some(n.asDouble)
     else if (n.isTextual) n.asText.toDoubleOption
     else None
+}
+
+object HttpGeoResolver {
+
+  /** One pacing gate per endpoint: tracks the wall-clock of the last
+    * send and makes the next caller wait out the remainder of the
+    * interval. JVM-wide by construction (held here, never serialized),
+    * so however many instances — constructor copies, deserialized task
+    * closures, concurrent tasks — hit the same endpoint, the rate floor
+    * holds within this JVM. Bounded: one entry per distinct endpoint
+    * (a config value, not data). */
+  private final class PaceGate {
+    private var lastSendAt = 0L
+    def pause(minIntervalMs: Long): Unit = synchronized {
+      val wait = lastSendAt + minIntervalMs - System.currentTimeMillis()
+      if (wait > 0) Thread.sleep(wait)
+      lastSendAt = System.currentTimeMillis()
+    }
+  }
+
+  private val gates =
+    new java.util.concurrent.ConcurrentHashMap[String, PaceGate]
+  private def gate(endpoint: String): PaceGate =
+    gates.computeIfAbsent(endpoint, _ => new PaceGate)
 }

@@ -243,14 +243,27 @@ object CorpusOps {
   private val ExportShards = 8
 
   // The overwrite-then-read-back sequence makes concurrent runs against
-  // the SAME output path unsafe, so each path gets its own lock (same
-  // convention as Streaming's newsLock, Streaming.scala:21-29) — two
-  // different datasets exporting to two different destinations proceed
-  // fully concurrently.
-  private val exportLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]
-  private def lockFor(out: String): Object =
-    exportLocks.computeIfAbsent(out, _ => new Object)
+  // the SAME output path unsafe, so same-path invocations serialize
+  // (same convention as Streaming's newsLock, Streaming.scala:21-29)
+  // while different destinations proceed concurrently. STRIPED locks,
+  // not a path→lock map: a long-lived Serve process with caller-chosen
+  // destinations would grow an unbounded map one entry per distinct
+  // path; a fixed stripe array is O(1) memory forever, and a stripe
+  // collision between two different paths merely serializes them —
+  // safe, just momentarily slower. Paths are normalized first so two
+  // spellings of the same destination (trailing slash, `..`, relative
+  // vs absolute) take the same stripe.
+  private val ExportLockStripes = 64
+  private val exportLocks = Array.fill(ExportLockStripes)(new Object)
+  private def lockFor(out: String): Object = {
+    val norm =
+      try java.nio.file.Paths.get(out).toAbsolutePath.normalize.toString
+      catch { // non-path URIs (hdfs://, s3a://) pass through verbatim
+        case _: java.nio.file.InvalidPathException =>
+          out.stripSuffix("/")
+      }
+    exportLocks(math.floorMod(norm.hashCode, ExportLockStripes))
+  }
 
   /** The catalog entry's default export location (exposed for
     * CorpusOpsSpec's layout assertions; one stable directory per JVM,

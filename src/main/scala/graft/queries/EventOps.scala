@@ -124,6 +124,25 @@ object EventOps {
       |  round(quantile_cont(value, 0.95), 6) AS p95
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** The scale companion of [[percentiles]] — the same split the distinct
+    * family has (`rel_distinct_counts` exact vs `rel_approx_distinct`
+    * HLL): exact `percentile` buffers every group's full value multiset
+    * in aggregation state, which a 100 TB group turns into an executor
+    * OOM; `approx_percentile` (KLL-style mergeable sketch) holds bounded
+    * state per group at a declared accuracy, so THIS is the form a
+    * production pipeline runs. Sketch estimates are not cross-engine
+    * hash-comparable — rows-only driver check, like the HLL row; the
+    * exact form stays the oracle-checkable small-scale variant, and
+    * EventOpsSpec pins this one against it within sketch tolerance. */
+  def approxPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    ev.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50"),
+        percentile_approx(col("value"), lit(0.95), lit(10000)).as("p95"))
+  }
+
   /** Per-step conversion window for [[funnel]]: each next stage must
     * land within 24 h of the previous one (without a bound the synthetic
     * events convert every user — a 1-row result verifies nothing). */
@@ -190,10 +209,14 @@ object EventOps {
     * the classic retention triangle. Users who never sign up are out of
     * scope (no cohort).
     *
-    * Scale shape: cohorts = one shuffle keyed user_id (map-side-combined
-    * min); activity = (user, week) distinct — the same user_id-keyed
-    * exchange, so AQE plans the cohort⋈activity equi-join co-partitioned
-    * (or broadcasts the smaller side); the final matrix aggregation
+    * Scale shape: BOTH sides are one user_id-keyed aggregation — cohorts
+    * a map-side-combined min, activity a per-user week SET (`collect_set`
+    * of week-truncated dates: bounded by the calendar, ~52·years entries
+    * per user, regardless of how many billion raw events the user has) —
+    * so the cohort⋈activity equi-join genuinely co-partitions on the two
+    * exchanges with no re-shuffle (a `(user_id, wk)`-keyed distinct would
+    * NOT satisfy the join's user_id distribution; r11 verdict note 3),
+    * weeks explode only AFTER the join, and the final matrix aggregation
     * groups a few hundred (cohort, offset) cells. Week truncation is
     * ISO-Monday on both engines, so the offset division is an EXACT
     * multiple of 7 — no rounding-direction divergence can exist; the
@@ -206,9 +229,10 @@ object EventOps {
       .groupBy(col("user_id"))
       .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort"))
     val active = ev
-      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"))
-      .distinct()
+      .groupBy(col("user_id"))
+      .agg(collect_set(date_trunc("week", col("ts")).cast("date")).as("wks"))
     cohorts.join(active, "user_id")
+      .select(col("cohort"), explode(col("wks")).as("wk"))
       .filter(col("wk") >= col("cohort"))
       .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
         (datediff(col("wk"), col("cohort")) / 7).cast("long").as("week_offset"))
@@ -229,19 +253,60 @@ object EventOps {
       |WHERE wk >= cohort
       |GROUP BY 1, 2""".stripMargin
 
+  /** Rolling 7-day active users per day — the DAU/WAU staple that
+    * completes the product-analytics trio next to [[funnel]] and
+    * [[retention]]: for every day with activity, the count of DISTINCT
+    * users active in the trailing window [day-6, day]. The naive form is
+    * a range join (calendar × events with BETWEEN) — a nested loop at
+    * scale. The scale-safe shape is the bucket-explode trick (the
+    * rel_range_join family): distinct (user, day) first — collapsing the
+    * raw event stream to at most users×days rows in ONE keyed shuffle —
+    * then each active day contributes itself to the ≤7 window-end
+    * buckets it can serve (`sequence(day, day+6)` explode, narrow), and
+    * a two-phase distinct count per bucket closes it; the semi-join
+    * keeps only buckets that are themselves active days, mirroring the
+    * calendar the naive form scans. Day exported as a yyyy-MM-dd string
+    * (the rel_date_histogram convention). The DuckDB oracle runs the
+    * naive BETWEEN join, proving the exploded plan equivalent. */
+  def activeUsers7d(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val ud = ev.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val days = ud.select(col("day").as("bucket")).distinct()
+    ud.select(col("user_id"),
+        explode(expr("sequence(day, date_add(day, 6))")).as("bucket"))
+      .join(days, Seq("bucket"), "left_semi")
+      .groupBy(col("bucket"))
+      .agg(count_distinct(col("user_id")).as("active_7d"))
+      .select(date_format(col("bucket"), "yyyy-MM-dd").as("day"), col("active_7d"))
+  }
+
+  val activeUsers7dSql: String =
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |d AS (SELECT DISTINCT day FROM ud)
+      |SELECT strftime(d.day, '%Y-%m-%d') AS day,
+      |  COUNT(DISTINCT ud.user_id) AS active_7d
+      |FROM d JOIN ud ON ud.day BETWEEN d.day - 6 AND d.day
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_asof_join" -> (asofJoin _),
     "evt_asof_custom" -> (asofCustom _),
     "evt_sessionize" -> (sessionize _),
     "evt_percentiles" -> (percentiles _),
+    "evt_approx_percentiles" -> (approxPercentiles _),
     "evt_funnel" -> (funnel _),
-    "evt_retention" -> (retention _))
+    "evt_retention" -> (retention _),
+    "evt_active_users" -> (activeUsers7d _))
 
+  // evt_approx_percentiles is deliberately absent: sketch estimates are
+  // not hash-comparable cross-engine → rows-only driver check (the
+  // rel_approx_distinct precedent).
   val oracles: Map[String, String] = Map(
     "evt_asof_join" -> asofJoinSql,
     "evt_asof_custom" -> asofCustomSql,
     "evt_sessionize" -> sessionizeSql,
     "evt_percentiles" -> percentilesSql,
     "evt_funnel" -> funnelSql,
-    "evt_retention" -> retentionSql)
+    "evt_retention" -> retentionSql,
+    "evt_active_users" -> activeUsers7dSql)
 }

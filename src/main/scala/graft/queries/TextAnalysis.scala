@@ -234,6 +234,41 @@ object TextAnalysis {
       .filter(col("rank") >= lo && col("rank") <= hi)
   }
 
+  /** Snippet length for [[searchHits]] — the bounded preview a results
+    * page renders (the reference UI shows `desc`, SearchUI.js:88-92). */
+  private val SnippetChars = 200
+
+  /** Ranked hits joined back to their source documents — the `_source`
+    * payload half of the reference's search endpoint: ES returns the full
+    * stored doc with every hit and the UI renders it directly (title,
+    * desc, img, link, date — news_app/app/app/src/SearchUI.js:71-99).
+    * [[bm25Search]]/[[search]] return only (doc_id, score, rank), which
+    * would force a results page into one extra round-trip per hit; this
+    * wrapper closes that gap over the `documents` table: a synthesized
+    * title (the leading [[Bm25TitleLen]] tokens — the same field the
+    * best_fields ranker scores), a bounded [[SnippetChars]]-char snippet,
+    * and the doc metadata (lang, source, n_chars).
+    *
+    * Scale shape: the ranked side is ≤ page·pageSize rows by
+    * construction, so it BROADCASTS into the payload join — one extra
+    * narrow pass over `documents`, no new shuffle; the alternative
+    * (carrying text through the ranking window) would drag the full
+    * document payload through the top-k sort. */
+  def searchHits(spark: SparkSession, dir: String, terms: Seq[String],
+      page: Int, pageSize: Int, ranker: String = "bm25"): DataFrame = {
+    val ranked = ranker match {
+      case "overlap" => search(spark, dir, terms, page, pageSize)
+      case _ => bm25Search(spark, dir, terms, page, pageSize)
+    }
+    Tables.load(spark, dir, "documents")
+      .join(broadcast(ranked), "doc_id")
+      .select(col("doc_id"), col("score"), col("rank"),
+        concat_ws(" ", slice(toks(col("text")), 1, Bm25TitleLen)).as("title"),
+        substring(col("text"), 1, SnippetChars).as("snippet"),
+        col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("rank").asc)
+  }
+
   val searchBm25FieldsSql: String = {
     val fields = Seq("text" -> "t", "title" -> s"t[1:$Bm25TitleLen]")
     val statCols = fields.flatMap { case (f, tc) =>

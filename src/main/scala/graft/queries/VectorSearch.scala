@@ -250,28 +250,95 @@ object VectorSearch {
     * count scales with the corpus (k ~ √N), holding per-cell pair work
     * bounded. Threshold 0.4 (not a production 0.95) because the
     * synthetic embeddings' max pairwise cosine is 0.51 — see
-    * [[embedNearDup]]. */
+    * [[embedNearDup]].
+    *
+    * THIS entry keeps the fixed 16-id centroid model so the whole job
+    * stays DuckDB-expressible (the oracle row); the production form with
+    * k ~ √N LEARNED centroids is [[semDedupKmeans]] (its own catalog
+    * row, rows-only checked). */
   def semDedup(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val emb = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val cents = emb.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
+    dropDominated(assignCells(emb, cents), threshold = 0.4)
+  }
+
+  /** Voronoi assignment of every vector to its nearest centroid (max
+    * cosine, ties to the lower cid): one narrow pass, centroids
+    * broadcast — the shared front of [[semDedup]], [[semDedupKmeans]]
+    * and [[ivfTopk]]'s cell build. */
+  private def assignCells(emb: DataFrame, cents: DataFrame): DataFrame = {
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("cscore").desc, col("cid").asc)
-    val assign = emb.crossJoin(broadcast(cents))
+    emb.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("v"), col("cid"), cosine(col("v"), col("cv")).as("cscore"))
       .withColumn("rn", row_number().over(wAssign)).filter(col("rn") === 1)
       .select(col("vec_id"), col("v"), col("cid"))
+  }
+
+  /** SemDeDup's keep-rule over an assignment: within each cell, a vector
+    * is dropped when a lower-id member sits at/above the cosine
+    * threshold. Pair test keyed on cid — never corpus × corpus. */
+  private def dropDominated(assign: DataFrame, threshold: Double): DataFrame = {
     val dominated = assign.as("a")
       .join(assign.as("b"), col("a.cid") === col("b.cid") &&
         col("a.vec_id") < col("b.vec_id") &&
-        cosine(col("a.v"), col("b.v")) >= 0.4)
+        cosine(col("a.v"), col("b.v")) >= threshold)
       .select(col("b.vec_id").as("vec_id")).distinct()
     assign
       .join(dominated.withColumn("dropped", lit(true)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cid"),
         coalesce(col("dropped"), lit(false)).as("dropped"))
+  }
+
+  /** The production form of [[semDedup]] (r11 verdict note 1): centroid
+    * count PARAMETERIZED — defaulting to the paper's k ~ ⌈√N⌉, which is
+    * what keeps per-cell pair work bounded as the corpus grows — and the
+    * centroids LEARNED by `lloydIters` deterministic Lloyd (k-means)
+    * iterations instead of frozen at the first k ids, so cells track the
+    * data's actual density. Everything stays reproducible without a
+    * random seed: initial centroids are the k lowest vec_ids, assignment
+    * ties break on cid, and per-cell means are folded through
+    * DECIMAL(28,12) (the txt_unigram_lm convention) so the float sums
+    * are order-independent — two runs give bit-identical clusters.
+    *
+    * Scale shape per iteration: assignment = one narrow broadcast pass
+    * (k·dim doubles — √10⁹ centroids × 64 dims ≈ 16 MB, broadcastable);
+    * the mean recompute is one (cid, pos)-keyed aggregation with
+    * map-side partial fold; centroids land on the driver (k·dim scalars,
+    * the standard k-means driver loop — MLlib does the same) so the
+    * iteration's lineage stays flat instead of stacking k join plans.
+    * Cells that lose every member simply vanish (k shrinks) — fine for
+    * dedup, where cells are a partitioning device, not a model output.
+    * Sketch-free but not SQL-expressible in one statement (the learned
+    * centroids are data), so the catalog row is rows-only checked;
+    * TextVectorSpec pins lloydIters=0 ≡ the oracle-checked [[semDedup]]
+    * and the keep-rule invariants. */
+  def semDedupKmeans(spark: SparkSession, dir: String, k: Int = 0,
+      lloydIters: Int = 2, threshold: Double = 0.4): DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val k0 = if (k > 0) k else math.ceil(math.sqrt(emb.count().toDouble)).toInt
+    var cents = emb.orderBy(col("vec_id").asc).limit(k0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    for (_ <- 1 to lloydIters) {
+      val means = assignCells(emb, cents)
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("x").cast("decimal(28,12)")).cast("double").as("m"))
+        .groupBy(col("cid"))
+        .agg(collect_list(struct(col("pos"), col("m"))).as("pm"))
+        .select(col("cid"),
+          transform(array_sort(col("pm")), p => p.getField("m")).as("cv"))
+      val rows = means.collect() // bounded: k rows of dim doubles
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      cents = rows.toSeq.toDF("cid", "cv")
+    }
+    dropDominated(assignCells(emb, cents), threshold)
   }
 
   val semDedupSql: String =
@@ -293,7 +360,10 @@ object VectorSearch {
     "llm_embed_ann_lsh" -> (lshBucketTopk _),
     "llm_embed_ann_ivf" -> (ivfTopk _),
     "llm_embed_neardup" -> (embedNearDup _),
-    "llm_semdedup" -> (semDedup _))
+    "llm_semdedup" -> (semDedup _),
+    // rows-only by design: learned centroids are data, not SQL — the
+    // oracle-checked fixed-centroid variant is llm_semdedup above
+    "llm_semdedup_kmeans" -> ((s: SparkSession, d: String) => semDedupKmeans(s, d)))
 
   val oracles: Map[String, String] = Map(
     "llm_embed_topk" -> bruteTopkSql,

@@ -134,6 +134,24 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("JSONL export: two spellings of the same path serialize (normalized locks)") {
+    // trailing slash and a dotted segment both denote the same
+    // destination — with raw-string lock keys they'd take DIFFERENT
+    // locks and the overwrite/read-back sequences could interleave.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val base = java.nio.file.Files.createTempDirectory("graft_export_n").toString
+    val spellings = Seq(s"$base/out", s"$base/out/", s"$base/./out", s"$base/x/../out")
+    def fold(out: String): Set[(Long, Long, Long, Long)] =
+      CorpusOps.exportJsonlTo(spark, sf0001, out).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val expect = fold(spellings.head)
+    val runs = (1 to 2).flatMap(_ => spellings.map(s => Future(fold(s))))
+    Await.result(Future.sequence(runs), 300.seconds)
+      .foreach(got => assert(got === expect))
+  }
+
   test("domain mixture selection is deterministic across runs") {
     val rows = (1L to 20L).map(i => (i, s"words for doc $i", if (i <= 15) "a" else "b"))
     val dir = docsDir(rows)

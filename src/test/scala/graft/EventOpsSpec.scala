@@ -92,4 +92,51 @@ class EventOpsSpec extends SparkSpec {
       ("2024-01-01", 1L) -> 1L, // u1 active the week after
       ("2024-01-08", 0L) -> 1L)) // u2 active in its own cohort week
   }
+
+  test("approx percentiles track the exact ones within sketch accuracy") {
+    // The scale companion (bounded mergeable-sketch state) must agree
+    // with the exact form on real data — the driver only
+    // rows-only-checks it, so this spec carries the numerical contract.
+    // The sketch returns an ACTUAL sample near the target rank (the
+    // exact form interpolates), so the right tolerance is a RANK band:
+    // the approx value must lie between the exact quantiles ±2 points.
+    import org.apache.spark.sql.functions._
+    val bands = Tables.load(spark, sf0001, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        percentile(col("value"), lit(0.48)).as("lo50"),
+        percentile(col("value"), lit(0.52)).as("hi50"),
+        percentile(col("value"), lit(0.93)).as("lo95"),
+        percentile(col("value"), lit(0.97)).as("hi95"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    val approx = graft.queries.EventOps.approxPercentiles(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(approx.keySet === bands.keySet && bands.nonEmpty)
+    bands.foreach { case (et, (n, lo50, hi50, lo95, hi95)) =>
+      val (na, a50, a95) = approx(et)
+      assert(na === n)
+      assert(a50 >= lo50 && a50 <= hi50, s"$et p50 $a50 outside [$lo50, $hi50]")
+      assert(a95 >= lo95 && a95 <= hi95, s"$et p95 $a95 outside [$lo95, $hi95]")
+    }
+  }
+
+  test("rolling 7-day active users equals the naive per-day window count") {
+    import spark.implicits._
+    // brute force over collected (user, day) pairs — sf0.001 is small
+    val ud = Tables.load(spark, sf0001, "events")
+      .select($"user_id", to_date($"ts").as("day")).distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val days = ud.map(_._2).distinct
+    val expect = days.map { d =>
+      d.toString -> ud.filter { case (_, ad) =>
+        !ad.isAfter(d) && !ad.isBefore(d.minusDays(6))
+      }.map(_._1).distinct.length.toLong
+    }.toMap
+    val got = graft.queries.EventOps.activeUsers7d(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === expect && got.nonEmpty)
+  }
 }

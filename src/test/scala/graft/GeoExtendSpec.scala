@@ -46,6 +46,23 @@ class GeoExtendSpec extends SparkSpec {
     assert(rows("Narnia") === (("NA", 6.0, 'N'.toInt.toDouble)))
   }
 
+  test("a rate-declaring resolver refuses multi-slot extension runs") {
+    // Pacing is JVM-wide per endpoint, but slots on different executors
+    // are different JVMs — extension() must fail loudly rather than let
+    // numSlots>1 silently violate the declared rate floor.
+    val paced = new GeoResolver {
+      override val minIntervalMs = 1000L
+      def resolve(name: String) = None
+    }
+    val e = intercept[IllegalArgumentException] {
+      GeoExtend.extension(spark, Seq(spec), dim, paced, numSlots = 2)
+    }
+    assert(e.getMessage.contains("numSlots must be 1"))
+    // unpaced resolvers keep the multi-slot path
+    GeoExtend.extension(spark, Seq(spec), dim, GeoResolver.Fixture, numSlots = 2)
+      .collect()
+  }
+
   test("re-ingest against the extended dim recovers the dropped rows") {
     val ext = GeoExtend.extension(spark, Seq(spec), dim, GeoResolver.Fixture)
     val again = SourceSpec.ingest(spark, spec, GeoExtend.extendedDim(dim, ext))

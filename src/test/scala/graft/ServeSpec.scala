@@ -48,10 +48,34 @@ class ServeSpec extends SparkSpec {
     assert(body.contains("\"rank\":1"))
   }
 
+  test("/search hits carry the document payload (the reference's _source)") {
+    val (code, body) = get("/search?q=spark+join&page=1&size=3")
+    assert(code === 200)
+    // the payload columns a results page renders without a second trip
+    Seq("title", "snippet", "lang", "source", "n_chars").foreach(f =>
+      assert(body.contains("\"" + f + "\""), s"missing hit field $f: ${body.take(300)}"))
+    // payload content is the ranked document's, not a cross-wired row
+    val hit = """"doc_id":(\d+),"score":[^,]+,"rank":1,"title":"([^"]*)"""".r
+      .findFirstMatchIn(body).getOrElse(fail(s"no rank-1 hit in ${body.take(300)}"))
+    val docText = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(org.apache.spark.sql.functions.col("doc_id") === hit.group(1).toLong)
+      .collect().head.getAs[String]("text")
+    assert(docText.toLowerCase.startsWith(hit.group(2).take(20)))
+  }
+
+  test("/search rejects an unbounded page*size product") {
+    // each factor alone is within MaxLimit — only the product is not
+    val (code, body) = get("/search?q=spark&page=10000&size=10000")
+    assert(code === 400 && body.contains("page*size"), body.take(200))
+    // the boundary itself still serves
+    val (ok, _) = get("/search?q=spark&page=2000&size=5")
+    assert(ok === 200)
+  }
+
   test("/search ranking equals bm25Search; rank=overlap selects the old ranker") {
     // Rank→doc_id extracted from the response rows, order-insensitively.
     def ranking(body: String): Map[Long, Long] =
-      """\{"doc_id":(\d+),"score":[^,]+,"rank":(\d+)\}""".r
+      """\{"doc_id":(\d+),"score":[^,]+,"rank":(\d+),""".r
         .findAllMatchIn(body).map(m => m.group(2).toLong -> m.group(1).toLong).toMap
     def expected(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
       df.collect().map(r => r.getAs[Long]("rank") -> r.getAs[Long]("doc_id")).toMap
@@ -80,6 +104,13 @@ class ServeSpec extends SparkSpec {
     assert(got === expect && expect.size === 5)
     val (bad, err) = get("/ann?id=notanumber")
     assert(bad === 400 && err.contains("error"))
+    // non-numeric k gets a shaped 400, not a raw NumberFormatException
+    val (badK, errK) = get("/ann?id=3&k=ten")
+    assert(badK === 400 && errK.contains("non-numeric k"), errK.take(200))
+    // a well-formed id absent from the table is a 404, distinguishable
+    // from a present vector that merely has no neighbors
+    val (missing, errM) = get("/ann?id=999999999")
+    assert(missing === 404 && errM.contains("no embedding"), errM.take(200))
   }
 
   test("/query/<name> serves any catalog entry; unknown names 404") {

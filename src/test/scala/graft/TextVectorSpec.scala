@@ -120,6 +120,42 @@ class TextVectorSpec extends SparkSpec {
     }
   }
 
+  test("semDedupKmeans: zero Lloyd iterations at k=16 equals the oracle-checked semDedup") {
+    // lloydIters=0 freezes the seeds (the 16 lowest ids) — exactly the
+    // fixed-centroid model llm_semdedup pins against DuckDB, so the two
+    // must agree row-for-row; any divergence is a bug in the shared
+    // assign/drop plumbing, not a modeling difference.
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("vec_id"), r.getAs[Long]("cid"), r.getAs[Boolean]("dropped"))
+    val fixed = VectorSearch.semDedup(spark, sf0001).collect().map(key).sorted
+    val kmeans0 = VectorSearch.semDedupKmeans(spark, sf0001, k = 16, lloydIters = 0)
+      .collect().map(key).sorted
+    assert(kmeans0 === fixed && fixed.nonEmpty)
+  }
+
+  test("semDedupKmeans: learned centroids keep full coverage, canonical survival, determinism") {
+    val n = Tables.load(spark, sf0001, "embeddings").count()
+    def run() = VectorSearch.semDedupKmeans(spark, sf0001, lloydIters = 2).collect()
+    val rows = run()
+    // every vector assigned exactly once, whatever the learned cells are
+    assert(rows.length === n)
+    assert(rows.map(_.getAs[Long]("vec_id")).distinct.length === n)
+    // k defaulted to ⌈√N⌉: cells can only shrink from there
+    assert(rows.map(_.getAs[Long]("cid")).distinct.length
+      <= math.ceil(math.sqrt(n.toDouble)).toInt)
+    // the keep-rule invariant holds per learned cell
+    rows.groupBy(_.getAs[Long]("cid")).foreach { case (cid, rs) =>
+      val minId = rs.map(_.getAs[Long]("vec_id")).min
+      assert(!rs.find(_.getAs[Long]("vec_id") == minId).get.getAs[Boolean]("dropped"),
+        s"cell $cid dropped its canonical (min-id) member")
+    }
+    // DECIMAL-folded means + deterministic seeds/tiebreaks ⇒ two runs
+    // give bit-identical clusters (the reproducibility contract)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("vec_id"), r.getAs[Long]("cid"), r.getAs[Boolean]("dropped"))
+    assert(run().map(key).sorted === rows.map(key).sorted)
+  }
+
   test("LSH ANN results are a subset of brute-force candidates (same bucket)") {
     val ann = VectorSearch.lshBucketTopk(spark, sf0001).collect()
     // every ANN neighbor's cosine score must equal the brute-force cosine

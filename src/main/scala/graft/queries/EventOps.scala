@@ -263,20 +263,27 @@ object EventOps {
     * raw event stream to at most users×days rows in ONE keyed shuffle —
     * then each active day contributes itself to the ≤7 window-end
     * buckets it can serve (`sequence(day, day+6)` explode, narrow), and
-    * a two-phase distinct count per bucket closes it; the semi-join
-    * keeps only buckets that are themselves active days, mirroring the
-    * calendar the naive form scans. Day exported as a yyyy-MM-dd string
-    * (the rel_date_histogram convention). The DuckDB oracle runs the
-    * naive BETWEEN join, proving the exploded plan equivalent. */
+    * a two-phase distinct count per bucket closes it. Buckets that are
+    * not themselves active days (the lead-out past each burst) are
+    * dropped WITHOUT a second scan: a bucket is a real day exactly when
+    * some contribution arrived at offset 0, so the validity flag rides
+    * the same aggregation (`max(off = 0)`) instead of a semi-join
+    * against a separately-scanned day dim — one pass over events total.
+    * Day exported as a yyyy-MM-dd string (the rel_date_histogram
+    * convention). The DuckDB oracle runs the naive BETWEEN join,
+    * proving the exploded plan equivalent. */
   def activeUsers7d(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(spark, dir, "events")
     val ud = ev.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
-    val days = ud.select(col("day").as("bucket")).distinct()
-    ud.select(col("user_id"),
-        explode(expr("sequence(day, date_add(day, 6))")).as("bucket"))
-      .join(days, Seq("bucket"), "left_semi")
+    ud.select(col("user_id"), col("day"),
+        explode(expr("sequence(0, 6)")).as("off"))
+      .select(col("user_id"), col("off"),
+        expr("date_add(day, off)").as("bucket"))
       .groupBy(col("bucket"))
-      .agg(count_distinct(col("user_id")).as("active_7d"))
+      .agg(
+        count_distinct(col("user_id")).as("active_7d"),
+        max((col("off") === 0).cast("int")).as("is_day"))
+      .filter(col("is_day") === 1)
       .select(date_format(col("bucket"), "yyyy-MM-dd").as("day"), col("active_7d"))
   }
 

@@ -56,4 +56,29 @@ class PlanInvariantSpec extends SparkSpec {
           s"$name lost its pre-limit (TakeOrderedAndProject/WindowGroupLimit):\n$plan")
     }
   }
+
+  test("searchHits joins the payload via broadcast, never shuffling documents") {
+    // The /search payload join must stay (documents ⋈ broadcast(top-k)):
+    // the ranked side is ≤ page·size rows by construction. If the
+    // broadcast is ever lost, the full documents table shuffles per
+    // search request — fail here instead.
+    val df = graft.queries.TextAnalysis.searchHits(
+      spark, sf0001, Seq("spark", "join"), page = 1, pageSize = 5)
+    val plan = df.queryExecution.executedPlan
+    val bcastJoins = deepCollect(plan) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bcastJoins.nonEmpty, s"payload join not broadcast:\n$plan")
+    // The only exchanges allowed are bounded ones: the SinglePartition
+    // fold of the one-row BM25 stats, and the range sort of the ≤ k
+    // result rows. A HASH-partition exchange means a corpus-sized
+    // shuffle crept in.
+    val hashShuffles = deepCollect(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning
+            .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }
+    assert(hashShuffles.isEmpty,
+      s"searchHits hash-shuffles (payload must ride the broadcast):\n$plan")
+  }
 }

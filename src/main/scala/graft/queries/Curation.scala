@@ -93,11 +93,47 @@ object Curation {
       |  CAST(SUM(ws_toks) AS BIGINT) AS sum_ws_toks
       |FROM r GROUP BY lang, reason""".stripMargin
 
+  /** Deterministic train/val/test split — the hand-off a curated corpus
+    * ends with: every doc lands in exactly one split as a pure function
+    * of its id (md5 bucket mod 100: <96 train, <98 val, else test), so
+    * re-runs, engines, and partitionings agree, and the assignment is
+    * APPEND-STABLE — growing the corpus never moves an existing doc
+    * across splits (re-splitting by fractions would, leaking train docs
+    * into a later eval set). Reported per (source, split) with doc and
+    * char totals — the split manifest a trainer consumes.
+    *
+    * Scale: one narrow projection into one map-side-combined
+    * aggregation; only the manifest rows shuffle. */
+  def trainSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val bucket = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(100L))
+    val split = when(bucket < 96, "train").when(bucket < 98, "val").otherwise("test")
+    docs.select(col("source"), split.as("split"), col("n_chars"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+  }
+
+  // '0x…'::BIGINT mirrors Spark's conv(hex, 16, 10): both are exact on
+  // the 32-bit prefix, and the value is non-negative so % needs no pmod
+  // mirroring (the exportJsonl convention).
+  val trainSplitSql: String =
+    """SELECT source,
+      |  CASE WHEN b < 96 THEN 'train' WHEN b < 98 THEN 'val' ELSE 'test' END AS split,
+      |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM (SELECT source, n_chars,
+      |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+      |      FROM documents)
+      |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_stratified_sample" -> (stratifiedSample _),
-    "llm_corpus_filter" -> (corpusFilter _))
+    "llm_corpus_filter" -> (corpusFilter _),
+    "llm_train_split" -> (trainSplit _))
 
   val oracles: Map[String, String] = Map(
     "llm_stratified_sample" -> stratifiedSampleSql,
-    "llm_corpus_filter" -> corpusFilterSql)
+    "llm_corpus_filter" -> corpusFilterSql,
+    "llm_train_split" -> trainSplitSql)
 }

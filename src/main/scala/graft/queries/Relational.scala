@@ -338,6 +338,31 @@ object Relational {
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY ROLLUP(r_name, n_name)""".stripMargin
 
+  /** Arbitrary GROUPING SETS beyond the ROLLUP/CUBE hierarchies (§2.6
+    * completion): the explicit set list ((priority, status),
+    * (priority), ()) — the shape dashboards use when they want SOME
+    * subtotal combinations but not the full cube (here: per-cell,
+    * per-priority, and grand total, WITHOUT the per-status marginals a
+    * cube would also compute). Same execution as rollup/cube — one
+    * Expand (3 output rows per input row, vs a cube's 4) into one
+    * keyed aggregation; the double total rides DECIMAL so group sums
+    * are order-independent (the dateHistogram convention). */
+  def groupingSetsAgg(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(spark, dir, "orders")
+    import spark.implicits._
+    ord.groupingSets(
+        Seq(Seq($"o_orderpriority", $"o_orderstatus"), Seq($"o_orderpriority"), Seq()),
+        $"o_orderpriority", $"o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum($"o_totalprice".cast(dec)).cast("double").as("sum_price"))
+  }
+
+  val groupingSetsSql: String =
+    """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())""".stripMargin
+
   /** CUBE over two independent dimensions (§2.6: all grouping-set
     * combinations for cross-dimension dashboard totals). */
   def cubeDims(spark: SparkSession, dir: String): DataFrame = {
@@ -607,6 +632,7 @@ object Relational {
     "rel_date_histogram" -> (dateHistogram _),
     "rel_rollup" -> (rollupHierarchy _),
     "rel_cube" -> (cubeDims _),
+    "rel_grouping_sets" -> (groupingSetsAgg _),
     "rel_except" -> (exceptNations _),
     "rel_setops_combo" -> (setOpsCombo _),
     "rel_distinct_counts" -> (distinctCounts _),
@@ -634,6 +660,7 @@ object Relational {
     "rel_date_histogram" -> dateHistogramSql,
     "rel_rollup" -> rollupHierarchySql,
     "rel_cube" -> cubeDimsSql,
+    "rel_grouping_sets" -> groupingSetsSql,
     "rel_shipping_priority" -> shippingPrioritySql,
     "rel_above_avg" -> aboveAvgSql,
     "rel_except" -> exceptNationsSql,

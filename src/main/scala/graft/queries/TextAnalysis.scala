@@ -297,6 +297,58 @@ object TextAnalysis {
        |WHERE rank <= 10""".stripMargin
   }
 
+  // --------------------------------------------------- keyword extraction
+
+  /** Per-document keyword extraction: the top-3 TF-IDF terms of every
+    * doc — the salient-term tagging step a curation pipeline runs for
+    * topic routing, domain labeling, and search-facet generation
+    * (complements [[unigramLm]], which scores WHOLE docs against the
+    * corpus LM; this surfaces WHICH terms make a doc distinctive).
+    * score(d, w) = tf(d, w) · ln(N / df(w)).
+    *
+    * Scale shape — the TF-IDF join family ([[unigramLm]]'s anatomy):
+    * one exploded pass collapses map-side to per-(doc, term) counts;
+    * the document-frequency table derives from THAT (term-keyed, Zipf-
+    * bounded — far smaller than the token stream); tf ⋈ df is a keyed
+    * equi-join AQE plans (broadcast here, co-partitioned at 100 TB);
+    * the corpus size rides a one-row broadcast; the final top-3 is a
+    * doc_id-PARTITIONED rank window (bounded per group — no global
+    * window anywhere). Determinism: tf/df/N are integers, the one
+    * transcendental (ln) is fenced by round(…,6) mirrored in the
+    * oracle, ties break on the term string. */
+  def keywordTopk(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), toks(col("text")).as("t"))
+    val tf = docs.select(col("doc_id"), explode(col("t")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dfx = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).cast("double").as("n"))
+    val wRank = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(dfx, "w").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("w").as("term"),
+        round(col("tf").cast("double") * log(col("n") / col("df").cast("double")), 6)
+          .as("score"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= 3)
+  }
+
+  val keywordTopkSql: String =
+    s"""WITH d AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |tok AS (SELECT doc_id, unnest(t) AS w FROM d),
+       |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+       |dfx AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+       |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM d),
+       |s AS (SELECT doc_id, w AS term,
+       |        round(CAST(tf AS DOUBLE) * ln(n / CAST(df AS DOUBLE)), 6) AS score
+       |      FROM tf JOIN dfx USING (w), nn),
+       |r AS (SELECT doc_id, term, score,
+       |        row_number() OVER (PARTITION BY doc_id
+       |          ORDER BY score DESC, term ASC) AS rank
+       |      FROM s)
+       |SELECT doc_id, term, score, CAST(rank AS BIGINT) AS rank
+       |FROM r WHERE rank <= 3""".stripMargin
+
   // ------------------------------------------------------- unigram LM
 
   /** Corpus-unigram language-model scoring — the exact-LM core of a
@@ -579,6 +631,7 @@ object TextAnalysis {
     "txt_search_bm25" -> (searchBm25 _),
     "txt_search_bm25_fields" -> (searchBm25Fields _),
     "txt_unigram_lm" -> (unigramLm _),
+    "txt_keyword_topk" -> (keywordTopk _),
     "txt_lang_id" -> (langId _),
     "txt_quality" -> (quality _),
     "txt_token_stats" -> (tokenStats _),
@@ -591,6 +644,7 @@ object TextAnalysis {
     "txt_search_bm25" -> searchBm25Sql,
     "txt_search_bm25_fields" -> searchBm25FieldsSql,
     "txt_unigram_lm" -> unigramLmSql,
+    "txt_keyword_topk" -> keywordTopkSql,
     "txt_lang_id" -> langIdSql,
     "txt_quality" -> qualitySql,
     "txt_token_stats" -> tokenStatsSql,

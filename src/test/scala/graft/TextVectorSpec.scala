@@ -106,6 +106,27 @@ class TextVectorSpec extends SparkSpec {
     assert(paged === page(1, 10) && paged.size === 10)
   }
 
+  test("keyword extraction: dense ranks, descending scores, terms from the doc itself") {
+    val rows = TextAnalysis.keywordTopk(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.foreach { case (id, rs) =>
+      val ranked = rs.sortBy(_.getAs[Long]("rank"))
+      assert(ranked.map(_.getAs[Long]("rank")).toSeq === (1L to rs.length),
+        s"doc $id ranks not dense")
+      val scores = ranked.map(_.getAs[Double]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"doc $id scores not descending")
+    }
+    // every keyword is a token of its own document (TF > 0 by construction)
+    val docToks = Tables.load(spark, sf0001, "documents").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").toLowerCase.trim.split("\\s+").toSet).toMap
+    rows.foreach(r => assert(
+      docToks(r.getAs[Long]("doc_id")).contains(r.getAs[String]("term")),
+      s"doc ${r.getAs[Long]("doc_id")} keyword '${r.getAs[String]("term")}' not in doc"))
+  }
+
   test("semDedup covers every vector and never drops a cell's minimum id") {
     val rows = VectorSearch.semDedup(spark, sf0001).collect()
     assert(rows.length === Tables.load(spark, sf0001, "embeddings").count())

@@ -66,9 +66,78 @@ object Geo {
        |FROM cells GROUP BY cell""".stripMargin
   }
 
+  /** Haversine radius join — the Kibana live-map-around-a-point shape
+    * (README.md:22-28 "France 3-weeks live map": the dashboard slices
+    * facts to a geographic neighborhood): for each of 20 query centers,
+    * the customers within 800 km, aggregated per center.
+    *
+    * The naive form is a cross join (centers × points) with a
+    * great-circle filter — a nested loop at scale. The scale-safe shape
+    * is the 1-D banding member of the bucket-explode family
+    * (rel_range_join's trick in geo space): points key on
+    * `floor(lat/8°)`; each center explodes to the ≤3 latitude bands
+    * that can contain a point within range (800 km = 7.195° of
+    * latitude < 7.3 margin < 8° band), the join is a keyed equi-join
+    * on the band (centers broadcast — constant-size dim), and the
+    * haversine is a residual filter on ~3/22 of the cross product.
+    * Complete by construction: |Δlat| ≤ radius bounds the band delta.
+    * The DuckDB oracle runs the naive cross join, proving the banded
+    * plan equivalent.
+    *
+    * Cross-engine float care: the formula is mirrored OPERATION-ORDER
+    * exact (e.g. `radians(Δ)/2`, never `radians(Δ/2)` — algebraically
+    * equal, different rounding), and no transcendental value reaches
+    * the output (counts and keys only), so the only divergence surface
+    * is a point landing within ~1 ulp of the 800 km cutoff — measured
+    * margins are 2.24 km at sf0.01 and 11.6 m at sf0.1, ~10^8 x above
+    * any trig-library ulp difference. */
+  def geoRadiusJoin(spark: SparkSession, dir: String): DataFrame = {
+    val lat = (col("c_custkey") * 37 % 1700) / lit(10.0) - 85.0
+    val lon = (col("c_custkey") * 73 % 3500) / lit(10.0) - 175.0
+    val pts = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), lat.as("lat"), lon.as("lon"))
+      .withColumn("band", floor(col("lat") / 8.0).cast("long"))
+    val centers = spark.range(20).select(
+      col("id").as("center_id"),
+      ((col("id") * 137 % 120) - 60 + 0.5).cast("double").as("clat"),
+      ((col("id") * 241 % 340) - 170 + 0.5).cast("double").as("clon"))
+    val cb = centers.withColumn("band",
+      explode(sequence(
+        floor((col("clat") - 7.3) / 8.0).cast("long"),
+        floor((col("clat") + 7.3) / 8.0).cast("long"))))
+    val dist = lit(2.0) * 6371.0 * asin(sqrt(
+      pow(sin(radians(col("clat") - col("lat")) / 2), 2) +
+        cos(radians(col("lat"))) * cos(radians(col("clat"))) *
+          pow(sin(radians(col("clon") - col("lon")) / 2), 2)))
+    pts.join(broadcast(cb), "band")
+      .filter(dist <= 800.0)
+      .groupBy(col("center_id"))
+      .agg(count(lit(1)).as("n"), min(col("c_custkey")).as("min_key"))
+  }
+
+  val geoRadiusJoinSql: String =
+    """WITH pts AS (SELECT c_custkey,
+      |    (c_custkey * 37 % 1700) / 10.0 - 85.0 AS lat,
+      |    (c_custkey * 73 % 3500) / 10.0 - 175.0 AS lon
+      |  FROM customer),
+      |c AS (SELECT i AS center_id,
+      |    CAST((i * 137 % 120) - 60 + 0.5 AS DOUBLE) AS clat,
+      |    CAST((i * 241 % 340) - 170 + 0.5 AS DOUBLE) AS clon
+      |  FROM range(20) t(i)),
+      |d AS (SELECT center_id, c_custkey,
+      |    2.0 * 6371.0 * asin(sqrt(
+      |      power(sin(radians(clat - lat) / 2), 2) +
+      |      cos(radians(lat)) * cos(radians(clat)) *
+      |      power(sin(radians(clon - lon) / 2), 2))) AS dist
+      |  FROM pts CROSS JOIN c)
+      |SELECT center_id, COUNT(*) AS n, MIN(c_custkey) AS min_key
+      |FROM d WHERE dist <= 800.0 GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "geo_cell_agg" -> (geoCellAgg _))
+    "geo_cell_agg" -> (geoCellAgg _),
+    "geo_radius_join" -> (geoRadiusJoin _))
 
   val oracles: Map[String, String] = Map(
-    "geo_cell_agg" -> geoCellAggSql)
+    "geo_cell_agg" -> geoCellAggSql,
+    "geo_radius_join" -> geoRadiusJoinSql)
 }

@@ -167,13 +167,99 @@ object Streaming {
       | AND i.event_type = 'view' AND c.event_type = 'click'
       | AND c.ts >= i.ts AND c.ts <= i.ts + INTERVAL 1 HOUR""".stripMargin
 
+  /** Streaming trending terms — the Kibana "last 7 days news" panel
+    * family (README.md:22-28) as a CHAINED-stateful streaming pipeline:
+    * ONE watermark drives both (link, date) dedup and daily
+    * tumbling-window token counts in the same query (Spark's
+    * multi-stateful-operator support), landing in an append sink as
+    * each day's window finalizes. Ranking (top-3 terms per day) runs
+    * batch-side over the sink: rank is not a streaming-safe operator,
+    * and the sink's windowed counts are final by construction.
+    *
+    * Lifecycle: landing files copy to a scratch source; run 1 processes
+    * them; a far-future sentinel doc then kicks the watermark past
+    * every real window (the [[streamSessionize]] pattern) so run 2
+    * flushes them — the sentinel's own window never finalizes and so
+    * never reaches the sink. State stays bounded at any scale: dedup
+    * keys and open windows BOTH evict as the watermark passes (T3's
+    * argument, across two stateful operators).
+    *
+    * The DuckDB oracle computes the identical dedup → day bucket →
+    * count → top-3 from the landing files directly, so the whole
+    * streaming lifecycle must agree with batch semantics row-for-row. */
+  def streamTrending(spark: SparkSession, dir: String): DataFrame = trendLock.synchronized {
+    val scratch = graft.Fixtures.reusedScratchDir("trend_rt")
+    val in = s"$scratch/in"
+    val sink = s"$scratch/sink"
+    val ckpt = s"$scratch/ckpt"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    Seq(in, sink, ckpt).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    java.nio.file.Files.list(java.nio.file.Paths.get(landing)).forEach { f =>
+      java.nio.file.Files.copy(f,
+        java.nio.file.Paths.get(in, f.getFileName.toString)): Unit
+    }
+
+    def runOnce(): Unit = graft.streaming.StateStores.streamingSession(spark) { s =>
+      val counts = s.readStream.schema(NewsStream.newsSchema).json(in)
+        .filter(col("title").isNotNull) // F4, as in NewsStream
+        .withWatermark("date", "1 hour")
+        .dropDuplicates("link", "date")
+        .select(col("date"), explode(split(lower(col("title")), " ")).as("term"))
+        .groupBy(window(col("date"), "1 day"), col("term"))
+        .agg(count(lit(1)).as("n"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+          col("term"), col("n"))
+      val q = counts.writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    // watermark kicker — a doc far enough out that every real window
+    // ends before the new watermark; its own window stays open forever
+    java.nio.file.Files.write(java.nio.file.Paths.get(in, "zz_sentinel.json"),
+      ("""{"title":"sentinel","desc":null,"date":"2100-01-01T00:00:00",""" +
+        """"link":"sentinel","img":null,"lang":"xx","source":null}""")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    runOnce()
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("day")).orderBy(col("n").desc, col("term").asc)
+    spark.read.parquet(sink)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+  }
+
+  private val trendLock = new Object
+
+  val streamTrendingSql: String =
+    s"""WITH docs AS (
+       |  SELECT link, title, CAST(date AS TIMESTAMP) AS date,
+       |    row_number() OVER (PARTITION BY link, CAST(date AS TIMESTAMP)
+       |      ORDER BY title) AS rn
+       |  FROM read_json('$landing/*.json') WHERE title IS NOT NULL),
+       |tok AS (SELECT strftime(date_trunc('day', date), '%Y-%m-%d') AS day,
+       |          unnest(string_split(lower(title), ' ')) AS term
+       |        FROM docs WHERE rn = 1),
+       |c AS (SELECT day, term, COUNT(*) AS n FROM tok GROUP BY 1, 2),
+       |r AS (SELECT day, term, n,
+       |        row_number() OVER (PARTITION BY day ORDER BY n DESC, term ASC) AS rank
+       |      FROM c)
+       |SELECT day, term, n, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_news_dedup" -> (newsDedup _),
     "stream_sessionize" -> (streamSessionize _),
-    "stream_attribution" -> (streamAttribution _))
+    "stream_attribution" -> (streamAttribution _),
+    "stream_trending" -> (streamTrending _))
 
   val oracles: Map[String, String] = Map(
     "stream_news_dedup" -> newsDedupSql,
     "stream_sessionize" -> streamSessionizeSql,
-    "stream_attribution" -> streamAttributionSql)
+    "stream_attribution" -> streamAttributionSql,
+    "stream_trending" -> streamTrendingSql)
 }

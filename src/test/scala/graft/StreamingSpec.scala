@@ -287,6 +287,24 @@ class StreamingSpec extends SparkSpec {
       s"HDFS-provider artifacts present — RocksDB did not engage: $stateFiles")
   }
 
+  test("trending terms: all landing days emit, sentinel never reaches the sink, reruns agree") {
+    def collect() = graft.queries.Streaming.streamTrending(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getAs[Long]("n"),
+        r.getAs[Long]("rank"))).toSet
+    val rows = collect()
+    val days = rows.map(_._1)
+    // every landing day (2021-03-01..04) finalized; the 2100 sentinel's
+    // window must never flush into the sink
+    assert(days === Set("2021-03-01", "2021-03-02", "2021-03-03", "2021-03-04"))
+    assert(!rows.exists(_._2 == "sentinel"))
+    // dedup upstream of the count: 2021-03-02 carries the duplicated a2
+    // doc — without the dedup its tokens would count 2 and dominate the
+    // top-3; with it every 03-02 term appears exactly once
+    assert(rows.filter(_._1 == "2021-03-02").forall(_._3 == 1L))
+    // clean-rerun stability (the reusedScratchDir + lock contract)
+    assert(collect() === rows)
+  }
+
   test("file-source pipeline is idempotent across re-fires") {
     val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_test_news"
     val landing = graft.Fixtures.newsLanding

@@ -349,6 +349,66 @@ object TextAnalysis {
        |SELECT doc_id, term, score, CAST(rank AS BIGINT) AS rank
        |FROM r WHERE rank <= 3""".stripMargin
 
+  // --------------------------------------------------- CMS heavy hitters
+
+  /** Heavy-hitter vocabulary terms via a count-min sketch — the custom
+    * typed-[[org.apache.spark.sql.expressions.Aggregator]] showcase
+    * ([[graft.functions.CmsSketch]]): terms whose SKETCH-estimated
+    * count reaches 1% of the token stream. Two bounded passes:
+    * pass 1 folds the whole token stream into ONE 4×256-counter sketch
+    * (+ the exact total) — constant state however large the corpus,
+    * map-side partial merges, order-independent integer sums; pass 2
+    * probes the distinct vocabulary (Zipf-bounded) against the
+    * broadcast one-row sketch — `min` over the term's 4 row-salted
+    * cells, the classic CMS point query, never rescanning the stream.
+    *
+    * CMS estimates only ever OVERCOUNT (collisions add), so this
+    * reports a superset of the true ≥1% terms within the sketch's
+    * εN ≈ (e/256)·N guarantee — the standard sketch trade: candidate
+    * generation in one cheap pass, exact counting (if needed) only on
+    * the few survivors. The DuckDB oracle rebuilds the IDENTICAL
+    * sketch in SQL (same md5 bucket hash, same min-over-rows), so the
+    * estimates — not just the selection — hash-match cross-engine. */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CmsSketch
+    val cms = udaf(CmsSketch, org.apache.spark.sql.Encoders.STRING)
+    val stream = Tables.load(spark, dir, "documents")
+      .select(explode(toks(col("text"))).as("term"))
+    val sketch = stream.agg(cms(col("term")).as("sk"),
+      count(lit(1)).cast("long").as("total"))
+    def estRow(r: Int): Column = element_at(col("sk"),
+      (lit(r * CmsSketch.Width) +
+        pmod(conv(substring(md5(concat(lit(s"$r:"), col("term"))), 1, 8), 16, 10)
+          .cast("long"), lit(CmsSketch.Width.toLong))).cast("int") + 1)
+    stream.distinct()
+      .crossJoin(broadcast(sketch))
+      .select(col("term"),
+        least((0 until CmsSketch.Depth).map(estRow): _*).as("est"),
+        col("total"))
+      .filter(col("est").cast("double") >= col("total").cast("double") * 0.01)
+      .select(col("term"), col("est"))
+  }
+
+  val heavyHittersSql: String = {
+    val w = graft.functions.CmsSketch.Width
+    val d = graft.functions.CmsSketch.Depth
+    s"""WITH dd AS (SELECT $toksSql AS t FROM documents),
+       |tok AS (SELECT unnest(t) AS term FROM dd),
+       |tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM tok),
+       |cells AS (SELECT r,
+       |    ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || term), 1, 8))::BIGINT % $w AS b,
+       |    COUNT(*) AS c
+       |  FROM tok CROSS JOIN range($d) s(r) GROUP BY 1, 2),
+       |terms AS (SELECT DISTINCT term FROM tok),
+       |probe AS (SELECT term, r,
+       |    ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || term), 1, 8))::BIGINT % $w AS b
+       |  FROM terms CROSS JOIN range($d) s(r)),
+       |est AS (SELECT term, MIN(c) AS est
+       |        FROM probe JOIN cells USING (r, b) GROUP BY 1)
+       |SELECT term, CAST(est AS BIGINT) AS est
+       |FROM est, tt WHERE CAST(est AS DOUBLE) >= CAST(total AS DOUBLE) * 0.01""".stripMargin
+  }
+
   // ------------------------------------------------------- unigram LM
 
   /** Corpus-unigram language-model scoring — the exact-LM core of a
@@ -632,6 +692,7 @@ object TextAnalysis {
     "txt_search_bm25_fields" -> (searchBm25Fields _),
     "txt_unigram_lm" -> (unigramLm _),
     "txt_keyword_topk" -> (keywordTopk _),
+    "txt_heavy_hitters" -> (heavyHitters _),
     "txt_lang_id" -> (langId _),
     "txt_quality" -> (quality _),
     "txt_token_stats" -> (tokenStats _),
@@ -645,6 +706,7 @@ object TextAnalysis {
     "txt_search_bm25_fields" -> searchBm25FieldsSql,
     "txt_unigram_lm" -> unigramLmSql,
     "txt_keyword_topk" -> keywordTopkSql,
+    "txt_heavy_hitters" -> heavyHittersSql,
     "txt_lang_id" -> langIdSql,
     "txt_quality" -> qualitySql,
     "txt_token_stats" -> tokenStatsSql,

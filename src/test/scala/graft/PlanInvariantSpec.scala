@@ -17,7 +17,9 @@ class PlanInvariantSpec extends SparkSpec {
   private val eagerPrefixes = Seq("stream_", "ing_", "mm_")
   private val eagerNames = Set("llm_dedup_clusters", "rel_bucketed_join",
     // checkpoint-then-unpersist their working caches on construction
-    "llm_incremental_dedup", "llm_decontaminate")
+    "llm_incremental_dedup", "llm_decontaminate",
+    // runs its Lloyd iterations (driver-collected centroids) eagerly
+    "llm_semdedup_kmeans")
 
   test("every lazily-planned catalog query plans without a cartesian product") {
     val names = SparkEntry.queries.keys.toSeq.sorted

@@ -127,6 +127,29 @@ class TextVectorSpec extends SparkSpec {
       s"doc ${r.getAs[Long]("doc_id")} keyword '${r.getAs[String]("term")}' not in doc"))
   }
 
+  test("CMS heavy hitters: estimates are never below exact counts (overcount-only)") {
+    // The sketch's one-sided error guarantee: collisions can only ADD,
+    // so est(term) >= true count for every reported term. The oracle
+    // proves cross-engine equality of the estimates; this pins the
+    // sketch's semantic contract against ground truth.
+    import org.apache.spark.sql.functions._
+    val est = TextAnalysis.heavyHitters(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("est")).toMap
+    assert(est.nonEmpty)
+    val exact = Tables.load(spark, sf0001, "documents")
+      .select(explode(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " "))
+        .as("term"))
+      .groupBy("term").count().collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("count")).toMap
+    est.foreach { case (t, e) =>
+      assert(e >= exact(t), s"term '$t': sketch $e < exact ${exact(t)}")
+    }
+    // and at least one true heavy hitter is genuinely present
+    val total = exact.values.sum
+    assert(exact.filter(_._2 >= total / 100).keySet.subsetOf(est.keySet),
+      "a true >=1% term is missing from the sketch-reported superset")
+  }
+
   test("semDedup covers every vector and never drops a cell's minimum id") {
     val rows = VectorSearch.semDedup(spark, sf0001).collect()
     assert(rows.length === Tables.load(spark, sf0001, "embeddings").count())

@@ -37,13 +37,22 @@ object CmsSketch extends Aggregator[String, Array[Long], Array[Long]] {
   val Depth = 4
   val Width = 256
 
+  // One digest instance per task thread: reduce() runs Depth hashes per
+  // token — per-call getInstance would dominate the fold's cost.
+  // MessageDigest is stateful, never thread-safe; reset() via digest()
+  // makes reuse sound.
+  private val digests = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   /** Row-salted bucket: first 8 md5 hex chars of "r:term", mod Width.
     * Mirrors `('0x' || substr(md5(r || ':' || term), 1, 8))::BIGINT %
     * Width` (DuckDB) and `conv(substring(md5(concat(...)), 1, 8), 16,
     * 10) % Width` (Spark SQL) exactly: the 32-bit prefix is positive,
     * so % needs no pmod mirroring. */
   def bucket(r: Int, term: String): Int = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = digests.get()
     val bytes = md.digest(s"$r:$term".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // first 8 hex chars = first 4 bytes, big-endian unsigned
     val prefix = ((bytes(0) & 0xffL) << 24) | ((bytes(1) & 0xffL) << 16) |

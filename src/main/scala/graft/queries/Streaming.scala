@@ -196,10 +196,13 @@ object Streaming {
     Seq(in, sink, ckpt).foreach(p =>
       fs.delete(new org.apache.hadoop.fs.Path(p), true))
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
-    java.nio.file.Files.list(java.nio.file.Paths.get(landing)).forEach { f =>
+    // Files.list holds the directory handle until closed — a long-lived
+    // Serve process would leak one per invocation without the finally.
+    val listing = java.nio.file.Files.list(java.nio.file.Paths.get(landing))
+    try listing.forEach { f =>
       java.nio.file.Files.copy(f,
         java.nio.file.Paths.get(in, f.getFileName.toString)): Unit
-    }
+    } finally listing.close()
 
     def runOnce(): Unit = graft.streaming.StateStores.streamingSession(spark) { s =>
       val counts = s.readStream.schema(NewsStream.newsSchema).json(in)

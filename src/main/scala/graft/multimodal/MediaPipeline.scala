@@ -78,4 +78,42 @@ object MediaPipeline {
     import ds.sparkSession.implicits._
     ds.mapPartitions(_.grouped(BatchSize).flatMap(_.map(decodeStub)))
   }
+
+  /** Resize output: the downsampled payload STAYS a binary column (the
+    * next pipeline stage — thumbnailing, embedding — consumes bytes,
+    * not summaries), plus the audit numbers. */
+  case class ResizedMedia(media_id: Long, media_type: String,
+      orig_bytes: Long, resized: Array[Byte])
+
+  /** Resize target: cap the payload at this many samples (the 1-D
+    * stand-in for a 32×32 thumbnail's 1024 pixels). */
+  val ResizeCap = 1024
+
+  /** STUB resize — nearest-neighbor downsample over the raw bytes:
+    * sample positions 1, 1+stride, 1+2·stride, … (1-based, stride =
+    * max(n/cap, 1)), keeping at most [[ResizeCap]] samples. A real
+    * implementation would hand the batch to an image scaler (the
+    * mapInPandas analog: PIL `resize` per batch row); the batching,
+    * binary-in/binary-out schema, and metadata update are the real
+    * plumbing it would drop into. */
+  def resizeStub(r: MediaRecord): ResizedMedia = {
+    val n = r.payload.length.toLong
+    val stride = math.max(n / ResizeCap, 1L)
+    val out = new java.io.ByteArrayOutputStream()
+    var k = 0L
+    while (k < ResizeCap) {
+      val pos = 1 + k * stride
+      if (pos <= n) out.write(r.payload((pos - 1).toInt))
+      k += 1
+    }
+    ResizedMedia(r.media_id, r.media_type, n, out.toByteArray)
+  }
+
+  /** Batched resize: same mapInPandas-shaped stage as
+    * [[extractFeatures]] — per-partition iterator, explicit batches,
+    * no shuffle. */
+  def resize(ds: Dataset[MediaRecord]): Dataset[ResizedMedia] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.grouped(BatchSize).flatMap(_.map(resizeStub)))
+  }
 }

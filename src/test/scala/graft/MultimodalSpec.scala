@@ -24,4 +24,26 @@ class MultimodalSpec extends SparkSpec {
     assert(out.count() === n)
     assert(out.select("media_id").distinct().count() === n)
   }
+
+  test("resize stub: exact nearest-neighbor byte selection, cap respected") {
+    // n <= cap: stride 1, payload passes through unchanged
+    val small = MediaRecord(1L, "image", "abcd".getBytes("UTF-8"), 64, 64)
+    assert(MediaPipeline.resizeStub(small).resized.toSeq === "abcd".getBytes("UTF-8").toSeq)
+    // n > cap: stride = n/cap, every stride-th byte, exactly cap samples
+    val big = MediaRecord(2L, "video",
+      Array.tabulate(3000)(i => (i % 251).toByte), 64, 64)
+    val r = MediaPipeline.resizeStub(big)
+    assert(r.orig_bytes === 3000L)
+    assert(r.resized.length === MediaPipeline.ResizeCap) // 1 + 1023*2 = 2047 <= 3000
+    val stride = 3000L / MediaPipeline.ResizeCap // = 2
+    (0 until MediaPipeline.ResizeCap).foreach { k =>
+      assert(r.resized(k) === big.payload((k * stride).toInt),
+        s"sample $k not the nearest-neighbor byte")
+    }
+    // the binary survives the Dataset boundary intact (plumbing, not
+    // just arithmetic)
+    import spark.implicits._
+    val viaSpark = MediaPipeline.resize(Seq(big).toDS()).collect().head
+    assert(viaSpark.resized.toSeq === r.resized.toSeq)
+  }
 }

@@ -62,6 +62,17 @@ object Serve {
 
   private def clamp(v: Int, hi: Int): Int = math.min(math.max(v, 1), hi)
 
+  /** Parse an integer query parameter, or throw the shaped message the
+    * generic handler turns into a clean 400 — every numeric param takes
+    * this path so none can leak a raw NumberFormatException string
+    * (the /ann `k` lesson, applied uniformly). */
+  private def intParam(p: Map[String, String], name: String, default: Int): Int =
+    p.get(name) match {
+      case None => default
+      case Some(v) => v.toIntOption.getOrElse(
+        throw new IllegalArgumentException(s"non-numeric $name parameter"))
+    }
+
   /** One DataFrame → one JSON payload: `{"columns":[...],"n":K,
     * "rows":[{...}]}`. Rows render via Spark's own `toJSON` (schema-aware,
     * handles nested structs/arrays/timestamps), so this stays a dumb
@@ -236,7 +247,7 @@ object Serve {
           guardSql(spark, sql, tables.toSet)
           val df = spark.sql(sql)
           guardAnalyzed(PlanShim.analyzed(df))
-          (200, render(df, p.getOrElse("limit", "100").toInt))
+          (200, render(df, intParam(p, "limit", 100)))
         case None => (400, """{"error":"missing q parameter"}""")
       }
     })
@@ -253,8 +264,8 @@ object Serve {
         // still allows a 10^8-row pre-limit), so page*size > MaxLimit is
         // rejected outright rather than silently serving a different
         // page than the one asked for.
-        val page = clamp(p.getOrElse("page", "1").toInt, MaxLimit)
-        val size = clamp(p.getOrElse("size", "10").toInt, MaxLimit)
+        val page = clamp(intParam(p, "page", 1), MaxLimit)
+        val size = clamp(intParam(p, "size", 10), MaxLimit)
         if (page.toLong * size > MaxLimit)
           (400, s"""{"error":"page*size must be <= $MaxLimit (got ${page.toLong * size})"}""")
         else {
@@ -268,22 +279,21 @@ object Serve {
 
     server.createContext("/ann", (ex: HttpExchange) => handle(ex) {
       val p = params(ex)
-      // Both parameters are parsed with *Option so a malformed value gets
-      // a shaped 400, not a NumberFormatException string from the generic
-      // handler; a well-formed id that is absent from the table gets an
-      // explicit 404 (otherwise "no such vector" and "vector with zero
-      // neighbors" would both serve an indistinguishable empty 200).
-      (p.get("id").map(_.toLongOption),
-        p.getOrElse("k", "10").toIntOption) match {
-        case (Some(Some(id)), Some(kRaw)) =>
-          val k = clamp(kRaw, MaxLimit)
+      // id parses with toLongOption and k through intParam, so a
+      // malformed value gets a shaped 400, never a raw
+      // NumberFormatException string; a well-formed id that is absent
+      // from the table gets an explicit 404 (otherwise "no such vector"
+      // and "vector with zero neighbors" would both serve an
+      // indistinguishable empty 200).
+      p.get("id").flatMap(_.toLongOption) match {
+        case Some(id) =>
+          val k = clamp(intParam(p, "k", 10), MaxLimit)
           val exists = !Tables.load(spark, dir, "embeddings")
             .filter(col("vec_id") === id).isEmpty
           if (!exists) (404, s"""{"error":"no embedding with vec_id $id"}""")
           else (200, render(
             graft.queries.VectorSearch.annSearch(spark, dir, Seq(id), k), k))
-        case (_, None) => (400, """{"error":"non-numeric k parameter"}""")
-        case _ => (400, """{"error":"missing or non-numeric id parameter"}""")
+        case None => (400, """{"error":"missing or non-numeric id parameter"}""")
       }
     })
 
@@ -291,7 +301,7 @@ object Serve {
       val name = ex.getRequestURI.getPath.stripPrefix("/query/")
       SparkEntry.queries.get(name) match {
         case Some(fn) =>
-          (200, render(fn(spark, dir), params(ex).getOrElse("limit", "100").toInt))
+          (200, render(fn(spark, dir), intParam(params(ex), "limit", 100)))
         case None => (404, s"""{"error":"unknown query ${name.take(100)}"}""")
       }
     })

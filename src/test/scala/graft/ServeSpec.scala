@@ -72,6 +72,19 @@ class ServeSpec extends SparkSpec {
     assert(ok === 200)
   }
 
+  test("every numeric parameter rejects non-numeric input with a shaped 400") {
+    Seq(
+      "/search?q=spark&page=two" -> "page",
+      "/search?q=spark&size=ten" -> "size",
+      "/sql?q=SELECT%201%20AS%20one&limit=all" -> "limit",
+      "/query/rel_pricing_summary?limit=all" -> "limit").foreach {
+      case (path, param) =>
+        val (code, body) = get(path)
+        assert(code === 400 && body.contains(s"non-numeric $param"),
+          s"$path -> $code $body")
+    }
+  }
+
   test("/search ranking equals bm25Search; rank=overlap selects the old ranker") {
     // Rank→doc_id extracted from the response rows, order-insensitively.
     def ranking(body: String): Map[Long, Long] =

@@ -148,13 +148,76 @@ object Functions {
       |  CAST(json_extract(props, '$.k') AS BIGINT) AS k_schema
       |FROM events WHERE event_id % 101 = 0""".stripMargin
 
+  /** MapType surface end-to-end: per status, the priority→count map is
+    * BUILT (collect_list of structs, sorted for a deterministic entry
+    * order, map_from_entries), PROBED (element_at on a key that may be
+    * absent → null), and EXPLODED back to rows. The oracle computes the
+    * same rows purely relationally (group counts + a left join for the
+    * probe), so the whole map round-trip must be lossless. Maps never
+    * reach the output schema — engines disagree on map hashing — only
+    * their exploded entries do. */
+  def mapFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(spark, dir, "orders")
+    val m = ord.groupBy(col("o_orderstatus"), col("o_orderpriority")).count()
+      .groupBy(col("o_orderstatus"))
+      .agg(map_from_entries(
+        array_sort(collect_list(struct(col("o_orderpriority"), col("count")))))
+        .as("m"))
+    m.select(col("o_orderstatus"),
+        element_at(col("m"), "1-URGENT").as("urgent_n"),
+        explode(col("m")).as(Seq("priority", "n")))
+      .select(col("o_orderstatus"), col("priority"), col("n"), col("urgent_n"))
+  }
+
+  val mapFuncsSql: String =
+    """WITH c AS (SELECT o_orderstatus, o_orderpriority AS priority, COUNT(*) AS n
+      |           FROM orders GROUP BY 1, 2),
+      |u AS (SELECT o_orderstatus, n AS urgent_n FROM c WHERE priority = '1-URGENT')
+      |SELECT c.o_orderstatus, c.priority, c.n, u.urgent_n
+      |FROM c LEFT JOIN u USING (o_orderstatus)""".stripMargin
+
+  /** Null-semantics composite: three-valued logic made explicit —
+    * null-safe equality (`<=>` / IS NOT DISTINCT FROM, the form that
+    * never returns NULL), presence dispatch (nvl2), coalesce default,
+    * and NULLS FIRST window ordering (engines disagree on the default
+    * null sort position, so portable ordering must spell it out). The
+    * `% 997` filter bounds the global window to ~n/1000 rows. */
+  def nullFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderkey") % 997 === 0)
+    val v = when(col("o_orderkey") % 7 === 0, lit(null))
+      .otherwise(col("o_orderpriority"))
+    val w = Window.orderBy(col("v").asc_nulls_first, col("o_orderkey").asc)
+    ord.select(col("o_orderkey"), v.as("v"))
+      .select(
+        col("o_orderkey"),
+        nvl2(col("v"), lit("present"), lit("absent")).as("presence"),
+        coalesce(col("v"), lit("N/A")).as("v_or_default"),
+        (col("v") <=> "1-URGENT").as("is_urgent"),
+        row_number().over(w).cast("long").as("nulls_first_rank"))
+  }
+
+  val nullFuncsSql: String =
+    """WITH b AS (SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderpriority END AS v
+      |  FROM orders WHERE o_orderkey % 997 = 0)
+      |SELECT o_orderkey,
+      |  CASE WHEN v IS NOT NULL THEN 'present' ELSE 'absent' END AS presence,
+      |  coalesce(v, 'N/A') AS v_or_default,
+      |  v IS NOT DISTINCT FROM '1-URGENT' AS is_urgent,
+      |  CAST(row_number() OVER (ORDER BY v ASC NULLS FIRST, o_orderkey ASC)
+      |    AS BIGINT) AS nulls_first_rank
+      |FROM b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fn_json" -> (jsonFuncs _),
     "fn_pivot" -> (pivotEvents _),
     "fn_array_agg" -> (arrayAgg _),
     "fn_window_ranks" -> (windowRanks _),
     "fn_datetime" -> (datetimeFuncs _),
-    "fn_strings" -> (stringFuncs _))
+    "fn_strings" -> (stringFuncs _),
+    "fn_map_funcs" -> (mapFuncs _),
+    "fn_nulls" -> (nullFuncs _))
 
   val oracles: Map[String, String] = Map(
     "fn_json" -> jsonFuncsSql,
@@ -162,5 +225,7 @@ object Functions {
     "fn_array_agg" -> arrayAggSql,
     "fn_window_ranks" -> windowRanksSql,
     "fn_datetime" -> datetimeFuncsSql,
-    "fn_strings" -> stringFuncsSql)
+    "fn_strings" -> stringFuncsSql,
+    "fn_map_funcs" -> mapFuncsSql,
+    "fn_nulls" -> nullFuncsSql)
 }

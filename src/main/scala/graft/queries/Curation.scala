@@ -127,13 +127,79 @@ object Curation {
       |      FROM documents)
       |GROUP BY 1, 2""".stripMargin
 
+  /** The full curation chain as ONE dataflow — what actually ships to
+    * the trainer: exact-dup survivor election → quality gates (the
+    * [[corpusFilter]] 'kept' rule, same normalization as
+    * llm_exact_dedup so the stages can't drift) → deterministic
+    * [[trainSplit]] bucket assignment → the per-split manifest (docs,
+    * chars, whitespace tokens). The component operators verify each
+    * stage in isolation; THIS entry verifies their composition — the
+    * oracle recomputes the whole chain independently, so a rule drift
+    * between stages (e.g. dedup key vs survivor filter) hash-fails
+    * here even when every piece passes alone.
+    *
+    * Scale shape: one window over the hash-keyed shuffle (survivor
+    * election), narrow gates, a pure-function split, and a 3-row
+    * manifest aggregation — the chain adds NO shuffle beyond its most
+    * expensive member. */
+  def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val t = col("t")
+    val withT = docs
+      .withColumn("h", md5(LlmDedup.normText(col("text"))))
+      .withColumn("t", split(LlmDedup.normText(col("text")), " "))
+    val surv = min(col("doc_id")).over(Window.partitionBy(col("h")))
+    val kept = withT
+      .withColumn("surv", surv)
+      .withColumn("ttr", size(array_distinct(t)).cast("double") / size(t))
+      .withColumn("ws_toks", size(t).cast("long"))
+      .filter(col("doc_id") === col("surv") &&
+        col("ttr") >= 0.3 && col("ws_toks") >= 10L)
+    val bucket = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(100L))
+    kept
+      .select(
+        when(bucket < 96, "train").when(bucket < 98, "val").otherwise("test")
+          .as("split"),
+        col("n_chars"), col("ws_toks"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("ws_toks")).as("sum_ws_toks"))
+  }
+
+  val curationPipelineSql: String =
+    s"""WITH d AS (SELECT doc_id, n_chars,
+      |    md5(${LlmDedup.normTextSql()}) AS h,
+      |    string_split(${LlmDedup.normTextSql()}, ' ') AS t
+      |  FROM documents),
+      |e AS (SELECT doc_id, n_chars,
+      |    MIN(doc_id) OVER (PARTITION BY h) AS surv,
+      |    CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr,
+      |    CAST(len(t) AS BIGINT) AS ws_toks
+      |  FROM d),
+      |k AS (SELECT * FROM e
+      |      WHERE doc_id = surv AND ttr >= 0.3 AND ws_toks >= 10),
+      |s AS (SELECT *,
+      |    CASE WHEN b < 96 THEN 'train' WHEN b < 98 THEN 'val' ELSE 'test' END AS split
+      |  FROM (SELECT *,
+      |          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+      |        FROM k))
+      |SELECT split, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(SUM(ws_toks) AS BIGINT) AS sum_ws_toks
+      |FROM s GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_stratified_sample" -> (stratifiedSample _),
     "llm_corpus_filter" -> (corpusFilter _),
-    "llm_train_split" -> (trainSplit _))
+    "llm_train_split" -> (trainSplit _),
+    "llm_curation_pipeline" -> (curationPipeline _))
 
   val oracles: Map[String, String] = Map(
     "llm_stratified_sample" -> stratifiedSampleSql,
     "llm_corpus_filter" -> corpusFilterSql,
-    "llm_train_split" -> trainSplitSql)
+    "llm_train_split" -> trainSplitSql,
+    "llm_curation_pipeline" -> curationPipelineSql)
 }

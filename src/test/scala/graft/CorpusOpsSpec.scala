@@ -186,6 +186,22 @@ class CorpusOpsSpec extends SparkSpec {
     assert(half === expectHalf)
   }
 
+  test("curation pipeline composes its stages: totals equal corpusFilter's kept set") {
+    import graft.queries.Curation
+    // the pipeline's manifest must cover EXACTLY the docs corpusFilter
+    // classifies 'kept' — same dedup key, same gates; a drift between
+    // the composed chain and the component op fails here
+    val keptRows = Curation.corpusFilter(spark, sf0001).collect()
+      .filter(_.getAs[String]("reason") == "kept")
+    val keptDocs = keptRows.map(_.getAs[Long]("n_docs")).sum
+    val keptToks = keptRows.map(_.getAs[Long]("sum_ws_toks")).sum
+    val manifest = Curation.curationPipeline(spark, sf0001).collect()
+    assert(manifest.map(_.getAs[Long]("n_docs")).sum === keptDocs)
+    assert(manifest.map(_.getAs[Long]("sum_ws_toks")).sum === keptToks)
+    assert(manifest.map(_.getAs[String]("split")).toSet.subsetOf(
+      Set("train", "val", "test")))
+  }
+
   test("domain mixture selection is deterministic across runs") {
     val rows = (1L to 20L).map(i => (i, s"words for doc $i", if (i <= 15) "a" else "b"))
     val dir = docsDir(rows)

@@ -417,6 +417,62 @@ object Relational {
       |  (SELECT DISTINCT c_nationkey AS nationkey FROM customer
       |   UNION SELECT DISTINCT s_nationkey FROM supplier)""".stripMargin
 
+  /** FULL OUTER join — the one join shape the catalog lacked: two rare
+    * subsets (customers above 9950 vs suppliers above 9500 acctbal per nation)
+    * so BOTH null directions are genuinely exercised at both gate SFs
+    * (measured: 3+5 one-sided nations at sf0.01, 1+4 at sf0.1), not
+    * just planned. The USING-style key coalesces identically on both
+    * engines; the side counts stay nullable in the output (both
+    * engines hash NULL the same). Scale: two keyed pre-aggregations,
+    * then a nation-sized join — outer joins broadcast/co-partition
+    * like inner ones. */
+  def outerJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+    val supp = Tables.load(spark, dir, "supplier")
+    import spark.implicits._
+    val c = cust.filter($"c_acctbal" > 9950)
+      .groupBy($"c_nationkey".as("nationkey")).agg(count(lit(1)).as("n_cust"))
+    val s = supp.filter($"s_acctbal" > 9500)
+      .groupBy($"s_nationkey".as("nationkey")).agg(count(lit(1)).as("n_supp"))
+    c.join(s, Seq("nationkey"), "full_outer")
+  }
+
+  val outerJoinSql: String =
+    """WITH c AS (SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust
+      |           FROM customer WHERE c_acctbal > 9950 GROUP BY 1),
+      |s AS (SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp
+      |      FROM supplier WHERE s_acctbal > 9500 GROUP BY 1)
+      |SELECT coalesce(c.nationkey, s.nationkey) AS nationkey, n_cust, n_supp
+      |FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey""".stripMargin
+
+  /** EXCEPT ALL / INTERSECT ALL — the BAG-semantics halves of §2.9 (the
+    * distinct-semantics forms are rel_except / rel_setops_combo):
+    * multiplicity matters — EXCEPT ALL keeps max(nₐ−n_b, 0) copies,
+    * INTERSECT ALL min(nₐ, n_b) — which is what makes them the right
+    * tool for count-preserving reconciliation (e.g. "which rows did
+    * this batch lose?"). Folded to per-value counts so the output is
+    * bounded; the counts ARE the semantics under test. */
+  def setOpsBag(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.load(spark, dir, "orders")
+    import spark.implicits._
+    val a = ord.filter($"o_orderstatus" === "O").select($"o_orderpriority".as("p"))
+    val b = ord.filter($"o_orderstatus" === "F").select($"o_orderpriority".as("p"))
+    a.exceptAll(b).groupBy($"p").agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("except_all"))
+      .unionByName(
+        a.intersectAll(b).groupBy($"p").agg(count(lit(1)).as("n"))
+          .withColumn("op", lit("intersect_all")))
+  }
+
+  val setOpsBagSql: String =
+    """WITH a AS (SELECT o_orderpriority AS p FROM orders WHERE o_orderstatus = 'O'),
+      |b AS (SELECT o_orderpriority AS p FROM orders WHERE o_orderstatus = 'F')
+      |SELECT p, COUNT(*) AS n, 'except_all' AS op
+      |FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY 1
+      |UNION ALL
+      |SELECT p, COUNT(*) AS n, 'intersect_all' AS op
+      |FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY 1""".stripMargin
+
   /** Exact distinct cardinality per group — A6 per-source stats
     * (README.md:163-165 index management). */
   def distinctCounts(spark: SparkSession, dir: String): DataFrame = {
@@ -635,6 +691,8 @@ object Relational {
     "rel_grouping_sets" -> (groupingSetsAgg _),
     "rel_except" -> (exceptNations _),
     "rel_setops_combo" -> (setOpsCombo _),
+    "rel_setops_bag" -> (setOpsBag _),
+    "rel_outer_join" -> (outerJoin _),
     "rel_distinct_counts" -> (distinctCounts _),
     "rel_approx_distinct" -> (approxDistinct _),
     "rel_shipping_priority" -> (shippingPriority _),
@@ -665,6 +723,8 @@ object Relational {
     "rel_above_avg" -> aboveAvgSql,
     "rel_except" -> exceptNationsSql,
     "rel_setops_combo" -> setOpsComboSql,
+    "rel_setops_bag" -> setOpsBagSql,
+    "rel_outer_join" -> outerJoinSql,
     "rel_distinct_counts" -> distinctCountsSql,
     "rel_grid_cells" -> gridCellsSql,
     "rel_regex_extract" -> regexExtractSql)

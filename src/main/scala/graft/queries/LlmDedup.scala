@@ -368,37 +368,64 @@ object LlmDedup {
     * step clusters the graph and elects min-doc_id as each component's
     * survivor.
     *
-    * The edge set reunites the two dedup families: near-dup pairs from
-    * [[minhashNearDup]] (between exact-dedup representatives) plus one
-    * star edge rep→member per exact-duplicate group — a same-text clique
-    * of size k contributes k-1 star edges, never the O(k²) pair list, so
-    * full-corpus cluster coverage survives the representative collapse
-    * at linear cost. */
+    * Only the rep-level near-dup graph is ITERATED. Exact-duplicate
+    * members are leaves hanging off their group's rep (pairwise dedup
+    * runs between exact-dedup representatives — the family contract),
+    * so their component is their rep's component and they contribute
+    * nothing to convergence: r12's formulation fed them through the loop
+    * as star edges anyway, paying per-round join cost proportional to
+    * the whole duplicate set. Attaching them AFTER the fixpoint with one
+    * keyed join is output-identical — a rep is its group's min doc_id,
+    * so no member can ever be a component minimum — and shrinks every
+    * round of the loop to the (much smaller) near-dup rep graph
+    * (VERDICT r12 item 1: cut the CC loop's fixed cost). */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val docs = Tables.load(spark, dir, "documents")
     val byText = docs.select(
       md5(normText(col("text"))).as("th"), col("doc_id"))
     val reps = byText.groupBy(col("th")).agg(min(col("doc_id")).as("rep"))
-    val exactEdges = byText.join(reps, "th")
+    // Feeds two subtrees (star-rep vertex set + member attachment);
+    // persist so the documents scan + rep groupBy run once. Scoped to
+    // the query: the harness clears the cache between queries.
+    val members = byText.join(reps, "th")
       .filter(col("doc_id") =!= col("rep"))
-      .select(col("rep").as("x_id"), col("doc_id").as("y_id"))
-    connectedComponents(
-      minhashNearDup(spark, dir).select(col("x_id"), col("y_id"))
-        .unionByName(exactEdges))
+      .select(col("rep"), col("doc_id").as("member_id"))
+      .persist(sl)
+    val repCC = connectedComponents(
+      minhashNearDup(spark, dir).select(col("x_id"), col("y_id")))
+      .select(col("doc_id"), col("cluster_id"))
+    // Vertex set = near-dup reps (from the loop) ∪ reps that only have
+    // exact members (their own one-rep cluster). USING full outer
+    // coalesces the key; a rep absent from the loop labels itself.
+    val repAll = repCC
+      .join(members.select(col("rep").as("doc_id")).distinct(),
+        Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    val memberOut = members.join(repAll, members("rep") === repAll("doc_id"))
+      .select(col("member_id").as("doc_id"), col("cluster_id"))
+    repAll.unionByName(memberOut)
+      .select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).as("is_survivor"))
   }
 
   /** Min-label propagation over an (x_id, y_id) pair graph, with
-    * adaptive pointer doubling.
+    * pointer doubling from round 1.
     *
     * Every vertex starts as its own label; each round takes the min over
-    * neighbors' labels; fixpoint = component minimum (unique, hence
-    * deterministic regardless of iteration count). Rounds are dominated
-    * by fixed per-round cost (plan + broadcast + scheduling — measured
-    * ~1 s at any small scale), so the loop starts with the cheapest
-    * possible round (ONE join + ONE agg) and only adds the doubling
-    * self-join once a high-diameter graph proves it needs it
-    * (EscalateAfter), putting the worst case at O(log diameter) rounds
-    * without taxing the dense-clique common case. The driver loop
+    * neighbors' labels and then follows one label indirection
+    * (label ← min(label, label-of-label)); fixpoint = component minimum
+    * (unique, hence deterministic regardless of iteration count). Rounds
+    * are dominated by fixed per-round cost (plan + broadcast +
+    * scheduling — measured ~1 s at any small scale, and the dominant
+    * cold-JVM cost center per VERDICT r12), so the loop spends its fixed
+    * cost on the round shape that converges in O(log diameter) rounds
+    * unconditionally — r12's "escalate after 4 cheap rounds" heuristic
+    * paid 4 single-hop rounds of fixed cost before doubling ever
+    * started, which on the dense-clique common case IS the whole loop.
+    * All rounds now share one plan shape, so round 2+ reuses round 1's
+    * JVM-wide codegen cache entries even on a cold JVM. The driver loop
     * carries only a convergence scalar, never data; the MaxIters cap
     * turns a pathological graph into an error, not an endless job. */
   /** Serializes [[connectedComponents]]: concurrent runs build
@@ -411,7 +438,6 @@ object LlmDedup {
 
   private[graft] def connectedComponents(pairsIn: DataFrame): DataFrame = ccLock.synchronized {
     val MaxIters = 20
-    val EscalateAfter = 4
     val scratch = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // The whole loop runs on a conf-isolated clone of the caller's
@@ -465,29 +491,21 @@ object LlmDedup {
         val nbrMin = edges.join(labels, col("dst") === col("id"))
           .groupBy(col("src")).agg(min(col("label")).as("label"))
           .select(col("src").as("id"), col("label"))
-        // Dedup graphs are dense near-cliques in practice (diameter 2-4),
-        // so the common case converges in a few 1-join rounds. A long
-        // CHAIN of near-dups would need O(diameter) such rounds — if the
-        // graph hasn't converged after EscalateAfter rounds, each further
-        // round also follows one label indirection (pointer doubling:
-        // label ← min(label, label-of-label)), making the remaining
-        // round count O(log diameter). The doubling join is valid
-        // because labels are always vertex ids and the self-loops put
-        // every vertex in nbrMin; `least` keeps monotone descent, so the
-        // label-sum convergence proof is unchanged. nbrMin is persisted
-        // first: Spark never reuses identical unexchanged subtrees, so an
-        // unpersisted self-join would compute the propagation (and
-        // everything under it) twice.
-        val step =
-          if (iters < EscalateAfter) nbrMin.persist(sl)
-          else {
-            val nm = nbrMin.persist(sl)
-            scratch += nm
-            nm.as("s").join(nm.as("t"), col("s.label") === col("t.id"))
-              .select(col("s.id").as("id"),
-                least(col("s.label"), col("t.label")).as("label"))
-              .persist(sl)
-          }
+        // Pointer doubling: follow one label indirection on top of the
+        // propagation hop (label ← min(label, label-of-label)), making
+        // the round count O(log diameter) from round 1. The doubling
+        // join is valid because labels are always vertex ids and the
+        // self-loops put every vertex in nbrMin; `least` keeps monotone
+        // descent, so the label-sum convergence proof is unchanged.
+        // nbrMin is persisted first: Spark never reuses identical
+        // unexchanged subtrees, so an unpersisted self-join would
+        // compute the propagation (and everything under it) twice.
+        val nm = nbrMin.persist(sl)
+        scratch += nm
+        val step = nm.as("s").join(nm.as("t"), col("s.label") === col("t.id"))
+          .select(col("s.id").as("id"),
+            least(col("s.label"), col("t.label")).as("label"))
+          .persist(sl)
         val s = labelSum(step)
         converged = s.compareTo(prevSum) == 0
         prevSum = s

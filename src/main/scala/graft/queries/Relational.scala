@@ -378,20 +378,27 @@ object Relational {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)""".stripMargin
 
-  /** EXCEPT — §2.9 set-op surface (nations with customers but no
-    * suppliers). Spark EXCEPT == SQL EXCEPT (distinct semantics). */
+  /** EXCEPT — §2.9 set-op surface: nations with customers but no
+    * LOW-key suppliers. Spark EXCEPT == SQL EXCEPT (distinct semantics).
+    *
+    * The supplier side is restricted to nationkey < 10 so the EXCEPT
+    * provably returns rows (the 15 nations ≥ 10) at every gate SF — the
+    * unrestricted form returned 0 rows at sf0.01, making the oracle
+    * vacuous (any bug that also yields empty would still "pass",
+    * VERDICT r12 item 2). */
   def exceptNations(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.load(spark, dir, "customer")
     val supp = Tables.load(spark, dir, "supplier")
     import spark.implicits._
     cust.select($"c_nationkey".as("nationkey"))
-      .except(supp.select($"s_nationkey".as("nationkey")))
+      .except(supp.filter($"s_nationkey" < 10)
+        .select($"s_nationkey".as("nationkey")))
   }
 
   val exceptNationsSql: String =
     """SELECT c_nationkey AS nationkey FROM customer
       |EXCEPT
-      |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin
+      |SELECT s_nationkey AS nationkey FROM supplier WHERE s_nationkey < 10""".stripMargin
 
   /** INTERSECT + UNION in one plan — §2.9 (the reference's `news_*`
     * union-by-schema index patterns, SearchUI.js:6). */

@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import graft.ingest.{CasesIngest, FranceIngest}
+import graft.streaming.{NewsShaping, NewsStream}
+
+/** The cadence driver — the reference's outermost behavior: every flow is
+  * registered on a 24 h `IntervalSchedule` daemon and re-fired forever
+  * (flow/scripts/insert_owid.py:282-284; the crawl flows idem). The
+  * engine's per-flow semantics already existed (full-refresh overwrite,
+  * AvailableNow incremental streams); this main supplies the loop that
+  * re-fires the whole flow set on a fixed interval.
+  *
+  * Design points, each load-bearing at production scale:
+  *  - Flow isolation: one flow's failure is reported in the tick's
+  *    outcome and the remaining flows still run — a daemon that dies
+  *    because ONE source served a malformed file loses every other
+  *    source's freshness with it (the reference behaves the same way:
+  *    each script is its own Prefect flow).
+  *  - Fixed-rate ticks: the sleep subtracts the tick's own duration
+  *    (like `IntervalSchedule`'s anchor), so a 2 h ingest against a 24 h
+  *    interval fires daily, not every 26 h — and a tick that OVERRUNS
+  *    the interval fires again immediately rather than drifting.
+  *  - Injectable clock: the loop takes `sleep` as a parameter so tests
+  *    drive ticks manually (no wall-clock waits, no flakes) — the
+  *    production main passes `Thread.sleep`.
+  *
+  * Re-fire semantics per flow family (what makes the loop SAFE to run
+  * forever): full-refresh flows land via partitioned-overwrite swap
+  * ([[CasesIngest.writeLake]]), so a reader between ticks sees the old or
+  * the new lake, never a mix; the news stream is AvailableNow over a
+  * checkpoint, so a re-fire processes exactly the landing files that
+  * arrived since the last tick (exactly-once, no duplicates on overlap);
+  * the tweets flow lands through the keyed upsert
+  * ([[NewsStream.upsertToLake]]), so re-scraped ids replace rather than
+  * duplicate.
+  */
+object Schedule {
+
+  /** One scheduled unit: `run` receives the 0-based tick number. */
+  final case class Flow(name: String, run: Long => Unit)
+
+  /** Outcome of one tick: per-flow `None` = success, `Some(msg)` =
+    * isolated failure. */
+  final case class TickReport(tick: Long, outcomes: Seq[(String, Option[String])])
+
+  /** Raw scraped-tweet landing schema (crawl_tweets.py:71-84 fields). */
+  val tweetRawSchema: StructType = StructType(Seq(
+    StructField("user", StringType),
+    StructField("content", StringType),
+    StructField("date", StringType),
+    StructField("tweet_id", StringType),
+    StructField("lang", StringType)))
+
+  /** The reference's five flows over a lake root: three full-refresh
+    * ingests (owid-style cases, France hospital, France virtests), the
+    * news crawl (incremental AvailableNow), and — when a tweets landing
+    * dir is configured — the tweet scrape (shaped + keyed upsert).
+    *
+    * The two news feeds land in SIBLING directories sharing the news
+    * schema (`news_crawl`, `news_tweets` — a reader unions by name, the
+    * analog of the reference querying the `news_*` index PATTERN over
+    * per-source indices): a streaming file sink owns its directory
+    * through the `_spark_metadata` commit log, so a batch upsert
+    * swapping the same directory would orphan that log and corrupt the
+    * next incremental fire — one writer per directory is the contract. */
+  def defaultFlows(spark: SparkSession, lakeDir: String,
+      newsLanding: String = Fixtures.newsLanding,
+      tweetsLanding: Option[String] = None): Seq[Flow] = {
+    val base = Seq(
+      Flow("cases", _ =>
+        CasesIngest.writeLake(CasesIngest.canonicalCases(spark), s"$lakeDir/cases")),
+      Flow("france_hospital", _ =>
+        FranceIngest.franceCases(spark)
+          .write.mode("overwrite").parquet(s"$lakeDir/france_cases")),
+      Flow("france_virtests", _ =>
+        FranceIngest.virtests(spark)
+          .write.mode("overwrite").parquet(s"$lakeDir/virtests")),
+      Flow("news_crawl", _ =>
+        NewsStream.runOnce(spark, newsLanding, s"$lakeDir/news_crawl", s"$lakeDir/_news_ckpt")))
+    val tweets = tweetsLanding.map { landing =>
+      Flow("tweets", _ =>
+        NewsStream.upsertToLake(spark,
+          NewsShaping.shapeTweet(
+            spark.read.schema(tweetRawSchema).json(landing)),
+          s"$lakeDir/news_tweets"))
+    }
+    base ++ tweets
+  }
+
+  /** Fire every flow once, in registration order, isolating failures. */
+  def runTick(flows: Seq[Flow], tick: Long): TickReport =
+    TickReport(tick, flows.map { f =>
+      f.name -> (try { f.run(tick); None }
+      catch { case e: Exception =>
+        Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+      })
+    })
+
+  /** The daemon loop: `maxTicks` bounds it for tests (production passes
+    * `Long.MaxValue`); `sleep`/`onTick` injectable for the same reason. */
+  def loop(flows: Seq[Flow], intervalMs: Long,
+      maxTicks: Long = Long.MaxValue,
+      sleep: Long => Unit = Thread.sleep,
+      onTick: TickReport => Unit = r => println(summary(r))): Unit = {
+    require(intervalMs > 0, s"interval must be positive (got $intervalMs ms)")
+    var tick = 0L
+    while (tick < maxTicks) {
+      val t0 = System.nanoTime()
+      onTick(runTick(flows, tick))
+      tick += 1
+      if (tick < maxTicks) {
+        val elapsedMs = (System.nanoTime() - t0) / 1000000L
+        sleep(math.max(0L, intervalMs - elapsedMs))
+      }
+    }
+  }
+
+  private def summary(r: TickReport): String =
+    s"tick ${r.tick}: " + r.outcomes.map {
+      case (n, None) => s"$n ok"
+      case (n, Some(err)) => s"$n FAILED ($err)"
+    }.mkString(", ")
+
+  /** `runMain graft.Schedule <lakeDir> [intervalHours=24] [maxTicks]
+    * [--tweets=<landingDir>]` */
+  def main(args: Array[String]): Unit = {
+    val tweets = args.collectFirst {
+      case a if a.startsWith("--tweets=") => a.stripPrefix("--tweets=") }
+    val pos = args.filterNot(_.startsWith("--"))
+    val lakeDir = pos.headOption.getOrElse(
+      s"${System.getProperty("java.io.tmpdir")}/graft_scheduled_lake")
+    val intervalMs = (pos.lift(1).map(_.toDouble).getOrElse(24.0) * 3600 * 1000).toLong
+    val maxTicks = pos.lift(2).map(_.toLong).getOrElse(Long.MaxValue)
+    val spark = Tables.session("graft-schedule")
+    spark.sparkContext.setLogLevel("WARN")
+    loop(defaultFlows(spark, lakeDir, tweetsLanding = tweets), intervalMs, maxTicks)
+  }
+}

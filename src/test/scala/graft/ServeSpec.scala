@@ -9,15 +9,18 @@ import scala.io.Source
 class ServeSpec extends SparkSpec {
 
   private lazy val server = Serve.start(spark, sf0001, port = 0)
-  private def get(path: String): (Int, String) = {
-    val url = new URI(s"http://127.0.0.1:${server.getAddress.getPort}$path").toURL
+  private def getFrom(srv: com.sun.net.httpserver.HttpServer, path: String,
+      headers: Map[String, String] = Map.empty): (Int, String) = {
+    val url = new URI(s"http://127.0.0.1:${srv.getAddress.getPort}$path").toURL
     val conn = url.openConnection().asInstanceOf[HttpURLConnection]
+    headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
     val code = conn.getResponseCode
     val in = if (code < 400) conn.getInputStream else conn.getErrorStream
     val body = Source.fromInputStream(in, "UTF-8").mkString
     in.close()
     (code, body)
   }
+  private def get(path: String): (Int, String) = getFrom(server, path)
 
   test("/tables lists the registered lake tables") {
     val (code, body) = get("/tables")
@@ -61,6 +64,47 @@ class ServeSpec extends SparkSpec {
       .filter(org.apache.spark.sql.functions.col("doc_id") === hit.group(1).toLong)
       .collect().head.getAs[String]("text")
     assert(docText.toLowerCase.startsWith(hit.group(2).take(20)))
+  }
+
+  test("/search hits carry highlight metadata (matched terms + windowed fragment)") {
+    val (code, body) = get("/search?q=spark+join&page=1&size=3")
+    assert(code === 200)
+    Seq("matched_terms", "highlight").foreach(f =>
+      assert(body.contains("\"" + f + "\""), s"missing hit field $f: ${body.take(300)}"))
+    // the rank-1 hit matched in text, so its highlight window must
+    // actually contain a matched term — the guarantee the prefix
+    // snippet could not make
+    val hit = """"matched_terms":"([^"]*)","highlight":"([^"]*)"""".r
+      .findFirstMatchIn(body).getOrElse(fail(s"no hit fields in ${body.take(400)}"))
+    val matched = hit.group(1).split(",").filter(_.nonEmpty)
+    assert(matched.nonEmpty, s"rank-1 hit matched no terms: ${body.take(400)}")
+    assert(matched.exists(t => hit.group(2).toLowerCase.contains(t)),
+      s"highlight '${hit.group(2)}' contains none of ${matched.mkString(",")}")
+  }
+
+  test("--bind-all refuses to start without a shared secret") {
+    val e = intercept[IllegalArgumentException] {
+      Serve.start(spark, sf0001, port = 0, bindAll = true)
+    }
+    assert(e.getMessage.contains("--token"))
+  }
+
+  test("a token-protected instance 401s without the bearer token, serves with it") {
+    val srv = Serve.start(spark, sf0001, port = 0, token = Some("s3cret"))
+    try {
+      val (noTok, body) = getFrom(srv, "/tables")
+      assert(noTok === 401 && body.contains("bearer token"), body.take(200))
+      val (wrong, _) = getFrom(srv, "/tables",
+        Map("Authorization" -> "Bearer wrong"))
+      assert(wrong === 401)
+      // a non-Bearer scheme is rejected, not string-compared
+      val (basic, _) = getFrom(srv, "/tables",
+        Map("Authorization" -> "Basic s3cret"))
+      assert(basic === 401)
+      val (ok, tbl) = getFrom(srv, "/tables",
+        Map("Authorization" -> "Bearer s3cret"))
+      assert(ok === 200 && tbl.contains("\"nation\""))
+    } finally srv.stop(0)
   }
 
   test("/search rejects an unbounded page*size product") {

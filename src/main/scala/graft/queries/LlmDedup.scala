@@ -428,18 +428,15 @@ object LlmDedup {
     * JVM-wide codegen cache entries even on a cold JVM. The driver loop
     * carries only a convergence scalar, never data; the MaxIters cap
     * turns a pathological graph into an error, not an endless job. */
-  /** Serializes [[connectedComponents]]: concurrent runs build
-    * structurally identical plans whose cache entries the shared
-    * CacheManager dedupes — one run's per-round `unpersist` would evict
-    * entries another run is still iterating on, silently recomputing
-    * the whole pair pipeline every remaining round. The loop is heavy
-    * enough that queueing beats that multiplied cost. */
+  /** Serializes [[connectedComponents]]: each run materializes its own
+    * checkpointed pairs/edges/labels blocks, so two concurrent loops
+    * would hold two full working sets and interleave their per-round
+    * jobs on the same executors — the loop is heavy enough that
+    * queueing beats the multiplied memory + scheduling contention. */
   private val ccLock = new Object
 
   private[graft] def connectedComponents(pairsIn: DataFrame): DataFrame = ccLock.synchronized {
     val MaxIters = 20
-    val scratch = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // The whole loop runs on a conf-isolated clone of the caller's
     // session (AQE off, below): toggling AQE on the shared session races
     // under the concurrent Serve layer (two overlapping set/restore
@@ -458,8 +455,21 @@ object LlmDedup {
       // planner already picks the right join strategy (broadcast when the
       // label frame is small, sort-merge when it isn't).
       _.conf.set("spark.sql.adaptive.enabled", "false")) { spark =>
+    // localCheckpoint (lazy) at every round boundary: it materializes
+    // like persist AND truncates the logical lineage to a leaf RDD.
+    // Without the truncation, round N's plan carries the whole upstream
+    // pair pipeline plus every previous round's operators, so the
+    // per-round analyzer/optimizer walk GROWS with the round number —
+    // the dominant cold fixed cost the loop used to pay (and under the
+    // doubling self-join the tree would double per round). With it,
+    // every round analyzes the same small constant plan over three RDD
+    // leaves, and round 2+ reuses round 1's codegen through the
+    // JVM-wide cache. Block lifecycle: checkpointed partitions are
+    // freed by the ContextCleaner when the round's Dataset reference
+    // drops (reassignment below / method exit), so the loop pins at
+    // most a couple of label frames plus pairs/edges at a time.
     val pairs = org.apache.spark.sql.graft.PlanShim
-      .ofRows(spark, pairsIn.queryExecution.logical).persist(sl)
+      .ofRows(spark, pairsIn.queryExecution.logical).localCheckpoint(false)
     val verts = pairs.select(explode(array(col("x_id"), col("y_id"))).as("id"))
       .distinct()
     // Self-loops fold "keep your own label" into the same neighbor-min,
@@ -469,9 +479,9 @@ object LlmDedup {
     val edges = pairs.unionByName(
       pairs.select(col("y_id").as("x_id"), col("x_id").as("y_id")))
       .unionByName(verts.select(col("id").as("x_id"), col("id").as("y_id")))
-      .toDF("src", "dst").persist(sl)
+      .toDF("src", "dst").localCheckpoint(false)
 
-    var labels = verts.select(col("id"), col("id").as("label")).persist(sl)
+    var labels = verts.select(col("id"), col("id").as("label")).localCheckpoint(false)
     // Labels only ever decrease, so the label sum is a strictly
     // decreasing monotone: an unchanged sum IS the fixpoint proof — one
     // tiny aggregate per round instead of a diff join against the
@@ -497,36 +507,32 @@ object LlmDedup {
         // join is valid because labels are always vertex ids and the
         // self-loops put every vertex in nbrMin; `least` keeps monotone
         // descent, so the label-sum convergence proof is unchanged.
-        // nbrMin is persisted first: Spark never reuses identical
-        // unexchanged subtrees, so an unpersisted self-join would
+        // nbrMin is checkpointed first: Spark never reuses identical
+        // unexchanged subtrees, so an untruncated self-join would
         // compute the propagation (and everything under it) twice.
-        val nm = nbrMin.persist(sl)
-        scratch += nm
+        val nm = nbrMin.localCheckpoint(false)
         val step = nm.as("s").join(nm.as("t"), col("s.label") === col("t.id"))
           .select(col("s.id").as("id"),
             least(col("s.label"), col("t.label")).as("label"))
-          .persist(sl)
+          .localCheckpoint(false)
         val s = labelSum(step)
         converged = s.compareTo(prevSum) == 0
         prevSum = s
-        labels.unpersist()
-        scratch.foreach(_.unpersist())
-        scratch.clear()
         labels = step
         iters += 1
       }
     }
     require(converged, s"dedup clustering did not converge in $MaxIters rounds")
-    // The converged labels are cached; drop the working sets (the result
-    // recomputes through lineage if its own cache block is ever evicted).
-    pairs.unpersist()
-    edges.unpersist()
+    // pairs/edges/intermediate-round blocks free via the ContextCleaner
+    // as their references drop; the converged labels stay materialized
+    // (checkpointed) for the consumers below.
     val out = labels
       .select(col("id").as("doc_id"), col("label").as("cluster_id"),
         (col("id") === col("label")).as("is_survivor"))
     // Rebind the result onto the caller's session so downstream execution
-    // runs under the caller's conf (AQE back on); the persisted labels
-    // block is found through the shared cache manager either way.
+    // runs under the caller's conf (AQE back on); the plan is a
+    // projection over the checkpointed labels RDD, shared via the
+    // common SparkContext.
     org.apache.spark.sql.graft.PlanShim.ofRows(parent, out.queryExecution.logical)
     }
   }

@@ -6,6 +6,9 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    val t0 = System.nanoTime()
+    val loadStart = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -41,6 +44,18 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Environment evidence riding with the artifact (the Bench
+    // convention, VERDICT r12 item 8): per-run wall time and start/end
+    // 1-min loadavg, so a contended correctness run is diagnosable from
+    // the artifact alone. Informational — the driver reads only
+    // oracle_sql.json and the parquet dirs.
+    def load: Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadEnd = load
+    val wallSec = (System.nanoTime() - t0) / 1e9
+    def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
+    Files.writeString(Paths.get(s"$outDir/run_env.json"),
+      s"""{"sf":${q(sfDir)},"wall_sec":${f3(wallSec)},"loadavg_start":${f3(loadStart)},"loadavg_end":${f3(loadEnd)}}""")
     spark.stop()
   }
 }

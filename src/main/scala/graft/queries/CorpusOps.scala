@@ -250,18 +250,26 @@ object CorpusOps {
   // destinations would grow an unbounded map one entry per distinct
   // path; a fixed stripe array is O(1) memory forever, and a stripe
   // collision between two different paths merely serializes them —
-  // safe, just momentarily slower. Paths are normalized first so two
-  // spellings of the same destination (trailing slash, `..`, relative
-  // vs absolute) take the same stripe.
+  // safe, just momentarily slower. Plain local paths are normalized
+  // first so two spellings of the same destination (trailing slash,
+  // `..`, relative vs absolute) take the same stripe; scheme URIs
+  // (hdfs://, s3a://) are detected UP FRONT and pass through with only
+  // the trailing slash stripped — on Unix `Paths.get("hdfs://h/p")`
+  // does not throw, it silently parses as a relative filesystem path
+  // and gets CWD-prefixed, so the exception branch alone never caught
+  // them (ADVICE r12).
   private val ExportLockStripes = 64
   private val exportLocks = Array.fill(ExportLockStripes)(new Object)
+  private val SchemePrefix = "^[A-Za-z][A-Za-z0-9+.-]*://".r
   private def lockFor(out: String): Object = {
     val norm =
-      try java.nio.file.Paths.get(out).toAbsolutePath.normalize.toString
-      catch { // non-path URIs (hdfs://, s3a://) pass through verbatim
-        case _: java.nio.file.InvalidPathException =>
-          out.stripSuffix("/")
-      }
+      if (SchemePrefix.findPrefixOf(out).isDefined) out.stripSuffix("/")
+      else
+        try java.nio.file.Paths.get(out).toAbsolutePath.normalize.toString
+        catch { // unparseable as a path: verbatim (stripes only serialize)
+          case _: java.nio.file.InvalidPathException =>
+            out.stripSuffix("/")
+        }
     exportLocks(math.floorMod(norm.hashCode, ExportLockStripes))
   }
 

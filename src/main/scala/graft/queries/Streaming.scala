@@ -186,7 +186,16 @@ object Streaming {
     *
     * The DuckDB oracle computes the identical dedup → day bucket →
     * count → top-3 from the landing files directly, so the whole
-    * streaming lifecycle must agree with batch semantics row-for-row. */
+    * streaming lifecycle must agree with batch semantics row-for-row.
+    *
+    * Fixture contract (load-bearing HERE, not just for newsDedup's row
+    * counts): streaming `dropDuplicates` keeps an arbitrary first-seen
+    * row per (link, date) while the oracle keeps the min-title survivor
+    * — the two agree on TOKEN COUNTS only because duplicate (link, date)
+    * rows in the landing fixture carry identical payloads (title
+    * included). StreamingSpec("landing fixture: duplicate (link, date)
+    * rows carry identical payloads") asserts it, so a fixture edit
+    * fails there, not as a nondeterministic hash flake. */
   def streamTrending(spark: SparkSession, dir: String): DataFrame = trendLock.synchronized {
     val scratch = graft.Fixtures.reusedScratchDir("trend_rt")
     val in = s"$scratch/in"

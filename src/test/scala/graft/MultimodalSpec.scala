@@ -25,6 +25,22 @@ class MultimodalSpec extends SparkSpec {
     assert(out.select("media_id").distinct().count() === n)
   }
 
+  test("fixture ASCII contract: every doc's UTF-8 byte length equals its char length") {
+    // The mm_* oracles equate payload bytes with ascii(substr(text, i, 1))
+    // and payload length with len(text) — valid ONLY while the documents
+    // fixture is pure ASCII (one byte per char). Assert that contract
+    // here at both gate SFs so a future multi-byte fixture fails loudly
+    // in this test instead of as an opaque oracle hash mismatch
+    // (ADVICE r12).
+    import org.apache.spark.sql.functions._
+    Seq(sf0001, "/root/testdata/sf0.01").foreach { dir =>
+      val nonAscii = spark.read.parquet(s"$dir/documents.parquet")
+        .filter(length(col("text")) =!= octet_length(col("text")))
+        .count()
+      assert(nonAscii === 0L, s"$dir has $nonAscii non-ASCII documents")
+    }
+  }
+
   test("resize stub: exact nearest-neighbor byte selection, cap respected") {
     // n <= cap: stride 1, payload passes through unchanged
     val small = MediaRecord(1L, "image", "abcd".getBytes("UTF-8"), 64, 64)

@@ -305,6 +305,24 @@ class StreamingSpec extends SparkSpec {
     assert(collect() === rows)
   }
 
+  test("landing fixture: duplicate (link, date) rows carry identical payloads") {
+    // Load-bearing for BOTH stream_news_dedup's cell agreement and
+    // stream_trending's token counts: streaming dropDuplicates keeps an
+    // arbitrary first-seen row per (link, date) while the oracles keep
+    // the min-title survivor — they agree only while duplicates are
+    // payload-identical. A fixture edit that breaks this must fail HERE,
+    // not as a nondeterministic oracle hash flake downstream.
+    val raw = spark.read
+      .schema(NewsStream.newsSchema).json(s"${graft.Fixtures.newsLanding}/*.json")
+      .filter(org.apache.spark.sql.functions.col("title").isNotNull)
+    val divergent = raw.distinct()
+      .groupBy("link", "date")
+      .count().filter(org.apache.spark.sql.functions.col("count") > 1)
+      .collect()
+    assert(divergent.isEmpty,
+      s"duplicate (link, date) keys with divergent payloads: ${divergent.mkString(", ")}")
+  }
+
   test("file-source pipeline is idempotent across re-fires") {
     val scratch = s"${System.getProperty("java.io.tmpdir")}/graft_test_news"
     val landing = graft.Fixtures.newsLanding

@@ -40,6 +40,25 @@ class TextVectorSpec extends SparkSpec {
     }
   }
 
+  test("all-field lenient match: a source-only hit ranks without any text match") {
+    // The field-less multi_match contract: a term that IS a source key
+    // must rank that source's docs even when their text never mentions
+    // it (and the lenient n_chars field must at minimum never error).
+    val hits = TextAnalysis
+      .bm25Search(spark, sf0001, Seq("src3"), page = 1, pageSize = 100000)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(hits.nonEmpty)
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"), col("source"),
+        array_contains(split(lower(col("text")), "\\s+"), "src3").as("in_text"))
+      .collect()
+    val sourceOnly = docs.filter(r =>
+      r.getAs[String]("source") == "src3" && !r.getAs[Boolean]("in_text"))
+    assert(sourceOnly.nonEmpty, "fixture has no source-only src3 docs — invariant vacuous")
+    sourceOnly.foreach(r => assert(hits.contains(r.getAs[Long]("doc_id")),
+      s"doc ${r.getAs[Long]("doc_id")} (source=src3, no text match) missing from all-field ranking"))
+  }
+
   test("quality buckets partition all documents") {
     val n = TextAnalysis.quality(spark, sf0001)
       .agg(sum(col("n_docs"))).collect()(0).getLong(0)

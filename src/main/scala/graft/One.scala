@@ -23,7 +23,11 @@ object One {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      println(f"[one] $name iter $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      // loadavg with every sample, same rationale as Bench: a timing
+      // quoted from a contended box should carry its own evidence.
+      val load = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      println(f"[one] $name iter $i: ${(System.nanoTime() - t0) / 1e9}%.3f s (loadavg $load%.2f)")
     }
     spark.stop()
   }

@@ -118,7 +118,7 @@ object Schedule {
     }
   }
 
-  private def summary(r: TickReport): String =
+  private[graft] def summary(r: TickReport): String =
     s"tick ${r.tick}: " + r.outcomes.map {
       case (n, None) => s"$n ok"
       case (n, Some(err)) => s"$n FAILED ($err)"

@@ -38,6 +38,14 @@ import org.apache.spark.sql.graft.PlanShim
   *     interactive face of the similarity-search family
   *   - `GET /query/<name>`                 any catalog query by name
   *
+  * With `--lake=<dir>`, a [[Schedule]] lake's flow outputs (cases,
+  * france_cases, virtests, news_crawl, news_tweets, and the unioned
+  * `news` index-pattern view) register as queryable views next to the
+  * analytics tables; `--refresh-hours=<h>` additionally runs the
+  * cadence loop on a daemon thread, re-firing the flows and
+  * re-registering the views per tick — the reference's full system
+  * shape (scheduled flows + store + serving, concurrently) in one JVM.
+  *
   * Serving, not analytics: every response is `limit`-bounded before
   * `collect()` (default 100, cap 10k), so a fat-fingered `SELECT *` over
   * 100 TB returns a page, not the lake. The SparkSession itself is
@@ -212,6 +220,34 @@ object Serve {
   def registerTables(spark: SparkSession, dir: String): Seq[String] =
     Tables.names.map { t => Tables.load(spark, dir, t).createOrReplaceTempView(t); t }
 
+  /** Register every flow output of a [[Schedule]] lake root as a temp
+    * view (cases, france_cases, virtests, news_crawl, news_tweets —
+    * whichever exist), plus a unioned `news` view over both news feeds
+    * (the reference's `news_*` index-pattern read, SearchUI.js:6).
+    * Idempotent and cheap (views are lazy), so the serving loop re-runs
+    * it after every refresh tick to pick up newly-created flows.
+    * Consistency note: full-refresh swaps are directory renames, so a
+    * query PLANNED against the old file listing can fail mid-swap — the
+    * same read-during-reinsert window the reference's delete+reload has;
+    * a transactional table format would close it (NewsStream.upsertToLake
+    * doc). Returns the registered names. */
+  def registerLake(spark: SparkSession, lakeDir: String): Seq[String] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def exists(name: String): Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$lakeDir/$name"))
+    val flows = Seq("cases", "france_cases", "virtests", "news_crawl", "news_tweets")
+      .filter(exists)
+    flows.foreach { t =>
+      spark.read.parquet(s"$lakeDir/$t").createOrReplaceTempView(t) }
+    val newsFeeds = flows.filter(_.startsWith("news_"))
+    if (newsFeeds.nonEmpty) {
+      newsFeeds.map(t => spark.read.parquet(s"$lakeDir/$t"))
+        .reduce(_.unionByName(_)).createOrReplaceTempView("news")
+      flows :+ "news"
+    } else flows
+  }
+
   /** Start the server (port 0 = ephemeral; read the bound port off the
     * return). Binds loopback only unless `bindAll` — exposing a SQL
     * endpoint beyond localhost is an explicit operator decision, and one
@@ -221,11 +257,22 @@ object Serve {
     * create-certs.yml — loopback-only instances stay credential-free
     * like a local dev ES). Split from [[main]] so tests can drive a
     * live instance. */
+  /** The candidate [[registerLake]] view names, allowlisted up front
+    * when a lake is configured: a flow that has not landed yet merely
+    * resolves to "table not found" (clean 400), while a name NOT
+    * allowlisted at startup could never become queryable after its
+    * first refresh tick. */
+  private[graft] val LakeViewNames =
+    Seq("cases", "france_cases", "virtests", "news_crawl", "news_tweets", "news")
+
   def start(spark: SparkSession, dir: String, port: Int,
-      bindAll: Boolean = false, token: Option[String] = None): HttpServer = {
+      bindAll: Boolean = false, token: Option[String] = None,
+      lakeDir: Option[String] = None): HttpServer = {
     require(!bindAll || token.exists(_.nonEmpty),
       "--bind-all exposes the SQL endpoint beyond localhost and requires --token=<secret>")
-    val tables = registerTables(spark, dir)
+    val tables = registerTables(spark, dir) ++
+      (if (lakeDir.isDefined) LakeViewNames else Nil)
+    lakeDir.foreach(registerLake(spark, _))
     val addr =
       if (bindAll) new InetSocketAddress(port)
       else new InetSocketAddress(InetAddress.getLoopbackAddress, port)
@@ -269,7 +316,10 @@ object Serve {
       }
 
     server.createContext("/tables", (ex: HttpExchange) => handle(ex) {
-      (200, s"""{"tables":[${tables.map(jstr).mkString(",")}]}""")
+      // allowlisted lake views that have not landed yet are queryable
+      // only in principle — report what a query can actually hit now
+      val live = tables.filter(spark.catalog.tableExists)
+      (200, s"""{"tables":[${live.map(jstr).mkString(",")}]}""")
     })
 
     server.createContext("/sql", (ex: HttpExchange) => handle(ex) {
@@ -366,13 +416,37 @@ object Serve {
       a.stripPrefix("--token=") }
       .orElse(sys.env.get("GRAFT_SERVE_TOKEN"))
       .filter(_.nonEmpty)
+    // --lake=<dir> registers a Schedule lake's flow outputs as views;
+    // --refresh-hours=<h> additionally runs the cadence loop in-process
+    // (a daemon thread), re-firing the five flows and re-registering the
+    // views after every tick — the full reference system shape (flows +
+    // store + UI serving concurrently) in one JVM.
+    val lake = args.collectFirst { case a if a.startsWith("--lake=") =>
+      a.stripPrefix("--lake=") }.filter(_.nonEmpty)
+    val refreshHours = args.collectFirst {
+      case a if a.startsWith("--refresh-hours=") =>
+        a.stripPrefix("--refresh-hours=").toDouble }
+    require(refreshHours.isEmpty || lake.isDefined,
+      "--refresh-hours needs --lake=<dir> to refresh into")
     val pos = args.filterNot(_.startsWith("--"))
     val dir = pos.headOption.getOrElse("/root/testdata/sf0.001")
     val port = pos.lift(1).map(_.toInt).getOrElse(8080)
     val spark = Tables.session("graft-serve")
     spark.sparkContext.setLogLevel("WARN")
-    val server = start(spark, dir, port, bindAll, token)
-    println(s"graft.Serve listening on ${server.getAddress} over $dir")
+    for (lakeDir <- lake; hours <- refreshHours) {
+      val t = new Thread(() =>
+        Schedule.loop(Schedule.defaultFlows(spark, lakeDir),
+          (hours * 3600 * 1000).toLong,
+          onTick = { r =>
+            println(Schedule.summary(r))
+            registerLake(spark, lakeDir): Unit
+          }), "graft-schedule")
+      t.setDaemon(true)
+      t.start()
+    }
+    val server = start(spark, dir, port, bindAll, token, lake)
+    println(s"graft.Serve listening on ${server.getAddress} over $dir" +
+      lake.fold("")(l => s" + lake $l"))
     Thread.currentThread.join() // serve until killed
   }
 }

@@ -107,6 +107,40 @@ class ServeSpec extends SparkSpec {
     } finally srv.stop(0)
   }
 
+  test("a lake-backed instance serves flow outputs and picks up refresh ticks") {
+    val lakeDir = Fixtures.scratchDir("serve_lake")
+    val flows = Schedule.defaultFlows(spark, lakeDir)
+    // tick 0 lands the flows BEFORE the server starts
+    Schedule.runTick(flows, 0).outcomes.foreach { case (n, err) =>
+      assert(err.isEmpty, s"flow $n failed: $err") }
+    val srv = Serve.start(spark, sf0001, port = 0, lakeDir = Some(lakeDir))
+    try {
+      // lake views answer /sql next to the analytics tables, including
+      // the unioned news_* index-pattern view
+      val (c1, b1) = getFrom(srv, "/sql?q=" + java.net.URLEncoder.encode(
+        "SELECT COUNT(*) AS n FROM news", "UTF-8"))
+      // 6 = the deduped landing-fixture doc count (StreamingSpec pins it)
+      assert(c1 === 200 && b1.contains("{\"n\":6}"), b1.take(200))
+      val (c2, b2) = getFrom(srv, "/sql?q=" + java.net.URLEncoder.encode(
+        "SELECT source_index, COUNT(*) AS n FROM cases GROUP BY 1 ORDER BY 1", "UTF-8"))
+      assert(c2 === 200 && b2.contains("contamination"), b2.take(300))
+      // /tables reports only views that have actually landed (news_tweets
+      // has no landing dir in the default flow set)
+      val (c3, b3) = getFrom(srv, "/tables")
+      assert(c3 === 200 && b3.contains("\"news_crawl\"") && !b3.contains("news_tweets"), b3)
+      // a refresh tick while serving: the swap lands and queries still
+      // answer consistently (the reference's read-during-reinsert shape)
+      val before = getFrom(srv, "/sql?q=" + java.net.URLEncoder.encode(
+        "SELECT COUNT(*) AS n FROM cases", "UTF-8"))._2
+      Schedule.runTick(flows, 1).outcomes.foreach { case (n, err) =>
+        assert(err.isEmpty, s"tick-1 flow $n failed: $err") }
+      Serve.registerLake(spark, lakeDir)
+      val after = getFrom(srv, "/sql?q=" + java.net.URLEncoder.encode(
+        "SELECT COUNT(*) AS n FROM cases", "UTF-8"))._2
+      assert(after === before, s"refresh changed the full-refresh view: $before -> $after")
+    } finally srv.stop(0)
+  }
+
   test("/search rejects an unbounded page*size product") {
     // each factor alone is within MaxLimit — only the product is not
     val (code, body) = get("/search?q=spark&page=10000&size=10000")

@@ -191,15 +191,71 @@ object Curation {
       |  CAST(SUM(ws_toks) AS BIGINT) AS sum_ws_toks
       |FROM s GROUP BY 1""".stripMargin
 
+  /** Chunk geometry: [[ChunkSize]]-token windows advancing by
+    * [[ChunkStride]] tokens (16-token overlap) — the overlap is what
+    * keeps a fact straddling a boundary intact in at least one chunk. */
+  private val ChunkSize = 64
+  private val ChunkStride = 48
+
+  /** Document chunking — the bridge between curation and tokenization:
+    * training examples are fixed-size windows, not whole documents, so
+    * the last pipeline step slices each doc's token stream into
+    * [[ChunkSize]]-token chunks every [[ChunkStride]] tokens. Every doc
+    * yields at least one chunk; the final window is allowed to run
+    * short (standard packing-side behavior — [[CorpusOps.packBins]]
+    * consumes the remainder). Each chunk carries its md5 content hash,
+    * so chunk-level dedup / lineage tracking downstream needs no second
+    * pass over the text.
+    *
+    * Scale shape: one narrow per-doc pass — tokenize, integer chunk
+    * count, explode, slice — no join, no shuffle at all (the output is
+    * written partition-parallel); at 100 TB this is the map-only job it
+    * looks like. Determinism: chunk geometry is integer arithmetic,
+    * the hash is md5 over the space-joined window, identical in the
+    * oracle. */
+  def chunkDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    docs.select(col("doc_id"),
+        split(LlmDedup.normText(col("text")), " ").as("t"))
+      .withColumn("n", size(col("t")))
+      // 1 + ceil(max(n - size, 0) / stride), in exact integer arithmetic
+      .withColumn("n_chunks", expr(
+        s"CAST(1 + (GREATEST(n - $ChunkSize, 0) + ${ChunkStride - 1}) DIV $ChunkStride AS BIGINT)"))
+      .withColumn("chunk_idx", explode(sequence(lit(0L), col("n_chunks") - 1)))
+      .select(col("doc_id"), col("chunk_idx"), col("n_chunks"),
+        slice(col("t"), col("chunk_idx").cast("int") * ChunkStride + 1,
+          lit(ChunkSize)).as("c"))
+      .select(col("doc_id"), col("chunk_idx"), col("n_chunks"),
+        size(col("c")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("c"))).as("chunk_hash"))
+  }
+
+  val chunkDocsSql: String =
+    s"""WITH d AS (SELECT doc_id, ${LlmDedup.normTextSql()} AS norm FROM documents),
+       |s AS (SELECT doc_id, string_split(norm, ' ') AS t FROM d),
+       |g AS (SELECT doc_id, t, len(t) AS n,
+       |        1 + (greatest(len(t) - $ChunkSize, 0) + ${ChunkStride - 1}) // $ChunkStride AS n_chunks
+       |      FROM s),
+       |c AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+       |        CAST(n_chunks AS BIGINT) AS n_chunks,
+       |        t[(CAST(i AS INT) * $ChunkStride + 1):(CAST(i AS INT) * $ChunkStride + $ChunkSize)] AS ck
+       |      FROM g, unnest(range(0, n_chunks)) AS r(i))
+       |SELECT doc_id, chunk_idx, n_chunks,
+       |  CAST(len(ck) AS BIGINT) AS n_tokens,
+       |  md5(array_to_string(ck, ' ')) AS chunk_hash
+       |FROM c""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_stratified_sample" -> (stratifiedSample _),
     "llm_corpus_filter" -> (corpusFilter _),
     "llm_train_split" -> (trainSplit _),
-    "llm_curation_pipeline" -> (curationPipeline _))
+    "llm_curation_pipeline" -> (curationPipeline _),
+    "llm_chunk_docs" -> (chunkDocs _))
 
   val oracles: Map[String, String] = Map(
     "llm_stratified_sample" -> stratifiedSampleSql,
     "llm_corpus_filter" -> corpusFilterSql,
     "llm_train_split" -> trainSplitSql,
-    "llm_curation_pipeline" -> curationPipelineSql)
+    "llm_curation_pipeline" -> curationPipelineSql,
+    "llm_chunk_docs" -> chunkDocsSql)
 }

@@ -152,6 +152,35 @@ class CorpusOpsSpec extends SparkSpec {
       .foreach(got => assert(got === expect))
   }
 
+  test("chunking: exact geometry per doc, every chunk hash matches its window") {
+    val chunks = graft.queries.Curation.chunkDocs(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx")) ->
+        (r.getAs[Long]("n_chunks"), r.getAs[Long]("n_tokens"), r.getAs[String]("chunk_hash")))
+      .toMap
+    val docs = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(chunks.nonEmpty && docs.nonEmpty)
+    // independent re-derivation of the whole geometry in plain Scala
+    val (size, stride) = (64, 48)
+    docs.foreach { case (id, text) =>
+      val t = text.trim.toLowerCase.replaceAll("\\s+", " ").split(" ", -1)
+      val expectChunks = 1 + (math.max(t.length - size, 0) + stride - 1) / stride
+      val got = chunks.filter(_._1._1 == id)
+      assert(got.size === expectChunks, s"doc $id chunk count")
+      (0 until expectChunks).foreach { i =>
+        val window = t.slice(i * stride, i * stride + size)
+        val (nc, nt, h) = chunks((id, i.toLong))
+        assert(nc === expectChunks.toLong, s"doc $id n_chunks")
+        assert(nt === window.length.toLong, s"doc $id chunk $i n_tokens")
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(window.mkString(" ").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        assert(h === md, s"doc $id chunk $i hash")
+      }
+    }
+  }
+
   test("train split: total partition, 96/2/2 shape, and append-stability") {
     import graft.queries.Curation
     val docs = Tables.load(spark, sf0001, "documents")

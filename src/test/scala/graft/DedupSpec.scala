@@ -81,6 +81,33 @@ class DedupSpec extends SparkSpec {
     assert(got === (1L to 60L).map(i => (i, 1L, i == 1L)).toSet)
   }
 
+  test("connected components equals union-find on seeded random graphs") {
+    import spark.implicits._
+    // Property-style cross-check against an independent union-find
+    // (always attach the larger root under the smaller, so a tree's
+    // root IS its component minimum). Seeded — deterministic, no flake.
+    // Sparse trials (ne < nv) are mostly forests with long chains, so
+    // the doubling path gets exercised alongside dense cases.
+    val rnd = new scala.util.Random(42)
+    (1 to 4).foreach { trial =>
+      val nv = 5 + rnd.nextInt(40)
+      val edges = Seq.fill(nv + rnd.nextInt(2 * nv))(
+        (rnd.nextInt(nv).toLong, rnd.nextInt(nv).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val got = LlmDedup.connectedComponents(edges.toDF("x_id", "y_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val parent = Array.tabulate(nv)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expect = verts.map(v => v -> find(v.toInt).toLong).toMap
+      assert(got === expect, s"trial $trial (nv=$nv, ${edges.size} edges)")
+    }
+  }
+
   test("incremental dedup resolves exact hits by hash and near hits by best jaccard") {
     val base = "alpha beta gamma delta epsilon zeta eta theta"
     val dir = docsDir(Seq(

@@ -83,4 +83,17 @@ class PlanInvariantSpec extends SparkSpec {
     assert(hashShuffles.isEmpty,
       s"searchHits hash-shuffles (payload must ride the broadcast):\n$plan")
   }
+
+  test("chunking stays a map-only pass: zero exchanges of any kind") {
+    // llm_chunk_docs claims one narrow per-doc pass (tokenize → integer
+    // geometry → explode → slice). Any Exchange in the plan means a
+    // shuffle crept into what must stay embarrassingly parallel at
+    // 100 TB — fail here instead.
+    val plan = graft.queries.Curation.chunkDocs(spark, sf0001)
+      .queryExecution.executedPlan
+    val exchanges = deepCollect(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty, s"chunking shuffles:\n$plan")
+  }
 }

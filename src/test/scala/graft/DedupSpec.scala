@@ -70,11 +70,12 @@ class DedupSpec extends SparkSpec {
     assert(got.sparkSession eq spark)
   }
 
-  test("a 60-vertex chain converges via the doubling escalation") {
+  test("a 60-vertex chain converges via pointer doubling") {
     import spark.implicits._
     // Diameter 59: plain 1-hop propagation needs 59 rounds — far past
-    // the MaxIters=20 cap — so this converges (in ~4 + log2(59) rounds)
-    // only because the loop escalates to pointer doubling.
+    // the MaxIters=20 cap — so this converges (in ~log2(59) + constant
+    // rounds) only because every round follows a label indirection
+    // (pointer doubling, on from round 1 since r13).
     val pairs = (1L until 60L).map(i => (i, i + 1)).toDF("x_id", "y_id")
     val got = LlmDedup.connectedComponents(pairs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet

@@ -28,9 +28,10 @@ import graft.streaming.{NewsShaping, NewsStream}
   *    production main passes `Thread.sleep`.
   *
   * Re-fire semantics per flow family (what makes the loop SAFE to run
-  * forever): full-refresh flows land via partitioned-overwrite swap
-  * ([[CasesIngest.writeLake]]), so a reader between ticks sees the old or
-  * the new lake, never a mix; the news stream is AvailableNow over a
+  * forever): full-refresh flows land via the staged rename swap
+  * ([[LakeSwap.overwrite]] — the exposure window is two directory
+  * renames, never the write duration), so a concurrent reader sees the
+  * old or the new lake; the news stream is AvailableNow over a
   * checkpoint, so a re-fire processes exactly the landing files that
   * arrived since the last tick (exactly-once, no duplicates on overlap);
   * the tweets flow lands through the keyed upsert
@@ -73,11 +74,9 @@ object Schedule {
       Flow("cases", _ =>
         CasesIngest.writeLake(CasesIngest.canonicalCases(spark), s"$lakeDir/cases")),
       Flow("france_hospital", _ =>
-        FranceIngest.franceCases(spark)
-          .write.mode("overwrite").parquet(s"$lakeDir/france_cases")),
+        LakeSwap.overwrite(FranceIngest.franceCases(spark), s"$lakeDir/france_cases")),
       Flow("france_virtests", _ =>
-        FranceIngest.virtests(spark)
-          .write.mode("overwrite").parquet(s"$lakeDir/virtests")),
+        LakeSwap.overwrite(FranceIngest.virtests(spark), s"$lakeDir/virtests")),
       Flow("news_crawl", _ =>
         NewsStream.runOnce(spark, newsLanding, s"$lakeDir/news_crawl", s"$lakeDir/_news_ckpt")))
     val tweets = tweetsLanding.map { landing =>

@@ -236,10 +236,16 @@ object Serve {
       spark.sparkContext.hadoopConfiguration)
     def exists(name: String): Boolean =
       fs.exists(new org.apache.hadoop.fs.Path(s"$lakeDir/$name"))
+    // Per-view try: a directory mid-write (a flow's staged swap in
+    // flight, or a brand-new lake's _temporary) fails schema inference —
+    // skip it and let the next tick's re-registration pick it up, never
+    // fail the whole registration (or the server boot) over one flow.
     val flows = Seq("cases", "france_cases", "virtests", "news_crawl", "news_tweets")
       .filter(exists)
-    flows.foreach { t =>
-      spark.read.parquet(s"$lakeDir/$t").createOrReplaceTempView(t) }
+      .filter { t =>
+        try { spark.read.parquet(s"$lakeDir/$t").createOrReplaceTempView(t); true }
+        catch { case _: org.apache.spark.sql.AnalysisException => false }
+      }
     val newsFeeds = flows.filter(_.startsWith("news_"))
     if (newsFeeds.nonEmpty) {
       newsFeeds.map(t => spark.read.parquet(s"$lakeDir/$t"))
@@ -428,11 +434,20 @@ object Serve {
         a.stripPrefix("--refresh-hours=").toDouble }
     require(refreshHours.isEmpty || lake.isDefined,
       "--refresh-hours needs --lake=<dir> to refresh into")
+    // validate HERE, not inside the daemon thread where Schedule.loop's
+    // own require would kill the refresh silently while the server
+    // keeps serving a permanently stale lake
+    require(refreshHours.forall(_ > 0),
+      s"--refresh-hours must be positive (got ${refreshHours.get})")
     val pos = args.filterNot(_.startsWith("--"))
     val dir = pos.headOption.getOrElse("/root/testdata/sf0.001")
     val port = pos.lift(1).map(_.toInt).getOrElse(8080)
     val spark = Tables.session("graft-serve")
     spark.sparkContext.setLogLevel("WARN")
+    // Bind the server BEFORE the refresh daemon starts: the daemon's
+    // tick-0 writes would otherwise race start()'s initial registerLake
+    // against half-written directories during boot.
+    val server = start(spark, dir, port, bindAll, token, lake)
     for (lakeDir <- lake; hours <- refreshHours) {
       val t = new Thread(() =>
         Schedule.loop(Schedule.defaultFlows(spark, lakeDir),
@@ -444,7 +459,6 @@ object Serve {
       t.setDaemon(true)
       t.start()
     }
-    val server = start(spark, dir, port, bindAll, token, lake)
     println(s"graft.Serve listening on ${server.getAddress} over $dir" +
       lake.fold("")(l => s" + lake $l"))
     Thread.currentThread.join() // serve until killed

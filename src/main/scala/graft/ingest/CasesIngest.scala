@@ -137,8 +137,11 @@ object CasesIngest {
     specs.map(SourceSpec.ingest(spark, _, dim)).reduce(_.unionByName(_))
   }
 
-  /** K2: atomic full-refresh via partitioned overwrite (the swap semantics
-    * the reference lacks, README.md:225-227). */
+  /** K2: full-refresh via the staged partitioned swap
+    * ([[graft.LakeSwap]] — the swap semantics the reference lacks,
+    * README.md:225-227). A plain `mode("overwrite")` would delete the
+    * live lake for the whole rewrite duration, which the
+    * serve-while-refreshing mode cannot tolerate. */
   def writeLake(df: DataFrame, path: String): Unit =
-    df.write.mode("overwrite").partitionBy("source_index").parquet(path)
+    graft.LakeSwap.overwrite(df, path, Seq("source_index"))
 }

@@ -380,18 +380,21 @@ object LlmDedup {
     * round of the loop to the (much smaller) near-dup rep graph
     * (VERDICT r12 item 1: cut the CC loop's fixed cost). */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val docs = Tables.load(spark, dir, "documents")
     val byText = docs.select(
       md5(normText(col("text"))).as("th"), col("doc_id"))
     val reps = byText.groupBy(col("th")).agg(min(col("doc_id")).as("rep"))
     // Feeds two subtrees (star-rep vertex set + member attachment);
-    // persist so the documents scan + rep groupBy run once. Scoped to
-    // the query: the harness clears the cache between queries.
+    // localCheckpoint (not persist) so the documents scan + rep groupBy
+    // run once AND the blocks free via the ContextCleaner when the
+    // result drops — a cache-manager persist is never unpersisted on
+    // the long-lived Serve path, where repeated /query calls would pin
+    // it for the session's lifetime (same lifecycle reasoning as the
+    // CC loop's round frames).
     val members = byText.join(reps, "th")
       .filter(col("doc_id") =!= col("rep"))
       .select(col("rep"), col("doc_id").as("member_id"))
-      .persist(sl)
+      .localCheckpoint(false)
     val repCC = connectedComponents(
       minhashNearDup(spark, dir).select(col("x_id"), col("y_id")))
       .select(col("doc_id"), col("cluster_id"))

@@ -80,10 +80,8 @@ object NewsStream {
     * — the pattern, not the layout, is the point). */
   def upsertToLake(spark: SparkSession, batch: DataFrame, lakePath: String): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    val lake = new org.apache.hadoop.fs.Path(lakePath)
-    val staged = new org.apache.hadoop.fs.Path(lakePath + ".staged")
     val merged =
-      if (fs.exists(lake)) {
+      if (fs.exists(new org.apache.hadoop.fs.Path(lakePath))) {
         val existing = spark.read.parquet(lakePath)
         // restore the lake's column order: the USING join hoists the key
         // column first, so without the select the FIRST upsert would
@@ -92,12 +90,9 @@ object NewsStream {
           .unionByName(batch)
           .select(existing.columns.map(org.apache.spark.sql.functions.col).toSeq: _*)
       } else batch
-    merged.write.mode("overwrite").parquet(staged.toString)
-    val old = new org.apache.hadoop.fs.Path(lakePath + ".old")
-    fs.delete(old, true)
-    if (fs.exists(lake)) fs.rename(lake, old)
-    fs.rename(staged, lake)
-    fs.delete(old, true)
+    // the swap executes the merge plan (reading the live lake) into the
+    // staged directory BEFORE any rename touches the live name
+    graft.LakeSwap.overwrite(merged, lakePath)
   }
 
   /** Fresh end-to-end run into a scratch sink; returns the sink as a

@@ -11,11 +11,13 @@ Accepts any mix of:
   - BENCH_DETAIL.json ({"pass_times":{...}} — per-query min of passes,
     cold passes flagged).
 
-Usage: python3 tools/bench_compare.py OLD.json NEW.json [--band 0.6]
+Usage: python3 tools/bench_compare.py OLD.json NEW.json [--band=0.6]
 
-The default noise band is the documented one (PLANS.md): sub-second
-queries swing ±20-60% between identical-code runs, so only deltas that
-are BOTH >60% and >0.3 s absolute are reported as movers.
+The noise band is the documented one (PLANS.md): sub-second queries
+swing ±20-60% between identical-code runs, so only deltas that are BOTH
+>60% relative and above an absolute floor are reported as movers. The
+ratio is fixed at 60%; --band=<sec> sets the absolute floor
+(default 0.3 s).
 """
 import json
 import re
@@ -60,11 +62,22 @@ def load(path):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     band_abs = 0.3
-    for a in sys.argv[1:]:
+    args = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--band"):
-            band_abs = float(a.split("=", 1)[1])
+            # accept both --band=0.6 and --band 0.6
+            if "=" in a:
+                band_abs = float(a.split("=", 1)[1])
+            else:
+                i += 1
+                band_abs = float(argv[i])
+        else:
+            args.append(a)
+        i += 1
     old_path, new_path = args
     old, old_meta, old_trunc = load(old_path)
     new, new_meta, new_trunc = load(new_path)

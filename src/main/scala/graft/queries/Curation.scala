@@ -245,17 +245,59 @@ object Curation {
        |  md5(array_to_string(ck, ' ')) AS chunk_hash
        |FROM c""".stripMargin
 
+  /** Per-domain quota: cap any one source's contribution to the corpus. */
+  private val DomainCap = 20
+
+  /** Per-domain quota downsampling — the source-balancing step of
+    * RefinedWeb/Gopher-style curation: no single domain may contribute
+    * more than [[DomainCap]] docs, and when a domain is over quota the
+    * HIGHEST-SIGNAL docs win (most whitespace tokens first — the same
+    * proxy [[corpusFilter]]'s length gate uses; tie-break doc_id so the
+    * cut is deterministic on any engine). Complements
+    * [[stratifiedSample]] (which draws a FIXED COUNT per stratum,
+    * hash-ordered) and [[CorpusOps.domainMixture]] (which reports
+    * weights): this one actually elects the per-domain keep set.
+    *
+    * Scale shape: one shuffle partitioned on `source`, and the
+    * rank-then-filter shape is the WindowGroupLimit pattern
+    * ([[TextAnalysis.keywordTopk]]): each map task pre-prunes to its
+    * local top-[[DomainCap]] per source before the exchange, so the
+    * shuffle carries at most cap·tasks rows per domain, never the
+    * domain's full doc list — the property that matters when one domain
+    * is half the crawl. */
+  def domainCap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("ws_toks").desc, col("doc_id").asc)
+    docs.select(col("source"), col("doc_id"),
+        size(split(LlmDedup.normText(col("text")), " ")).cast("long").as("ws_toks"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= DomainCap)
+  }
+
+  val domainCapSql: String =
+    s"""SELECT source, doc_id, ws_toks, CAST(rank AS BIGINT) AS rank
+       |FROM (SELECT source, doc_id,
+       |        CAST(len(string_split(${LlmDedup.normTextSql()}, ' ')) AS BIGINT) AS ws_toks,
+       |        row_number() OVER (PARTITION BY source
+       |          ORDER BY len(string_split(${LlmDedup.normTextSql()}, ' ')) DESC,
+       |            doc_id ASC) AS rank
+       |      FROM documents)
+       |WHERE rank <= $DomainCap""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_stratified_sample" -> (stratifiedSample _),
     "llm_corpus_filter" -> (corpusFilter _),
     "llm_train_split" -> (trainSplit _),
     "llm_curation_pipeline" -> (curationPipeline _),
-    "llm_chunk_docs" -> (chunkDocs _))
+    "llm_chunk_docs" -> (chunkDocs _),
+    "llm_domain_cap" -> (domainCap _))
 
   val oracles: Map[String, String] = Map(
     "llm_stratified_sample" -> stratifiedSampleSql,
     "llm_corpus_filter" -> corpusFilterSql,
     "llm_train_split" -> trainSplitSql,
     "llm_curation_pipeline" -> curationPipelineSql,
-    "llm_chunk_docs" -> chunkDocsSql)
+    "llm_chunk_docs" -> chunkDocsSql,
+    "llm_domain_cap" -> domainCapSql)
 }

@@ -750,6 +750,137 @@ object LlmDedup {
        |       CAST(COALESCE(n_dup_pos, 0) AS DOUBLE) / CAST(len(t) AS BIGINT) AS dup_frac
        |FROM d LEFT JOIN cc USING (doc_id)""".stripMargin
 
+  // ------------------------------------------------- bloom span membership
+
+  /** Bloom-prefiltered span membership — Dolma-style Bloom dedup
+    * (Soldaini et al. 2024, arXiv:2402.00159, whose dedup stage IS a
+    * Bloom filter over paragraph hashes) at the word-5-gram granularity
+    * this corpus's cross-doc duplication actually lives at: for each
+    * batch doc, how many of its distinct 5-gram spans were already seen
+    * anywhere in the existing corpus. The gram identity (the
+    * space-joined normalized 5-token window) matches
+    * [[substrDupCoverage]]'s spans — that operator measures
+    * corpus-internal span duplication, this one vets an INCOMING batch
+    * against the corpus without touching corpus-vs-corpus pairs. Batch
+    * split shared with [[incrementalDedup]] (`doc_id % BatchMod == 0`).
+    *
+    * Scale shape — the corpus's span set is huge (≈ one gram per
+    * token), so the design goal is to never shuffle it:
+    *
+    *  1. corpus gram stream → ONE Bloom bitset
+    *     ([[graft.functions.BloomBits]], constant 512 KiB state) via a
+    *     map-side-combined aggregation. Because bit-OR insertion is
+    *     IDEMPOTENT, the stream needs no pre-`distinct` — the one
+    *     shuffle a hash-set build would require simply disappears.
+    *     Bit positions come from the two 32-bit halves of
+    *     `xxhash64(gram)` (Kirsch–Mitzenmacher double hashing) — one
+    *     codegen'd hash per gram, no cryptographic md5 on the hot path.
+    *  2. the finished bitset is `head()`ed to the driver — a BOUNDED
+    *     512 KiB collect (the k-centroid precedent), the same move
+    *     Spark's own runtime-filter rewrite uses to turn a subquery
+    *     result into a literal — and probed as a CONSTANT array:
+    *     K pmod/element_at/bitwiseAND probes per batch gram, all
+    *     builtin codegen. (Joining the bitset on as a column instead
+    *     would memcpy the full bitset per gram row through the join — measured
+    *     3× the whole query's budget.) Bloom-negative ⇒ span
+    *     DEFINITELY unseen (no false negatives — the direction a
+    *     dedup prefilter must never get wrong).
+    *  3. Bloom-positive candidates (the trickle) exact-confirm: the
+    *     corpus gram stream runs once more against the BROADCAST
+    *     candidate set (map-only semi join — still no corpus shuffle),
+    *     and the surviving seen-set broadcasts back onto the batch for
+    *     per-doc counting. False positives die here, so the OUTPUT is
+    *     exact — the sketch lives only in the scale path, and the
+    *     DuckDB oracle checks plain exact span membership. */
+  def bloomDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.BloomBits
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .withColumn("is_batch", col("doc_id") % BatchMod === 0)
+    val gramArr = when(size(col("t")) >= 5,
+      transform(sequence(lit(1), size(col("t")) - 4),
+        p => array_join(slice(col("t"), p, lit(5)), " ")))
+      .otherwise(array().cast("array<string>"))
+    def halves(df: DataFrame): DataFrame = df
+      .withColumn("h", xxhash64(col("g")))
+      .withColumn("a", shiftrightunsigned(col("h"), 32))
+      .withColumn("b", col("h").bitwiseAND(lit(0xFFFFFFFFL)))
+    // explode(gramArr) stays an EXPRESSION, never an aliased column:
+    // exploding an aliased array attribute trips InferFiltersFromGenerate,
+    // whose inferred size(g)>0/isnotnull(g) predicates push below the
+    // defining Project and inline the regex+split+transform gram build
+    // 3× into a non-codegen Filter — measured 12× this stage's cost
+    // (the rule skips complex generator children, so the direct form is
+    // immune; PLANS.md r13 "explode-alias trap").
+    val corpusG = docs.filter(!col("is_batch")).select(explode(gramArr).as("g"))
+    // The batch gram set feeds BOTH the probe→confirm chain and the final
+    // per-doc count join; without a cut it would re-pay its explode +
+    // distinct shuffle once per consumer. Lazy localCheckpoint (the
+    // [[dedupClusters]] lifecycle) materializes it once — it is the
+    // small side (one ingest batch), so the cut is bounded.
+    val batchG = halves(docs.filter(col("is_batch"))
+      .select(col("doc_id"), explode(gramArr).as("g")).distinct())
+      .localCheckpoint(eager = false)
+
+    val bloomAgg = udaf(BloomBits,
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong))
+    val bloomBits: Seq[Long] = halves(corpusG)
+      .agg(bloomAgg(col("a"), col("b")).as("bloom"))
+      .head().getAs[scala.collection.Seq[Long]]("bloom").toSeq
+    val bloom = typedLit(bloomBits)
+
+    // 1L << (idx & 63) as a 64-entry literal array: bit tests stay in
+    // builtin/codegen land (shiftright's bit count is not a Column).
+    val powBit = array((0 until 64).map(j => lit(1L << j)): _*)
+    val probes = (0 until BloomBits.K).map { i =>
+      val idx = pmod(col("a") + lit(i.toLong) * col("b"), lit(BloomBits.Bits.toLong))
+      val word = element_at(bloom, (idx / 64).cast("int") + 1)
+      word.bitwiseAND(element_at(powBit, pmod(idx, lit(64L)).cast("int") + 1)) =!= 0L
+    }
+    val might = batchG.withColumn("might", probes.reduce(_ && _))
+
+    val candG = might.filter(col("might")).select(col("g")).distinct()
+    val seen = corpusG.join(broadcast(candG), Seq("g"), "left_semi")
+      .distinct().withColumn("hit", lit(1))
+    val hits = batchG.join(broadcast(seen), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_seen"))
+    docs.filter(col("is_batch")).select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id").as("batch_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_seen"), lit(0L)).as("n_seen"),
+        when(coalesce(col("n_grams"), lit(0L)) > 0,
+          coalesce(col("n_seen"), lit(0L)).cast("double") / col("n_grams"))
+          .otherwise(lit(0.0)).as("seen_frac"))
+  }
+
+  /** Oracle = plain exact span membership (the Bloom is a prefilter
+    * whose false positives are removed before output, so no sketch
+    * state needs mirroring — unlike [[graft.functions.CmsSketch]]'s
+    * oracle, which must rebuild the sketch because estimates ARE the
+    * output). `seen_frac` is a division of identical exact ints —
+    * bit-identical cross-engine, no rounding fence needed (the
+    * [[substrDupCoverage]] precedent). */
+  val bloomDedupSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(${normTextSql()}, ' ') AS t,
+       |            doc_id % $BatchMod = 0 AS is_batch FROM documents),
+       |gr AS (SELECT DISTINCT doc_id, is_batch,
+       |         array_to_string(t[i:i+4], ' ') AS g
+       |       FROM d, unnest(range(1, len(t) - 3)) AS r(i)
+       |       WHERE len(t) >= 5),
+       |cg AS (SELECT DISTINCT g FROM gr WHERE NOT is_batch),
+       |b AS (SELECT gr.doc_id, COUNT(*) AS n_grams, COUNT(cg.g) AS n_seen
+       |      FROM gr LEFT JOIN cg USING (g) WHERE gr.is_batch GROUP BY 1)
+       |SELECT d.doc_id AS batch_id,
+       |  CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+       |  CAST(COALESCE(n_seen, 0) AS BIGINT) AS n_seen,
+       |  CASE WHEN COALESCE(n_grams, 0) > 0
+       |       THEN CAST(n_seen AS DOUBLE) / n_grams ELSE 0.0 END AS seen_frac
+       |FROM d LEFT JOIN b USING (doc_id) WHERE d.is_batch""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_exact_dedup" -> (exactDedup _),
     "llm_minhash_neardup" -> (minhashNearDup _),
@@ -757,7 +888,8 @@ object LlmDedup {
     "llm_shingle_jaccard" -> (shingleJaccard _),
     "llm_dedup_clusters" -> (dedupClusters _),
     "llm_incremental_dedup" -> (incrementalDedup _),
-    "llm_substr_dup" -> (substrDupCoverage _))
+    "llm_substr_dup" -> (substrDupCoverage _),
+    "llm_bloom_dedup" -> (bloomDedup _))
 
   val oracles: Map[String, String] = Map(
     "llm_exact_dedup" -> exactDedupSql,
@@ -766,5 +898,6 @@ object LlmDedup {
     "llm_shingle_jaccard" -> shingleJaccardSql,
     "llm_dedup_clusters" -> dedupClustersSql,
     "llm_incremental_dedup" -> incrementalDedupSql,
-    "llm_substr_dup" -> substrDupCoverageSql)
+    "llm_substr_dup" -> substrDupCoverageSql,
+    "llm_bloom_dedup" -> bloomDedupSql)
 }

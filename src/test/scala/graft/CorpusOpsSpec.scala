@@ -238,4 +238,25 @@ class CorpusOpsSpec extends SparkSpec {
     val b = CorpusOps.domainMixture(spark, dir).collect().map(_.toSeq).toSet
     assert(a === b && a.nonEmpty)
   }
+
+  test("domain cap keeps at most 20 per source, highest token count first") {
+    import graft.queries.Curation
+    // source "big": 30 docs, doc i has i tokens -> the cap keeps the 20
+    // longest (11..30); source "small": 3 docs, all kept
+    val big = (1L to 30L).map(i => (i, (1L to i).map(j => s"w$j").mkString(" "), "big"))
+    val small = (101L to 103L).map(i => (i, "three word doc", "small"))
+    val out = Curation.queries("llm_domain_cap")(spark, docsDir(big ++ small))
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("ws_toks"), r.getAs[Long]("rank")))
+    val bigKept = out.filter(_._1 == "big")
+    assert(bigKept.length === 20)
+    assert(bigKept.map(_._2).sorted.toSeq === (11L to 30L))
+    // rank 1 = most tokens
+    assert(bigKept.find(_._4 == 1L).get._2 === 30L)
+    assert(out.count(_._1 == "small") === 3)
+    // equal-length ties fall back to doc_id ascending: all "small" docs
+    // have 3 tokens, so ranks follow ids
+    assert(out.filter(_._1 == "small").sortBy(_._4).map(_._2).toSeq ===
+      Seq(101L, 102L, 103L))
+  }
 }

@@ -216,4 +216,59 @@ class DedupSpec extends SparkSpec {
     assert(fp === fp2)
     assert(fp.values.forall(v => v >= 0 && v < (1L << 16)))
   }
+
+  test("BloomBits: no false negatives, OR-merge, idempotent insert") {
+    import graft.functions.BloomBits
+    def halves(s: String): (Long, Long) = {
+      // any 64-bit spread works for the law tests; the production path
+      // derives (a, b) from xxhash64 — here a simple string hash pair
+      val h = s.hashCode.toLong & 0xFFFFFFFFL
+      val g = s.reverse.hashCode.toLong & 0xFFFFFFFFL
+      (h, g)
+    }
+    def probe(buf: Array[Long], key: (Long, Long)): Boolean =
+      (0 until BloomBits.K).forall { i =>
+        val idx = ((key._1 + i.toLong * key._2) % BloomBits.Bits).toInt
+        (buf(idx >>> 6) & (1L << (idx & 63))) != 0L
+      }
+    val keys = (1 to 5000).map(i => halves(s"key-number-$i"))
+    val filt = keys.foldLeft(BloomBits.zero)(BloomBits.reduce)
+    // law 1: every inserted key probes positive (the direction a dedup
+    // prefilter must never get wrong)
+    assert(keys.forall(probe(filt, _)))
+    // law 2: fp rate on disjoint keys is tiny at this load factor
+    val absent = (1 to 5000).map(i => halves(s"other-thing-$i")).filterNot(keys.toSet)
+    val fp = absent.count(probe(filt, _))
+    assert(fp < 50, s"false-positive count $fp out of ${absent.size}")
+    // law 3: merge = elementwise OR; re-inserting is a no-op
+    val (l, r) = keys.splitAt(2500)
+    val merged = BloomBits.merge(
+      l.foldLeft(BloomBits.zero)(BloomBits.reduce),
+      r.foldLeft(BloomBits.zero)(BloomBits.reduce))
+    assert(merged.toSeq === filt.toSeq)
+    val again = keys.foldLeft(merged.clone())(BloomBits.reduce)
+    assert(again.toSeq === merged.toSeq)
+  }
+
+  test("bloom dedup: exact batch-vs-corpus span membership per batch doc") {
+    // batch = doc_id % 7 == 0; corpus = the rest
+    val dir = docsDir(Seq(
+      1L -> "a b c d e f g h", //  corpus grams incl "a b c d e", "b c d e f"
+      2L -> "m n o p q r", //       corpus-only spans
+      7L -> "z z a b c d e f q", // batch: 5 grams, 2 seen -> 0.4
+      14L -> "totally unique words here now", // batch: 1 gram, unseen
+      21L -> "too short", //        batch: <5 tokens -> 0 grams
+      28L -> "a b c d e a b c d e")) // batch: dup grams count once
+    val rows = LlmDedup.queries("llm_bloom_dedup")(spark, dir).collect()
+      .map(r => r.getAs[Long]("batch_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_seen"),
+          r.getAs[Double]("seen_frac")))).toMap
+    assert(rows.keySet === Set(7L, 14L, 21L, 28L))
+    assert(rows(7L) === ((5L, 2L, 0.4)))
+    assert(rows(14L) === ((1L, 0L, 0.0)))
+    assert(rows(21L) === ((0L, 0L, 0.0)))
+    // "a b c d e a b c d e": 6 positions but 5 DISTINCT grams; only
+    // "a b c d e" (position 1 and 6) is in the corpus
+    assert(rows(28L) === ((5L, 1L, 0.2)))
+  }
 }

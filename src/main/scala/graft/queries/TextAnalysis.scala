@@ -400,8 +400,11 @@ object TextAnalysis {
     * oracle, ties break on the term string. */
   def keywordTopk(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), toks(col("text")).as("t"))
-    val tf = docs.select(col("doc_id"), explode(col("t")).as("w"))
+    // explode the tokenization EXPRESSION directly — exploding an
+    // aliased token column trips InferFiltersFromGenerate into inlining
+    // the regex+split 2× more into a pre-Generate Filter (the r13
+    // "explode-alias trap", PLANS.md)
+    val tf = docs.select(col("doc_id"), explode(toks(col("text"))).as("w"))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
     val dfx = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val n = docs.select(count(lit(1)).cast("double").as("n"))
@@ -520,8 +523,11 @@ object TextAnalysis {
     * on both sides. */
   def unigramLm(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-      .withColumn("t", toks(col("text"))) // materialize once (see LlmDedup)
-    val tok = docs.select(col("doc_id"), explode(col("t")).as("w"))
+      .withColumn("t", toks(col("text")))
+    // tokenization exploded as an EXPRESSION, not via the t alias — the
+    // alias form pays the explode-alias trap (PLANS.md r13) in BOTH
+    // consumers of tok
+    val tok = docs.select(col("doc_id"), explode(toks(col("text"))).as("w"))
     val tf = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
     val uni = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
     // T = Σ_w c(w) = Σ_d |t_d|: fold doc lengths instead of re-aggregating
@@ -678,9 +684,9 @@ object TextAnalysis {
     * itself, so the cut is deterministic. */
   def vocabTopk(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-      .withColumn("t", toks(col("text")))
     val w = Window.orderBy(col("n_occ").desc, col("token").asc)
-    docs.select(explode(col("t")).as("token"))
+    // expression-explode: see the explode-alias trap (PLANS.md r13)
+    docs.select(explode(toks(col("text"))).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("n_occ"))
       .withColumn("rank", row_number().over(w).cast("long"))

@@ -35,6 +35,27 @@ class PlanInvariantSpec extends SparkSpec {
     }
   }
 
+  test("no catalog query evaluates an array constructor inside a Filter") {
+    // The explode-alias trap (PLANS.md r13): InferFiltersFromGenerate +
+    // predicate pushdown can inline a projected array build (split /
+    // transform / sequence / …) into a pre-Generate Filter, evaluating
+    // it 2× per row outside codegen — measured 12× on the gram stage it
+    // was found on. Filters must test scalars; array CONSTRUCTION in a
+    // FilterExec condition means the trap (or a shape like it) is back.
+    val needles = Seq("split(", "transform(", "sequence(", "slice(", "array_join(")
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(n => eagerPrefixes.exists(n.startsWith) || eagerNames(n))
+    names.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf0001)
+      val offending = deepCollect(df.queryExecution.executedPlan) {
+        case f: org.apache.spark.sql.execution.FilterExec
+            if needles.exists(f.condition.toString.contains) => f
+      }
+      assert(offending.isEmpty,
+        s"$name builds arrays inside a Filter:\n${offending.headOption.map(_.condition)}")
+    }
+  }
+
   test("searchTopk's global ranking window pre-limits before the merge") {
     // The un-partitioned row_number window in txt_search_topk is only
     // scale-safe because Spark 4.x bounds it: LimitPushDownThroughWindow

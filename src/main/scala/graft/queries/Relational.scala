@@ -676,8 +676,71 @@ object Relational {
       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       |GROUP BY s_nationkey""".stripMargin
 
+  /** Columns profiled by [[tableProfile]], with a per-type min/max
+    * renderer so both engines format values identically: integers cast
+    * plainly, doubles go through DECIMAL(18,2) (a raw double→string cast
+    * diverges — Java Double.toString vs DuckDB shortest-round-trip),
+    * timestamps through an explicit second-precision format. */
+  private val ProfileCols: Seq[(String, String)] = Seq(
+    "o_orderkey" -> "int", "o_custkey" -> "int",
+    "o_totalprice" -> "dbl", "o_orderpriority" -> "str",
+    "o_orderstatus" -> "str", "o_orderdate" -> "ts")
+
+  /** Single-scan table profiler over orders — the data-quality surface
+    * every ingest audit needs (row count; per column: nulls, exact
+    * distinct count, min/max): one `agg` computes all 6 columns' 4
+    * metrics together, so the plan is ONE scan + the Expand that
+    * multiple exact COUNT(DISTINCT)s plan to (rows duplicated per
+    * distinct column, partials collapse map-side) — never a scan per
+    * column. The long-format pivot afterwards is an explode over the
+    * single aggregated row: driver-sized, free. At 100 TB the Expand's
+    * ×6 row fan-out is the cost of EXACT distincts; swap in
+    * approx_count_distinct (the [[approxDistinct]] precedent) when
+    * estimates suffice. */
+  def tableProfile(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "orders")
+    def fmt(name: String, kind: String)(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = kind match {
+      case "dbl" => c.cast("decimal(18,2)").cast("string")
+      case "ts" => date_format(c, "yyyy-MM-dd HH:mm:ss")
+      case _ => c.cast("string")
+    }
+    val metrics = ProfileCols.flatMap { case (c, kind) =>
+      val f = fmt(c, kind) _
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+        count_distinct(col(c)).as(s"nd_$c"),
+        f(min(col(c))).as(s"mn_$c"), f(max(col(c))).as(s"mx_$c"))
+    }
+    li.agg(count(lit(1)).as("n_rows"), metrics: _*)
+      .select(col("n_rows"), explode(array(ProfileCols.map { case (c, _) =>
+        struct(lit(c).as("column_name"), col(s"nn_$c").as("n_null"),
+          col(s"nd_$c").as("n_distinct"),
+          col(s"mn_$c").as("min_val"), col(s"mx_$c").as("max_val"))
+      }: _*)).as("p"))
+      .select(col("p.column_name"), col("n_rows"), col("p.n_null"),
+        col("p.n_distinct"), col("p.min_val"), col("p.max_val"))
+  }
+
+  val tableProfileSql: String = {
+    def fmtSql(c: String, kind: String)(e: String): String = kind match {
+      case "dbl" => s"CAST(CAST($e AS DECIMAL(18,2)) AS VARCHAR)"
+      case "ts" => s"strftime($e, '%Y-%m-%d %H:%M:%S')"
+      case _ => s"CAST($e AS VARCHAR)"
+    }
+    val aggs = ProfileCols.map { case (c, kind) =>
+      val f = fmtSql(c, kind) _
+      s"""COUNT(*) - COUNT($c) AS nn_$c, COUNT(DISTINCT $c) AS nd_$c,
+         |  ${f(s"MIN($c)")} AS mn_$c, ${f(s"MAX($c)")} AS mx_$c""".stripMargin
+    }.mkString(",\n  ")
+    val arms = ProfileCols.map { case (c, _) =>
+      s"""SELECT '$c' AS column_name, n_rows, nn_$c AS n_null,
+         |  nd_$c AS n_distinct, mn_$c AS min_val, mx_$c AS max_val FROM a""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"WITH a AS (SELECT COUNT(*) AS n_rows,\n  $aggs\nFROM orders)\n$arms"
+  }
+
   /** All (name -> impl) pairs in this module. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_table_profile" -> (tableProfile _),
     "rel_salted_join" -> (saltedJoinAgg _),
     "rel_range_join" -> (rangeJoin _),
     "rel_pricing_summary" -> (pricingSummary _),
@@ -734,5 +797,6 @@ object Relational {
     "rel_outer_join" -> outerJoinSql,
     "rel_distinct_counts" -> distinctCountsSql,
     "rel_grid_cells" -> gridCellsSql,
-    "rel_regex_extract" -> regexExtractSql)
+    "rel_regex_extract" -> regexExtractSql,
+    "rel_table_profile" -> tableProfileSql)
 }

@@ -285,13 +285,87 @@ object Curation {
        |      FROM documents)
        |WHERE rank <= $DomainCap""".stripMargin
 
+  /** Token-budget share kept by [[tokenBudget]], in percent. */
+  private val BudgetPct = 25
+
+  /** Token-budget curation WITHOUT a global sort — keep the
+    * highest-quality docs whose cumulative token count fits a corpus-wide
+    * budget (25% of all tokens). The selection order is
+    * (quality DESC, doc_id ASC) where quality = integer type-token ratio
+    * in basis points, `floor(10000·distinct_toks/toks)` — exact
+    * integers, so the order (and the kept set) is bit-identical
+    * cross-engine.
+    *
+    * The naive form is a GLOBAL sort + running sum — a single-partition
+    * window over the whole corpus, the one shape that cannot survive
+    * 100 TB. This plan gets the identical keep set in three bounded
+    * steps (the distributed-threshold pattern):
+    *
+    *  1. per-QUALITY-BUCKET token totals (≤10001 rows; quality is
+    *     integer-grained, and equal-quality docs land in the same
+    *     bucket, so inter-bucket order is exactly the global order —
+    *     the basis-point grain exists for SKEW: 10001 buckets keep any
+    *     one bucket a small corpus share where a percent grain's 101
+    *     would not);
+    *  2. running totals over the TINY bucket table (a single-partition
+    *     window over ≤10001 rows — bounded by construction, unlike a
+    *     corpus-wide one) → each bucket's tokens-before-me, broadcast
+    *     back onto the docs;
+    *  3. a PER-BUCKET (partitioned, bounded-per-group) cumulative sum in
+    *     (doc_id) order; keep while bucket-prior + within-bucket cum ≤
+    *     budget. Only the boundary bucket is actually cut — better
+    *     buckets pass whole, worse ones drop whole.
+    *
+    * The budget itself is `floor(Σtoks·25/100)` — floored explicitly on
+    * both engines (a bare double→int cast truncates in Spark but
+    * half-even-rounds in DuckDB). */
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        split(LlmDedup.normText(col("text")), " ").as("t"))
+      .select(col("doc_id"), size(col("t")).cast("long").as("ws_toks"),
+        size(array_distinct(col("t"))).cast("long").as("nd"))
+      .select(col("doc_id"), col("ws_toks"),
+        floor(col("nd") * 10000 / col("ws_toks")).as("ttr"))
+    val budget = docs.agg(
+      floor(sum(col("ws_toks")) * BudgetPct / 100).as("budget"))
+    val wBuckets = Window.orderBy(col("ttr").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val priors = docs.groupBy(col("ttr"))
+      .agg(sum(col("ws_toks")).as("btoks"))
+      .withColumn("prior", coalesce(sum(col("btoks")).over(wBuckets), lit(0L)))
+      .select(col("ttr"), col("prior"))
+    val wIn = Window.partitionBy(col("ttr")).orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.join(broadcast(priors), "ttr")
+      .crossJoin(broadcast(budget))
+      .withColumn("cum_toks", col("prior") + sum(col("ws_toks")).over(wIn))
+      .filter(col("cum_toks") <= col("budget"))
+      .select(col("doc_id"), col("ttr"), col("ws_toks"), col("cum_toks"))
+  }
+
+  val tokenBudgetSql: String =
+    s"""WITH d AS (SELECT doc_id,
+       |    CAST(len(t) AS BIGINT) AS ws_toks,
+       |    CAST(FLOOR(len(list_distinct(t)) * 10000.0 / len(t)) AS BIGINT) AS ttr
+       |  FROM (SELECT doc_id, string_split(${LlmDedup.normTextSql()}, ' ') AS t
+       |        FROM documents)),
+       |tot AS (SELECT CAST(FLOOR(SUM(ws_toks) * $BudgetPct / 100.0) AS BIGINT)
+       |          AS budget FROM d),
+       |c AS (SELECT doc_id, ttr, ws_toks,
+       |        CAST(SUM(ws_toks) OVER (ORDER BY ttr DESC, doc_id ASC
+       |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_toks FROM d)
+       |SELECT doc_id, ttr, ws_toks, cum_toks
+       |FROM c, tot WHERE cum_toks <= budget""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_stratified_sample" -> (stratifiedSample _),
     "llm_corpus_filter" -> (corpusFilter _),
     "llm_train_split" -> (trainSplit _),
     "llm_curation_pipeline" -> (curationPipeline _),
     "llm_chunk_docs" -> (chunkDocs _),
-    "llm_domain_cap" -> (domainCap _))
+    "llm_domain_cap" -> (domainCap _),
+    "llm_token_budget" -> (tokenBudget _))
 
   val oracles: Map[String, String] = Map(
     "llm_stratified_sample" -> stratifiedSampleSql,
@@ -299,5 +373,6 @@ object Curation {
     "llm_train_split" -> trainSplitSql,
     "llm_curation_pipeline" -> curationPipelineSql,
     "llm_chunk_docs" -> chunkDocsSql,
-    "llm_domain_cap" -> domainCapSql)
+    "llm_domain_cap" -> domainCapSql,
+    "llm_token_budget" -> tokenBudgetSql)
 }

@@ -239,6 +239,40 @@ class CorpusOpsSpec extends SparkSpec {
     assert(a === b && a.nonEmpty)
   }
 
+  test("token budget: bucketed plan equals the naive global-sort keep set") {
+    import graft.queries.Curation
+    // 12 docs with mixed repetition; the reference below re-derives the
+    // keep set by the NAIVE definition (global (ttr desc, doc_id) sort,
+    // running sum, cut at floor(total/4)) in plain Scala — the bucketed
+    // three-step plan must elect exactly the same docs, including a cut
+    // INSIDE the boundary bucket
+    val texts = Seq(
+      1L -> "a b c d", 2L -> "e e f g", 3L -> "h h h i",
+      4L -> "j j j j", 5L -> "k l m n o p", 6L -> "q q r r s s",
+      7L -> "t u v w x y z aa bb", 8L -> "cc cc", 9L -> "dd",
+      10L -> "ee ff ee ff", 11L -> "gg hh ii gg", 12L -> "jj jj jj kk kk")
+    val dir = docsDir(texts.map { case (id, t) => (id, t, "s") })
+
+    val ref = texts.map { case (id, t) =>
+      val toks = t.split(" ")
+      (id, math.floor(toks.distinct.length * 10000.0 / toks.length).toLong,
+        toks.length.toLong)
+    }
+    val budget = ref.map(_._3).sum * 25 / 100
+    val expected = ref.sortBy { case (id, ttr, _) => (-ttr, id) }
+      .scanLeft((0L, 0L, 0L, 0L)) { case ((_, _, _, cum), (id, ttr, n)) =>
+        (id, ttr, n, cum + n) }
+      .drop(1).takeWhile(_._4 <= budget)
+      .map { case (id, ttr, n, cum) => id -> ((ttr, n, cum)) }.toMap
+
+    val got = Curation.queries("llm_token_budget")(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("ttr"), r.getAs[Long]("ws_toks"),
+          r.getAs[Long]("cum_toks")))).toMap
+    assert(got === expected)
+    assert(got.nonEmpty && got.size < texts.size) // a real cut happened
+  }
+
   test("domain cap keeps at most 20 per source, highest token count first") {
     import graft.queries.Curation
     // source "big": 30 docs, doc i has i tokens -> the cap keeps the 20

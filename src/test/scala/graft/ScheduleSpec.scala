@@ -93,4 +93,27 @@ class ScheduleSpec extends SparkSpec {
       intervalMs = 1, maxTicks = 3, sleep = sleeps += _, onTick = _ => ())
     assert(sleeps.size === 2 && sleeps.forall(_ >= 0))
   }
+
+  test("concurrent same-lake refreshes serialize: the final lake is one whole dataset") {
+    // Without LakeSwap's per-path lock, overlapping refreshes clobber
+    // each other's `.staged` directory mid-write and race the rename
+    // pair — the lake could end up a MIX of two datasets (or a missing
+    // dir). Six overlapping refreshes of six distinguishable datasets;
+    // afterwards the lake must be exactly one of them, wholly.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import spark.implicits._
+    val lake = java.nio.file.Files.createTempDirectory("graft_swap").toString + "/lake"
+    def dataset(k: Int) = (1 to 50).map(i => (k, i)).toDF("k", "i")
+    val runs = (1 to 6).map(k => Future(LakeSwap.overwrite(dataset(k), lake)))
+    Await.result(Future.sequence(runs), 120.seconds)
+    val got = spark.read.parquet(lake).collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(got.length === 50, s"lake holds ${got.length} rows - datasets mixed or lost")
+    assert(got.map(_._1).toSet.size === 1, "lake mixes rows from two refreshes")
+    assert(got.map(_._2).sorted.toSeq === (1 to 50))
+    // no staging debris survives a completed swap
+    val parent = new java.io.File(lake).getParentFile
+    assert(parent.listFiles().map(_.getName).toSet === Set("lake"))
+  }
 }

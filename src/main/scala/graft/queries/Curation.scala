@@ -320,6 +320,15 @@ object Curation {
     * both engines (a bare double→int cast truncates in Spark but
     * half-even-rounds in DuckDB). */
   def tokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    // The narrow (doc_id, ws_toks, ttr) projection feeds THREE consumers
+    // (budget fold, bucket totals, the doc-side join) — a lazy
+    // localCheckpoint tokenizes the corpus once and rescans 24 bytes/doc
+    // instead of re-reading text 3×. It also makes `ttr` a LEAF
+    // attribute: as a projected alias, the ttr-join's inferred
+    // isnotnull(ttr) would push below the Project and inline the whole
+    // tokenizer into a scan Filter (caught by PlanInvariantSpec's
+    // array-constructor-in-Filter guard — the join-key cousin of the
+    // explode-alias trap).
     val docs = Tables.load(spark, dir, "documents")
       .select(col("doc_id"),
         split(LlmDedup.normText(col("text")), " ").as("t"))
@@ -327,6 +336,7 @@ object Curation {
         size(array_distinct(col("t"))).cast("long").as("nd"))
       .select(col("doc_id"), col("ws_toks"),
         floor(col("nd") * 10000 / col("ws_toks")).as("ttr"))
+      .localCheckpoint(eager = false)
     val budget = docs.agg(
       floor(sum(col("ws_toks")) * BudgetPct / 100).as("budget"))
     val wBuckets = Window.orderBy(col("ttr").desc)

@@ -368,6 +368,54 @@ object Curation {
        |SELECT doc_id, ttr, ws_toks, cum_toks
        |FROM c, tot WHERE cum_toks <= budget""".stripMargin
 
+  /** Quality-weighted Bernoulli sampling WITHOUT an RNG — each doc is
+    * kept with probability proportional to its quality, decided by a
+    * pure function of the doc (md5 bucket vs quality threshold), so the
+    * sample is reproducible across runs/engines/partitionings and
+    * APPEND-STABLE (growing the corpus never flips an existing doc's
+    * fate — a seeded `rand()` re-draws everything on every change of
+    * partitioning; this is [[trainSplit]]'s hash-bucket move applied to
+    * weighted selection). Weight = the basis-point type-token ratio
+    * capped at 10000 ([[tokenBudget]]'s quality axis): a doc with
+    * ttr 8000 survives with p=0.8, boilerplate with ttr 1500 with
+    * p=0.15 — quality-proportional downsampling (the FineWeb/CCNet
+    * quality-bucket sampling shape).
+    *
+    * Scale: one narrow map-only pass — no shuffle, no state; the keep
+    * decision is embarrassingly parallel. */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val t = split(LlmDedup.normText(col("text")), " ")
+    val ttr = floor(size(array_distinct(t)).cast("long") * 10000 /
+      size(t).cast("long"))
+    val bucket = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(10000L))
+    // Filter-via-generate, not `.filter(bucket < weight)`: a Filter
+    // above the defining projection would be pushed below it and
+    // re-evaluate the tokenizer per row in FilterExec (the
+    // PlanInvariantSpec array-constructor guard rejects exactly that).
+    // Exploding a 0/1-element array keeps the decision and the output
+    // in ONE Generate expression — single evaluation, still map-only.
+    docs.select(explode(
+        when(bucket < ttr,
+          array(struct(col("doc_id"), ttr.as("weight_bp"), bucket.as("bucket"))))
+          .otherwise(array().cast("array<struct<doc_id:bigint,weight_bp:bigint,bucket:bigint>>")))
+      .as("r"))
+      .select(col("r.doc_id"), col("r.weight_bp"), col("r.bucket"))
+  }
+
+  val weightedSampleSql: String =
+    s"""SELECT doc_id, weight_bp, bucket FROM (
+       |  SELECT doc_id,
+       |    CAST(FLOOR(len(list_distinct(t)) * 10000.0 / len(t)) AS BIGINT)
+       |      AS weight_bp,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
+       |      AS bucket
+       |  FROM (SELECT doc_id, string_split(${LlmDedup.normTextSql()}, ' ') AS t
+       |        FROM documents))
+       |WHERE bucket < weight_bp""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_stratified_sample" -> (stratifiedSample _),
     "llm_corpus_filter" -> (corpusFilter _),
@@ -375,7 +423,8 @@ object Curation {
     "llm_curation_pipeline" -> (curationPipeline _),
     "llm_chunk_docs" -> (chunkDocs _),
     "llm_domain_cap" -> (domainCap _),
-    "llm_token_budget" -> (tokenBudget _))
+    "llm_token_budget" -> (tokenBudget _),
+    "llm_weighted_sample" -> (weightedSample _))
 
   val oracles: Map[String, String] = Map(
     "llm_stratified_sample" -> stratifiedSampleSql,
@@ -384,5 +433,6 @@ object Curation {
     "llm_curation_pipeline" -> curationPipelineSql,
     "llm_chunk_docs" -> chunkDocsSql,
     "llm_domain_cap" -> domainCapSql,
-    "llm_token_budget" -> tokenBudgetSql)
+    "llm_token_budget" -> tokenBudgetSql,
+    "llm_weighted_sample" -> weightedSampleSql)
 }

@@ -273,6 +273,27 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.nonEmpty && got.size < texts.size) // a real cut happened
   }
 
+  test("weighted sample: append-stable, keeps all-distinct docs, tracks the weight") {
+    import graft.queries.Curation
+    def sample(dir: String): Map[Long, (Long, Long)] =
+      Curation.queries("llm_weighted_sample")(spark, dir).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("weight_bp"), r.getAs[Long]("bucket")))).toMap
+    // 300 docs at ~50% weight ("a b a b" -> ttr 5000), plus 20 docs of
+    // fully distinct tokens (ttr 10000 -> bucket < 10000 ALWAYS: max
+    // quality is never sampled away)
+    val half = (1L to 300L).map(i => (i, "a b a b", "s"))
+    val full = (1001L to 1020L).map(i => (i, s"u$i v$i w$i x$i", "s"))
+    val s1 = sample(docsDir(half ++ full))
+    assert((1001L to 1020L).forall(s1.contains), "an all-distinct doc was dropped")
+    val kept5000 = s1.keys.count(_ <= 300L)
+    assert(kept5000 > 105 && kept5000 < 195, // ~150 expected; binomial 3-sigma ~ 26
+      s"~50% weight kept $kept5000 of 300")
+    // append-stability: 300 more docs change NOTHING about the first set's fate
+    val s2 = sample(docsDir(half ++ full ++ (2001L to 2300L).map(i => (i, "c d c d", "s"))))
+    assert(s1 === s2.filter(_._1 <= 1020L))
+  }
+
   test("domain cap keeps at most 20 per source, highest token count first") {
     import graft.queries.Curation
     // source "big": 30 docs, doc i has i tokens -> the cap keeps the 20

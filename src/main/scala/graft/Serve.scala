@@ -399,6 +399,21 @@ object Serve {
       }
     })
 
+    // A bounded handler pool: with the default (null) executor every
+    // handler runs on the single dispatcher thread, so one multi-second
+    // /sql would serialize ALL endpoints behind it — even /tables and
+    // auth rejections. Spark's scheduler is thread-safe (concurrent
+    // actions just become concurrent jobs), so 8 daemon workers serve
+    // requests concurrently; bounded so a request flood queues instead
+    // of spawning unbounded driver threads.
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8,
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"graft-serve-${n.incrementAndGet()}")
+          t.setDaemon(true); t
+        }
+      }))
     server.start()
     server
   }

@@ -344,6 +344,27 @@ class ServeSpec extends SparkSpec {
     assert(server.getAddress.getAddress.isLoopbackAddress)
   }
 
+  test("handlers run on the bounded pool: a slow request can't freeze the server") {
+    // With the default (null) HttpServer executor every handler shares
+    // ONE dispatcher thread, so a single multi-second /sql would
+    // serialize all endpoints behind it. Prove concurrent service: while
+    // a slow /query (seconds of Spark work) is in flight, a /tables
+    // round-trip must complete well before the slow request does.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val slow = Future(get("/query/llm_dedup_clusters?limit=5"))
+    Thread.sleep(200) // let the slow request occupy its handler thread
+    val t0 = System.nanoTime()
+    val (code, _) = get("/tables")
+    val fastMs = (System.nanoTime() - t0) / 1000000L
+    assert(code === 200)
+    val (slowCode, _) = Await.result(slow, 5.minutes)
+    assert(slowCode === 200)
+    assert(fastMs < 2000,
+      s"/tables took ${fastMs}ms while a slow request was in flight - handlers serialized")
+  }
+
   test("render json-escapes hostile column names") {
     import spark.implicits._
     val df = Seq(1).toDF("a\\b\"c\nd")

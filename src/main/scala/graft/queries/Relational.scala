@@ -704,13 +704,27 @@ object Relational {
       case "ts" => date_format(c, "yyyy-MM-dd HH:mm:ss")
       case _ => c.cast("string")
     }
+    // String min/max buffers are VARIABLE-width, and one var-width
+    // aggregation buffer forces the ENTIRE multi-distinct Expand plan
+    // into SortAggregate — two sorts of the ×7-expanded rows (measured
+    // ~3 s at bench SF). Splitting the two string min/maxes into their
+    // own tiny pass (fixed one-row fold, no Expand, no sort needed)
+    // keeps the big Expand aggregation fully hash-based; the one-row
+    // results recombine with a broadcast nested-loop join that costs
+    // nothing.
     val metrics = ProfileCols.flatMap { case (c, kind) =>
+      val base = Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+        count_distinct(col(c)).as(s"nd_$c"))
       val f = fmt(c, kind) _
-      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
-        count_distinct(col(c)).as(s"nd_$c"),
-        f(min(col(c))).as(s"mn_$c"), f(max(col(c))).as(s"mx_$c"))
+      if (kind == "str") base
+      else base ++ Seq(f(min(col(c))).as(s"mn_$c"), f(max(col(c))).as(s"mx_$c"))
+    }
+    val strMinMax = ProfileCols.filter(_._2 == "str").flatMap { case (c, _) =>
+      Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"))
     }
     li.agg(count(lit(1)).as("n_rows"), metrics: _*)
+      .crossJoin(broadcast(li.agg(strMinMax.head, strMinMax.tail: _*)))
       .select(col("n_rows"), explode(array(ProfileCols.map { case (c, _) =>
         struct(lit(c).as("column_name"), col(s"nn_$c").as("n_null"),
           col(s"nd_$c").as("n_distinct"),

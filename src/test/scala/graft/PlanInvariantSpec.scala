@@ -56,6 +56,23 @@ class PlanInvariantSpec extends SparkSpec {
     }
   }
 
+  test("filter queries push their predicates into the parquet scan") {
+    // The F1/F5 filter surface claims scan-level pushdown (PLANS.md).
+    // If a refactor ever rewraps the predicate so it stops reaching the
+    // FileSourceScan (e.g. behind a non-pushable cast or udf), the scan
+    // silently reads everything — fail here instead.
+    Seq("rel_filter_scan", "rel_revenue_agg").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf0001)
+      val scans = deepCollect(df.queryExecution.executedPlan) {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.nonEmpty, s"$name has no FileSourceScan")
+      assert(scans.exists(_.metadata.get("PushedFilters").exists(_ != "[]")),
+        s"$name pushed no filters to the scan:\n" +
+          scans.map(_.metadata.get("PushedFilters")).mkString(", "))
+    }
+  }
+
   test("searchTopk's global ranking window pre-limits before the merge") {
     // The un-partitioned row_number window in txt_search_topk is only
     // scale-safe because Spark 4.x bounds it: LimitPushDownThroughWindow

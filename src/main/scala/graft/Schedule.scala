@@ -28,15 +28,16 @@ import graft.streaming.{NewsShaping, NewsStream}
   *    production main passes `Thread.sleep`.
   *
   * Re-fire semantics per flow family (what makes the loop SAFE to run
-  * forever): full-refresh flows land via the staged rename swap
-  * ([[LakeSwap.overwrite]] — the exposure window is two directory
-  * renames, never the write duration), so a concurrent reader sees the
-  * old or the new lake; the news stream is AvailableNow over a
-  * checkpoint, so a re-fire processes exactly the landing files that
-  * arrived since the last tick (exactly-once, no duplicates on overlap);
-  * the tweets flow lands through the keyed upsert
-  * ([[NewsStream.upsertToLake]]), so re-scraped ids replace rather than
-  * duplicate.
+  * forever): full-refresh flows land via the versioned marker-file
+  * commit ([[LakeCommit.commit]] — a reader pins one immutable version
+  * dir for its whole query, and the commit point is a single empty-file
+  * create, atomic on object stores too), so a concurrent reader sees
+  * the old or the new lake, never a mix; the news stream is
+  * AvailableNow over a checkpoint, so a re-fire processes exactly the
+  * landing files that arrived since the last tick (exactly-once, no
+  * duplicates on overlap); the tweets flow lands through the keyed
+  * upsert ([[NewsStream.upsertToLake]]), so re-scraped ids replace
+  * rather than duplicate.
   */
 object Schedule {
 
@@ -74,9 +75,9 @@ object Schedule {
       Flow("cases", _ =>
         CasesIngest.writeLake(CasesIngest.canonicalCases(spark), s"$lakeDir/cases")),
       Flow("france_hospital", _ =>
-        LakeSwap.overwrite(FranceIngest.franceCases(spark), s"$lakeDir/france_cases")),
+        LakeCommit.commit(FranceIngest.franceCases(spark), s"$lakeDir/france_cases"): Unit),
       Flow("france_virtests", _ =>
-        LakeSwap.overwrite(FranceIngest.virtests(spark), s"$lakeDir/virtests")),
+        LakeCommit.commit(FranceIngest.virtests(spark), s"$lakeDir/virtests"): Unit),
       Flow("news_crawl", _ =>
         NewsStream.runOnce(spark, newsLanding, s"$lakeDir/news_crawl", s"$lakeDir/_news_ckpt")))
     val tweets = tweetsLanding.map { landing =>

@@ -226,31 +226,41 @@ object Serve {
     * (the reference's `news_*` index-pattern read, SearchUI.js:6).
     * Idempotent and cheap (views are lazy), so the serving loop re-runs
     * it after every refresh tick to pick up newly-created flows.
-    * Consistency note: full-refresh swaps are directory renames, so a
-    * query PLANNED against the old file listing can fail mid-swap — the
-    * same read-during-reinsert window the reference's delete+reload has;
-    * a transactional table format would close it (NewsStream.upsertToLake
-    * doc). Returns the registered names. */
+    *
+    * Consistency: each view binds the flow's CURRENT committed version
+    * directory ([[LakeCommit.resolve]] — immutable once written), so a
+    * query planned before a refresh tick keeps reading its pinned
+    * snapshot to completion while the re-registration swings new
+    * queries to the new version; the previous version survives one
+    * refresh cycle as the grace window. Streaming-sink flows (flat
+    * layout) resolve to their own directory, whose `_spark_metadata`
+    * log provides the same committed-files-only read. Returns the
+    * registered names. */
   def registerLake(spark: SparkSession, lakeDir: String): Seq[String] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    def exists(name: String): Boolean =
-      fs.exists(new org.apache.hadoop.fs.Path(s"$lakeDir/$name"))
-    // Per-view try: a directory mid-write (a flow's staged swap in
-    // flight, or a brand-new lake's _temporary) fails schema inference —
-    // skip it and let the next tick's re-registration pick it up, never
-    // fail the whole registration (or the server boot) over one flow.
-    val flows = Seq("cases", "france_cases", "virtests", "news_crawl", "news_tweets")
-      .filter(exists)
-      .filter { t =>
-        try { spark.read.parquet(s"$lakeDir/$t").createOrReplaceTempView(t); true }
-        catch { case _: org.apache.spark.sql.AnalysisException => false }
+    // Per-view try: a brand-new lake with nothing committed yet, or a
+    // flat directory mid-first-write, fails schema inference — skip it
+    // and let the next tick's re-registration pick it up, never fail
+    // the whole registration (or the server boot) over one flow.
+    def load(name: String): Option[DataFrame] =
+      try LakeCommit.resolve(spark, s"$lakeDir/$name").map(spark.read.parquet(_))
+      catch {
+        case _: org.apache.spark.sql.AnalysisException => None
+        case _: java.io.IOException => None
       }
-    val newsFeeds = flows.filter(_.startsWith("news_"))
+    val loaded = Seq("cases", "france_cases", "virtests", "news_crawl", "news_tweets")
+      .flatMap(n => load(n).map(n -> _))
+    loaded.foreach { case (n, df) => df.createOrReplaceTempView(n) }
+    val flows = loaded.map(_._1)
+    val newsFeeds = loaded.collect { case (n, df) if n.startsWith("news_") => df }
     if (newsFeeds.nonEmpty) {
-      newsFeeds.map(t => spark.read.parquet(s"$lakeDir/$t"))
-        .reduce(_.unionByName(_)).createOrReplaceTempView("news")
-      flows :+ "news"
+      // union the ALREADY-validated snapshots — a re-read here would
+      // reopen the mid-refresh window the per-view try just closed —
+      // and treat cross-feed schema drift the same way: skip the union
+      // view this tick instead of failing the registration
+      try {
+        newsFeeds.reduce(_.unionByName(_)).createOrReplaceTempView("news")
+        flows :+ "news"
+      } catch { case _: org.apache.spark.sql.AnalysisException => flows }
     } else flows
   }
 
@@ -469,7 +479,14 @@ object Serve {
           (hours * 3600 * 1000).toLong,
           onTick = { r =>
             println(Schedule.summary(r))
-            registerLake(spark, lakeDir): Unit
+            // A registerLake failure must not escape onTick: it would
+            // kill the daemon thread and the server would silently
+            // serve a stale lake forever. The views keep their previous
+            // (still-readable) snapshots; next tick re-registers.
+            try registerLake(spark, lakeDir): Unit
+            catch { case e: Exception =>
+              println(s"registerLake failed, views stale until next tick: $e")
+            }
           }), "graft-schedule")
       t.setDaemon(true)
       t.start()

@@ -137,11 +137,13 @@ object CasesIngest {
     specs.map(SourceSpec.ingest(spark, _, dim)).reduce(_.unionByName(_))
   }
 
-  /** K2: full-refresh via the staged partitioned swap
-    * ([[graft.LakeSwap]] — the swap semantics the reference lacks,
+  /** K2: full-refresh via the versioned partitioned commit
+    * ([[graft.LakeCommit]] — the refresh semantics the reference lacks,
     * README.md:225-227). A plain `mode("overwrite")` would delete the
     * live lake for the whole rewrite duration, which the
-    * serve-while-refreshing mode cannot tolerate. */
+    * serve-while-refreshing mode cannot tolerate; the versioned commit
+    * gives concurrent readers snapshot isolation with no rename
+    * anywhere (object-store safe). */
   def writeLake(df: DataFrame, path: String): Unit =
-    graft.LakeSwap.overwrite(df, path, Seq("source_index"))
+    graft.LakeCommit.commit(df, path, Seq("source_index")): Unit
 }

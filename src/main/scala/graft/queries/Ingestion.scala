@@ -119,13 +119,13 @@ object Ingestion {
        |FROM canon GROUP BY iso_code2""".stripMargin
 
   /** K2 exercised end-to-end: write the canonical table as a partitioned
-    * Parquet lake (overwrite = the atomic swap), read it back, aggregate
-    * per partition — the reference's index-pattern stats (A6) over our
-    * partition layout. */
+    * Parquet lake (the versioned marker-file commit), read the committed
+    * version back, aggregate per partition — the reference's
+    * index-pattern stats (A6) over our partition layout. */
   def lakeRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val lake = s"${System.getProperty("java.io.tmpdir")}/graft_lake_rt"
     CasesIngest.writeLake(CasesIngest.canonicalCases(spark), lake)
-    spark.read.parquet(lake)
+    graft.LakeCommit.read(spark, lake)
       .groupBy(col("source_index"))
       .agg(
         count(lit(1)).as("n_rows"),
@@ -147,7 +147,7 @@ object Ingestion {
   def lakePruned(spark: SparkSession, dir: String): DataFrame = {
     val lake = s"${System.getProperty("java.io.tmpdir")}/graft_lake_rt"
     CasesIngest.writeLake(CasesIngest.canonicalCases(spark), lake)
-    spark.read.parquet(lake)
+    graft.LakeCommit.read(spark, lake)
       .filter(col("source_index") === "vaccination")
       .groupBy(col("iso_code2"))
       .agg(sum(col("vaccinated")).as("sum_vaccinated"))

@@ -67,33 +67,33 @@ object NewsStream {
   /** T2 as an INCREMENTAL upsert (foreachBatch merge-by-key) instead of
     * the reference's full delete-and-reload: rows from `batch` replace
     * same-`link` rows in the lake, everything else is carried forward.
-    * Without a transactional table format the swap is staged as
-    * write-new → move-old-aside → rename-new-in — the replace window is
-    * two directory renames (never a partially-written lake, and a crash
-    * leaves either the live lake or a recoverable `.old`), though a
-    * concurrent reader can still race the renames; a real deployment
-    * would put a transactional table format (or a manifest/view
-    * indirection) over this.
+    * Lands through the versioned marker-file commit
+    * ([[graft.LakeCommit]]): the merge plan reads the CURRENT immutable
+    * version dir while writing the next one, so there is no
+    * self-overwrite hazard and a concurrent reader pins one whole
+    * version — snapshot isolation with no rename anywhere.
     *
     * At 100 TB the carry-forward read would be partition-pruned by the
     * keys present in the batch (here the lake is small and unpartitioned
     * — the pattern, not the layout, is the point). */
-  def upsertToLake(spark: SparkSession, batch: DataFrame, lakePath: String): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    val merged =
-      if (fs.exists(new org.apache.hadoop.fs.Path(lakePath))) {
-        val existing = spark.read.parquet(lakePath)
-        // restore the lake's column order: the USING join hoists the key
-        // column first, so without the select the FIRST upsert would
-        // silently rewrite the lake with a reordered schema
-        existing.join(batch.select("link"), Seq("link"), "left_anti")
-          .unionByName(batch)
-          .select(existing.columns.map(org.apache.spark.sql.functions.col).toSeq: _*)
-      } else batch
-    // the swap executes the merge plan (reading the live lake) into the
-    // staged directory BEFORE any rename touches the live name
-    graft.LakeSwap.overwrite(merged, lakePath)
-  }
+  def upsertToLake(spark: SparkSession, batch: DataFrame, lakePath: String): Unit =
+    // the outer lock makes read-merge-commit atomic against a
+    // concurrent upsert of the same lake (intrinsic locks are
+    // reentrant, so commit's own lock on the same stripe is fine)
+    graft.PathLocks.lockFor(lakePath).synchronized {
+      val merged = graft.LakeCommit.resolve(spark, lakePath) match {
+        case Some(current) =>
+          val existing = spark.read.parquet(current)
+          // restore the lake's column order: the USING join hoists the key
+          // column first, so without the select the FIRST upsert would
+          // silently rewrite the lake with a reordered schema
+          existing.join(batch.select("link"), Seq("link"), "left_anti")
+            .unionByName(batch)
+            .select(existing.columns.map(org.apache.spark.sql.functions.col).toSeq: _*)
+        case None => batch
+      }
+      graft.LakeCommit.commit(merged, lakePath): Unit
+    }
 
   /** Fresh end-to-end run into a scratch sink; returns the sink as a
     * batch DataFrame (used by the correctness query and tests). */

@@ -83,7 +83,7 @@ class IngestGoldenSpec extends SparkSpec {
   test("K2 lake: partition filter prunes to the vaccination directory only") {
     val lake = java.nio.file.Files.createTempDirectory("graft_prune").toString
     CasesIngest.writeLake(canon, lake)
-    val all = spark.read.parquet(lake)
+    val all = LakeCommit.read(spark, lake)
     val pruned = all
       .filter(org.apache.spark.sql.functions.col("source_index") === "vaccination")
     pruned.collect() // run THIS plan (count() would execute a different one)

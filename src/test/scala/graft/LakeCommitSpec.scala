@@ -1,0 +1,128 @@
+package graft
+
+import java.io.File
+
+import org.apache.spark.sql.DataFrame
+
+/** [[LakeCommit]] — the versioned marker-file commit. The load-bearing
+  * claims: the commit point is a single empty-file create (NO rename
+  * anywhere on the visibility path, so object stores are safe), readers
+  * pin one immutable version for their whole query, GC honors the grace
+  * window, and crashes at any step leave a resolvable lake.
+  */
+class LakeCommitSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def dataset(k: Int): DataFrame =
+    (1 to 50).map(i => (k, i)).toDF("k", "i")
+
+  private def ks(df: DataFrame): Set[Int] =
+    df.collect().map(_.getInt(0)).toSet
+
+  test("commit/resolve/read roundtrip; a flat legacy dir resolves to itself") {
+    val root = Fixtures.scratchDir("lc_rt")
+    val lake = s"$root/lake"
+    val dir = LakeCommit.commit(dataset(1), lake)
+    assert(dir.endsWith("v000000001"))
+    assert(LakeCommit.resolve(spark, lake) === Some(dir))
+    assert(ks(LakeCommit.read(spark, lake)) === Set(1))
+    // flat legacy layout (or a streaming sink): no _commits -> the
+    // path itself
+    val flat = s"$root/flat"
+    dataset(7).write.parquet(flat)
+    assert(LakeCommit.resolve(spark, flat) === Some(flat))
+    assert(ks(LakeCommit.read(spark, flat)) === Set(7))
+    // absent lake: nothing to resolve, read throws the shaped error
+    assert(LakeCommit.resolve(spark, s"$root/nope") === None)
+    intercept[java.io.FileNotFoundException](LakeCommit.read(spark, s"$root/nope"))
+  }
+
+  test("snapshot isolation: a reader pinned before a refresh reads its version to completion") {
+    val lake = s"${Fixtures.scratchDir("lc_snap")}/lake"
+    LakeCommit.commit(dataset(1), lake)
+    val pinned = LakeCommit.read(spark, lake) // plans against v1's dir
+    LakeCommit.commit(dataset(2), lake) // refresh lands v2, GC keeps v1 (grace)
+    assert(ks(pinned) === Set(1), "pinned reader saw the refresh")
+    assert(ks(LakeCommit.read(spark, lake)) === Set(2), "new reader not on v2")
+  }
+
+  test("GC: versions below the grace window go, markers first, dirs in lockstep") {
+    val lake = s"${Fixtures.scratchDir("lc_gc")}/lake"
+    (1 to 4).foreach(k => LakeCommit.commit(dataset(k), lake))
+    val names = new File(lake).listFiles().map(_.getName).toSet
+    assert(names === Set("_commits", "v000000003", "v000000004"), s"got $names")
+    val marks = new File(s"$lake/_commits").listFiles().map(_.getName)
+      .filter(_.matches("v\\d{9}")).sorted.toSeq // local-fs .crc sidecars aside
+    assert(marks === Seq("v000000003", "v000000004"))
+    assert(ks(LakeCommit.read(spark, lake)) === Set(4))
+  }
+
+  test("crash windows: an unmarked orphan dir is invisible, its number never reused; a marker whose dir died mid-GC is skipped") {
+    val lake = s"${Fixtures.scratchDir("lc_crash")}/lake"
+    LakeCommit.commit(dataset(1), lake, keepVersions = 10)
+    LakeCommit.commit(dataset(2), lake, keepVersions = 10)
+    // crash between data-write and marker: orphan v3, no commit record
+    dataset(99).write.parquet(s"$lake/v000000003")
+    assert(ks(LakeCommit.read(spark, lake)) === Set(2), "orphan became visible")
+    // recovery commit must skip the orphan's number (never blend files)
+    val dir = LakeCommit.commit(dataset(4), lake, keepVersions = 10)
+    assert(dir.endsWith("v000000004"))
+    assert(ks(LakeCommit.read(spark, lake)) === Set(4))
+    // crash mid-GC: marker present, data dir gone -> resolve falls back
+    // to the next lower committed version instead of failing
+    def rm(f: File): Unit = { Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit }
+    rm(new File(s"$lake/v000000004"))
+    assert(ks(LakeCommit.read(spark, lake)) === Set(2), "dangling marker not skipped")
+  }
+
+  test("old orphans and expired versions GC together once the floor passes them") {
+    val lake = s"${Fixtures.scratchDir("lc_orph")}/lake"
+    LakeCommit.commit(dataset(1), lake)
+    dataset(99).write.parquet(s"$lake/v000000002") // crashed write
+    LakeCommit.commit(dataset(3), lake) // max(marker 1, orphan dir 2)+1 = v3
+    LakeCommit.commit(dataset(4), lake) // v4; floor=3 GCs v1 and the v2 orphan
+    val names = new File(lake).listFiles().map(_.getName).toSet
+    assert(names === Set("_commits", "v000000003", "v000000004"), s"got $names")
+  }
+
+  test("rename atomicity is NOT load-bearing: concurrent readers stay consistent on a copy+delete-rename fs") {
+    // The old staged-swap design moved the live directory through two
+    // renames; on an object store (rename = slow copy+delete) a reader
+    // could list a half-copied lake. The marker-file commit's
+    // visibility path has NO rename: writers may rename all they want
+    // inside the invisible version dir (Spark's task committer does),
+    // but readers only ever see marker names + immutable committed
+    // dirs. Prove it on a filesystem whose rename is deliberately torn.
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.nonatomic.impl", classOf[NonAtomicFs].getName)
+    val lake = "nonatomic://" + Fixtures.scratchDir("lc_s3") + "/lake"
+    val renamesBefore = NonAtomicFs.renames.get()
+    LakeCommit.commit(dataset(1), lake, keepVersions = 10)
+
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    @volatile var writing = true
+    val writer = Future {
+      try (2 to 5).foreach(k => LakeCommit.commit(dataset(k), lake, keepVersions = 10))
+      finally writing = false
+    }
+    var reads = 0
+    while (writing || reads == 0) {
+      val rows = LakeCommit.read(spark, lake).collect().map(r => (r.getInt(0), r.getInt(1)))
+      val kset = rows.map(_._1).toSet
+      assert(rows.length === 50, s"read ${rows.length} rows - torn snapshot")
+      assert(kset.size === 1, s"read mixed versions: $kset")
+      assert(rows.map(_._2).sorted.toSeq === (1 to 50), "partial dataset")
+      reads += 1
+    }
+    Await.result(writer, 300.seconds)
+    assert(ks(LakeCommit.read(spark, lake)) === Set(5))
+    // the writer's internal task-commit renames DID run through the
+    // torn implementation — the protocol was exercised, not bypassed
+    assert(NonAtomicFs.renames.get() > renamesBefore,
+      "no rename ever hit the non-atomic fs; the simulation proved nothing")
+    assert(reads > 0)
+  }
+}

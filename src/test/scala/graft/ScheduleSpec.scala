@@ -11,7 +11,7 @@ import org.apache.spark.sql.Row
 class ScheduleSpec extends SparkSpec {
 
   private def sortedRows(path: String): Seq[String] =
-    spark.read.parquet(path).collect().map(_.toString).sorted.toSeq
+    LakeCommit.read(spark, path).collect().map(_.toString).sorted.toSeq
 
   test("two consecutive full refreshes land atomically and identically") {
     val lake = Fixtures.scratchDir("sched_lake")
@@ -63,14 +63,19 @@ class ScheduleSpec extends SparkSpec {
       assert(rows.nonEmpty, s"$name empty after first tick")
     }
     assert(snapshots(0) === snapshots(1))
-    // no staging/backup residue from the upsert swap
-    val leftovers = Seq(s"$lake/news_tweets.staged", s"$lake/news_tweets.old")
-      .filter(p => Files.exists(Paths.get(p)))
-    assert(leftovers.isEmpty, s"staging residue: $leftovers")
+    // versioned layout housekeeping: after two refreshes of a
+    // full-refresh lake only the grace window's versions remain
+    // (keepVersions=2), markers and data dirs in lockstep
+    val caseVers = new java.io.File(s"$lake/cases").listFiles()
+      .map(_.getName).filter(_.matches("v\\d{9}")).sorted.toSeq
+    val caseMarks = new java.io.File(s"$lake/cases/_commits").listFiles()
+      .map(_.getName).filter(_.matches("v\\d{9}")).sorted.toSeq
+    assert(caseVers === Seq("v000000001", "v000000002"), s"got $caseVers")
+    assert(caseMarks === caseVers, s"markers $caseMarks != dirs $caseVers")
     // the sibling feeds share the news schema, so the `news_*` reader
     // unions them by name — both crawlers present in the union
-    val crawlers = spark.read.parquet(s"$lake/news_crawl")
-      .unionByName(spark.read.parquet(s"$lake/news_tweets"))
+    val crawlers = LakeCommit.read(spark, s"$lake/news_crawl")
+      .unionByName(LakeCommit.read(spark, s"$lake/news_tweets"))
       .select("source.crawler").distinct().collect().map(_.getString(0)).toSet
     assert(crawlers === Set("googlenews", "tweets"))
   }
@@ -95,25 +100,27 @@ class ScheduleSpec extends SparkSpec {
   }
 
   test("concurrent same-lake refreshes serialize: the final lake is one whole dataset") {
-    // Without LakeSwap's per-path lock, overlapping refreshes clobber
-    // each other's `.staged` directory mid-write and race the rename
-    // pair — the lake could end up a MIX of two datasets (or a missing
-    // dir). Six overlapping refreshes of six distinguishable datasets;
-    // afterwards the lake must be exactly one of them, wholly.
+    // Without LakeCommit's per-path lock, overlapping refreshes race
+    // version allocation (two writers picking the same v<N>) — the lake
+    // could end up a MIX of two datasets. Six overlapping refreshes of
+    // six distinguishable datasets; afterwards the current version must
+    // be exactly one of them, wholly, and the version chain must be six
+    // distinct committed versions GC'd down to the grace window.
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
     import spark.implicits._
     val lake = java.nio.file.Files.createTempDirectory("graft_swap").toString + "/lake"
     def dataset(k: Int) = (1 to 50).map(i => (k, i)).toDF("k", "i")
-    val runs = (1 to 6).map(k => Future(LakeSwap.overwrite(dataset(k), lake)))
+    val runs = (1 to 6).map(k => Future(LakeCommit.commit(dataset(k), lake): Unit))
     Await.result(Future.sequence(runs), 120.seconds)
-    val got = spark.read.parquet(lake).collect().map(r => (r.getInt(0), r.getInt(1)))
+    val got = LakeCommit.read(spark, lake).collect().map(r => (r.getInt(0), r.getInt(1)))
     assert(got.length === 50, s"lake holds ${got.length} rows - datasets mixed or lost")
     assert(got.map(_._1).toSet.size === 1, "lake mixes rows from two refreshes")
     assert(got.map(_._2).sorted.toSeq === (1 to 50))
-    // no staging debris survives a completed swap
-    val parent = new java.io.File(lake).getParentFile
-    assert(parent.listFiles().map(_.getName).toSet === Set("lake"))
+    // six serialized commits → current is v6, grace window keeps v5+v6
+    val names = new java.io.File(lake).listFiles().map(_.getName).toSet
+    assert(names === Set("_commits", "v000000005", "v000000006"), s"got $names")
+    assert(LakeCommit.resolve(spark, lake).get.endsWith("v000000006"))
   }
 }

@@ -99,7 +99,7 @@ class StreamingSpec extends SparkSpec {
         NewsEvt("l1", ts("2021-03-02 10:00:00"), "v2"), // replaces l1
         NewsEvt("l3", ts("2021-03-02 11:00:00"), "new"))
       q.processAllAvailable()
-      val rows = spark.read.parquet(lake).collect()
+      val rows = LakeCommit.read(spark, lake).collect()
         .map(r => r.getAs[String]("link") -> r.getAs[String]("title")).toMap
       assert(rows === Map("l1" -> "v2", "l2" -> "stays", "l3" -> "new"))
     } finally q.stop()

@@ -31,8 +31,10 @@ def load(path):
         d = json.loads(raw)
     except json.JSONDecodeError:
         # one-line stdout format possibly wrapped in logs: take the line
-        line = [l for l in raw.splitlines() if '"metric":"total"' in l][-1]
-        d = json.loads(re.sub(r"^\[info\] ", "", line).strip())
+        lines = [l for l in raw.splitlines() if '"metric":"total"' in l]
+        if not lines:
+            raise SystemExit(f"unrecognized bench artifact shape: {path}")
+        d = json.loads(re.sub(r"^\[info\] ", "", lines[-1]).strip())
     truncated = False
     if "pass_times" in d:  # BENCH_DETAIL.json
         times = {k: min(v) for k, v in d["pass_times"].items() if v}

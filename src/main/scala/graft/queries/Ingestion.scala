@@ -283,11 +283,37 @@ object Ingestion {
       |      SELECT * FROM closed UNION ALL
       |      SELECT * FROM opened)""".stripMargin
 
+  /** Compaction end-to-end over real data: a deliberately fragmented
+    * versioned lake of `orders` (64 shuffle-partition part files) is
+    * compacted ([[graft.operators.Compaction.compactLake]] — scan
+    * bin-packing into target-size partitions, no shuffle) and the
+    * COMPACTED version aggregated; the oracle recomputes from the
+    * source table directly, so any row the rewrite loses or doubles
+    * hash-mismatches. The ≥10x file-count drop itself is asserted in
+    * CompactionSpec (not SQL-expressible). */
+  def compactionRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val lake = s"${System.getProperty("java.io.tmpdir")}/graft_compact_rt"
+    val orders = graft.Tables.load(spark, dir, "orders")
+    graft.LakeCommit.commit(orders.repartition(64), lake)
+    val report = graft.operators.Compaction.compactLake(spark, lake)
+    spark.read.parquet(report.dataDir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice")).as("sum_price"))
+  }
+
+  val compactionSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders,
+      |  SUM(o_totalprice) AS sum_price
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ing_cases_norm" -> (casesNorm _),
     "ing_cases_by_country" -> (casesByCountry _),
     "ing_lake_roundtrip" -> (lakeRoundtrip _),
     "ing_lake_pruned" -> (lakePruned _),
+    "ing_compaction" -> (compactionRoundtrip _),
     "ing_geo_extend" -> (geoExtendIngest _),
     "ing_scd2_merge" -> (scd2Merge _))
 
@@ -296,6 +322,7 @@ object Ingestion {
     "ing_cases_by_country" -> casesByCountrySql,
     "ing_lake_roundtrip" -> lakeRoundtripSql,
     "ing_lake_pruned" -> lakePrunedSql,
+    "ing_compaction" -> compactionSql,
     "ing_geo_extend" -> geoExtendSql,
     "ing_scd2_merge" -> scd2MergeSql)
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
+import graft.functions.Bpe
 
 /** Corpus-curation composites — the queries a training-data pipeline
   * actually ends with, composed from the catalog's primitives:
@@ -215,8 +216,28 @@ object Curation {
     * oracle. */
   def chunkDocs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    docs.select(col("doc_id"),
-        split(LlmDedup.normText(col("text")), " ").as("t"))
+    chunkPlan(docs.select(col("doc_id"),
+      split(LlmDedup.normText(col("text")), " ").as("t")))
+  }
+
+  /** [[chunkDocs]] over the TRAINED tokenizer's token stream
+    * ([[graft.functions.Bpe.tokensCol]]) instead of whitespace words —
+    * the chunk geometry a training run actually packs. Same map-only
+    * shape; the oracle reassembles each doc's BPE stream symbolically
+    * (`bpe_doc_stream` in [[graft.functions.Bpe.oracleCtes]]) and
+    * re-chunks it, so both chunk boundaries AND window hashes are
+    * hash-checked. */
+  def chunkDocsBpe(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val toks = Bpe.tokensCol(Bpe.fixtureMerges)
+    chunkPlan(docs.select(col("doc_id"), toks(col("text")).as("t")))
+  }
+
+  /** The tokenizer-independent chunk geometry: expects `(doc_id, t)`
+    * where `t` is the doc's token array under WHATEVER tokenizer the
+    * caller chose. */
+  private def chunkPlan(tokenized: DataFrame): DataFrame = {
+    tokenized
       .withColumn("n", size(col("t")))
       // 1 + ceil(max(n - size, 0) / stride), in exact integer arithmetic
       .withColumn("n_chunks", expr(
@@ -230,12 +251,12 @@ object Curation {
         md5(concat_ws(" ", col("c"))).as("chunk_hash"))
   }
 
-  val chunkDocsSql: String =
-    s"""WITH d AS (SELECT doc_id, ${LlmDedup.normTextSql()} AS norm FROM documents),
-       |s AS (SELECT doc_id, string_split(norm, ' ') AS t FROM d),
-       |g AS (SELECT doc_id, t, len(t) AS n,
+  /** The chunk-geometry SQL over a CTE `src` exposing `(doc_id, t)` —
+    * the oracle mirror of [[chunkPlan]], tokenizer-independent. */
+  private def chunkSqlFrom(src: String): String =
+    s"""g AS (SELECT doc_id, t, len(t) AS n,
        |        1 + (greatest(len(t) - $ChunkSize, 0) + ${ChunkStride - 1}) // $ChunkStride AS n_chunks
-       |      FROM s),
+       |      FROM $src),
        |c AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
        |        CAST(n_chunks AS BIGINT) AS n_chunks,
        |        t[(CAST(i AS INT) * $ChunkStride + 1):(CAST(i AS INT) * $ChunkStride + $ChunkSize)] AS ck
@@ -244,6 +265,17 @@ object Curation {
        |  CAST(len(ck) AS BIGINT) AS n_tokens,
        |  md5(array_to_string(ck, ' ')) AS chunk_hash
        |FROM c""".stripMargin
+
+  val chunkDocsSql: String =
+    s"""WITH d AS (SELECT doc_id, ${LlmDedup.normTextSql()} AS norm FROM documents),
+       |s AS (SELECT doc_id, string_split(norm, ' ') AS t FROM d),
+       |${chunkSqlFrom("s")}""".stripMargin
+
+  val chunkDocsBpeSql: String =
+    s"""WITH RECURSIVE
+       |${Bpe.oracleCtes()},
+       |s AS (SELECT doc_id, t FROM bpe_doc_stream),
+       |${chunkSqlFrom("s")}""".stripMargin
 
   /** Per-domain quota: cap any one source's contribution to the corpus. */
   private val DomainCap = 20
@@ -337,21 +369,50 @@ object Curation {
       .select(col("doc_id"), col("ws_toks"),
         floor(col("nd") * 10000 / col("ws_toks")).as("ttr"))
       .localCheckpoint(eager = false)
+    tokenBudgetPlan(docs, "ws_toks")
+  }
+
+  /** [[tokenBudget]] where the budget is spent in TRAINED-tokenizer
+    * tokens ([[graft.functions.Bpe]]) — the unit a training run is
+    * actually budgeted in. The quality axis stays the whitespace-token
+    * ttr (quality is a property of the text, not the tokenizer), so the
+    * keep ORDER matches [[tokenBudget]]; only the token accounting — and
+    * therefore where the budget line falls — changes. */
+  def tokenBudgetBpe(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = Bpe.tokenCountCol(Bpe.fixtureMerges)
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), cnt(col("text")).as("bpe_toks"),
+        split(LlmDedup.normText(col("text")), " ").as("t"))
+      .select(col("doc_id"), col("bpe_toks"),
+        size(col("t")).cast("long").as("ws_toks"),
+        size(array_distinct(col("t"))).cast("long").as("nd"))
+      .select(col("doc_id"), col("bpe_toks"),
+        floor(col("nd") * 10000 / col("ws_toks")).as("ttr"))
+      .localCheckpoint(eager = false)
+    tokenBudgetPlan(docs, "bpe_toks")
+  }
+
+  /** The distributed-threshold budget selection over a pre-tokenized
+    * `(doc_id, <tokCol>, ttr)` projection (already lineage-truncated by
+    * the caller): quality-bucket totals → tiny-window running priors →
+    * per-bucket bounded cumulative sum. Token accounting is whatever
+    * column the caller spent the budget in. */
+  private def tokenBudgetPlan(docs: DataFrame, tokCol: String): DataFrame = {
     val budget = docs.agg(
-      floor(sum(col("ws_toks")) * BudgetPct / 100).as("budget"))
+      floor(sum(col(tokCol)) * BudgetPct / 100).as("budget"))
     val wBuckets = Window.orderBy(col("ttr").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val priors = docs.groupBy(col("ttr"))
-      .agg(sum(col("ws_toks")).as("btoks"))
+      .agg(sum(col(tokCol)).as("btoks"))
       .withColumn("prior", coalesce(sum(col("btoks")).over(wBuckets), lit(0L)))
       .select(col("ttr"), col("prior"))
     val wIn = Window.partitionBy(col("ttr")).orderBy(col("doc_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs.join(broadcast(priors), "ttr")
       .crossJoin(broadcast(budget))
-      .withColumn("cum_toks", col("prior") + sum(col("ws_toks")).over(wIn))
+      .withColumn("cum_toks", col("prior") + sum(col(tokCol)).over(wIn))
       .filter(col("cum_toks") <= col("budget"))
-      .select(col("doc_id"), col("ttr"), col("ws_toks"), col("cum_toks"))
+      .select(col("doc_id"), col("ttr"), col(tokCol), col("cum_toks"))
   }
 
   val tokenBudgetSql: String =
@@ -366,6 +427,21 @@ object Curation {
        |        CAST(SUM(ws_toks) OVER (ORDER BY ttr DESC, doc_id ASC
        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_toks FROM d)
        |SELECT doc_id, ttr, ws_toks, cum_toks
+       |FROM c, tot WHERE cum_toks <= budget""".stripMargin
+
+  val tokenBudgetBpeSql: String =
+    s"""WITH RECURSIVE
+       |${Bpe.oracleCtes()},
+       |d AS (SELECT doc_id, b.n_toks AS bpe_toks,
+       |    CAST(FLOOR(len(list_distinct(t)) * 10000.0 / len(t)) AS BIGINT) AS ttr
+       |  FROM (SELECT doc_id, string_split(${LlmDedup.normTextSql()}, ' ') AS t
+       |        FROM documents) x JOIN bpe_doc_toks b USING (doc_id)),
+       |tot AS (SELECT CAST(FLOOR(SUM(bpe_toks) * $BudgetPct / 100.0) AS BIGINT)
+       |          AS budget FROM d),
+       |c AS (SELECT doc_id, ttr, bpe_toks,
+       |        CAST(SUM(bpe_toks) OVER (ORDER BY ttr DESC, doc_id ASC
+       |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_toks FROM d)
+       |SELECT doc_id, ttr, bpe_toks, cum_toks
        |FROM c, tot WHERE cum_toks <= budget""".stripMargin
 
   /** Quality-weighted Bernoulli sampling WITHOUT an RNG — each doc is
@@ -422,8 +498,10 @@ object Curation {
     "llm_train_split" -> (trainSplit _),
     "llm_curation_pipeline" -> (curationPipeline _),
     "llm_chunk_docs" -> (chunkDocs _),
+    "llm_chunk_docs_bpe" -> (chunkDocsBpe _),
     "llm_domain_cap" -> (domainCap _),
     "llm_token_budget" -> (tokenBudget _),
+    "llm_token_budget_bpe" -> (tokenBudgetBpe _),
     "llm_weighted_sample" -> (weightedSample _))
 
   val oracles: Map[String, String] = Map(
@@ -432,7 +510,9 @@ object Curation {
     "llm_train_split" -> trainSplitSql,
     "llm_curation_pipeline" -> curationPipelineSql,
     "llm_chunk_docs" -> chunkDocsSql,
+    "llm_chunk_docs_bpe" -> chunkDocsBpeSql,
     "llm_domain_cap" -> domainCapSql,
     "llm_token_budget" -> tokenBudgetSql,
+    "llm_token_budget_bpe" -> tokenBudgetBpeSql,
     "llm_weighted_sample" -> weightedSampleSql)
 }

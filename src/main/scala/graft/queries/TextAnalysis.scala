@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
+import graft.functions.Bpe
 
 /** Text-analysis operators over `documents`: full-text search, language
   * ID, quality scoring, token counting, fingerprinting — the text side of
@@ -671,6 +672,37 @@ object TextAnalysis {
        |  MAX(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS max_bpe_toks
        |FROM documents GROUP BY source""".stripMargin
 
+  /** Token counting per source under the TRAINED tokenizer
+    * ([[graft.functions.Bpe]], fixture-trained merges) — the number a
+    * token-budget gate at training time actually spends, where
+    * [[tokenStats]]' regex count is only the pre-token proxy. The rank
+    * table rides the task closure (KBs) and each task memoizes
+    * word→count, so the UDF cost is Zipf-amortized; the aggregation
+    * shape is identical to [[tokenStats]] (map-side partial sums, one
+    * exchange on `source`).
+    *
+    * The DuckDB oracle does not approximate: [[bpeStatsSql]] replays the
+    * merge recursion symbolically per distinct word (recursive CTE in
+    * [[graft.functions.Bpe.oracleCtes]]), so a drift in merge ORDER — not
+    * just in final counts — breaks the hash. */
+  def bpeTokenStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val cnt = Bpe.tokenCountCol(Bpe.fixtureMerges)
+    docs.select(col("source"), cnt(col("text")).as("n_toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("sum_bpe_toks"),
+        max(col("n_toks")).as("max_bpe_toks"))
+  }
+
+  val bpeStatsSql: String =
+    s"""WITH RECURSIVE
+       |${Bpe.oracleCtes()}
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_toks) AS BIGINT) AS sum_bpe_toks,
+       |  MAX(n_toks) AS max_bpe_toks
+       |FROM bpe_doc_toks GROUP BY source""".stripMargin
+
   // ------------------------------------------------------------ vocabulary
 
   /** Corpus vocabulary, top-100 tokens by frequency — the count table a
@@ -785,6 +817,7 @@ object TextAnalysis {
     "txt_lang_id" -> (langId _),
     "txt_quality" -> (quality _),
     "txt_token_stats" -> (tokenStats _),
+    "txt_bpe_stats" -> (bpeTokenStats _),
     "txt_vocab_topk" -> (vocabTopk _),
     "txt_fingerprint" -> (fingerprint _),
     "txt_scrub" -> (scrub _))
@@ -800,6 +833,7 @@ object TextAnalysis {
     "txt_lang_id" -> langIdSql,
     "txt_quality" -> qualitySql,
     "txt_token_stats" -> tokenStatsSql,
+    "txt_bpe_stats" -> bpeStatsSql,
     "txt_vocab_topk" -> vocabTopkSql,
     "txt_fingerprint" -> fingerprintSql,
     "txt_scrub" -> scrubSql)

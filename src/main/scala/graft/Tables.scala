@@ -18,20 +18,29 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
-    // rejects outright (PARQUET_TYPE_ILLEGAL); read nanos as long and
-    // rebuild a microsecond timestamp. Set lazily here so any session
-    // (driver-created or ours) gets it before the first schema read.
+    // events.parquet has shipped in two vintages: TIMESTAMP(NANOS), which
+    // Spark's parquet reader rejects outright (PARQUET_TYPE_ILLEGAL) unless
+    // nanos are read as raw longs, and plain timestamp[us], which reads as
+    // TIMESTAMP_NTZ. Set the legacy conf lazily so any session
+    // (driver-created or ours) tolerates the nanos vintage, then dispatch on
+    // the dtype that actually loaded so either vintage yields the same
+    // TimestampType column.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events")
-      // Exact integer division (`div`), not double `/`: epoch-nanos
-      // (~1.7e18) exceed double's 2^53 precision, so `/ 1000` loses 1µs on
-      // ~12% of rows.
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    if (name == "events") {
+      import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+      df.schema("ts").dataType match {
+        // Nanos-as-long vintage: rebuild micros with exact integer division
+        // (`div`, not double `/`): epoch-nanos (~1.7e18) exceed double's
+        // 2^53 precision, so `/ 1000` loses 1µs on ~12% of rows.
+        case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        // timestamp[us] vintage: identity-instant cast under the UTC
+        // session TZ, giving the TimestampType the event ops expect.
+        case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => df
+      }
+    } else df
   }
 
   /** Common SparkSession config for mains (local mode, UTC, AQE on,

@@ -33,12 +33,15 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
   *    file. Names under `_` are invisible to Spark sources, which is
   *    what keeps `_staging` and `_seen_links.txt` out of every read.
   *
-  * Scale note: the seen-set is one line per landed link — fine for a
-  * connector process (the reference holds the same set as an ES query
-  * per link, strictly worse). If a feed's history outgrows a driver
-  * file, the landing retention window bounds it: links older than the
-  * stream's watermark can be dropped from the seen-file, because the
-  * sink's keyed dedup already holds them.
+  * Scale note: the seen-set is BOUNDED — one line per landed link, kept
+  * in landing order and trimmed to the newest `maxSeen` on every write,
+  * so the file never grows with total crawl history (the reference holds
+  * the same set as an ES query per link, strictly worse). Trimming is
+  * safe because recent links (the re-poll overlap window) are the newest
+  * lines and survive the cut, while anything old enough to be trimmed is
+  * already held by the stream's watermarked keyed dedup — the
+  * AUTHORITATIVE dedup; a trimmed link re-lands at most once and never
+  * reaches the lake twice.
   */
 object CrawlPoller {
 
@@ -50,18 +53,28 @@ object CrawlPoller {
 
   /** Fetch `url`, keep records with an unseen non-empty `link`, land
     * them as one NDJSON file in `landingDir`. `tick` namespaces the
-    * landing file (re-fired ticks get distinct suffixes). */
+    * landing file (re-fired ticks get distinct suffixes). `extra` fields
+    * are merged into every landed record — how a fan-out poll injects
+    * crawl provenance the payload itself doesn't carry (the reference
+    * injects `lang` from its loop variable the same way,
+    * crawl_google_news.py:66). `maxSeen` bounds the seen-file to the
+    * newest links in landing order. */
   def poll(url: String, landingDir: String, tick: Long = 0L,
-      retries: Int = 3, backoffMs: Long = 500): PollResult = {
+      retries: Int = 3, backoffMs: Long = 500,
+      extra: Map[String, String] = Map.empty,
+      maxSeen: Int = 100000): PollResult = {
     val staging = s"$landingDir/_staging"
     val fetched = HttpFetch.fetchToStaging(url, staging, s"poll_$tick.json",
       retries, backoffMs)
     val records = parseRecords(fetched)
     val seenFile = Paths.get(landingDir, "_seen_links.txt")
-    val seen: Set[String] =
+    // landing order, oldest first (pre-bound files were sorted; order only
+    // affects which links a trim drops, not dedup correctness)
+    val seenLines: Seq[String] =
       if (Files.exists(seenFile))
-        Files.readAllLines(seenFile).asScala.toSet
-      else Set.empty
+        Files.readAllLines(seenFile).asScala.toSeq
+      else Seq.empty
+    val seen: Set[String] = seenLines.toSet
     val fresh = records.flatMap { node =>
       val link = Option(node.get("link")).map(_.asText("")).getOrElse("")
       if (link.isEmpty || seen.contains(link)) None else Some(link -> node)
@@ -73,26 +86,40 @@ object CrawlPoller {
       val name = f"crawl_t${tick}_${System.currentTimeMillis()}%d.json"
       val tmp = Paths.get(staging, name)
       Files.write(tmp,
-        deduped.map { case (_, n) => mapper.writeValueAsString(n) }
+        deduped.map { case (_, n) => mapper.writeValueAsString(enrich(n, extra)) }
           .mkString("\n").getBytes(UTF_8))
       val target = Paths.get(landingDir, name)
       Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
       // seen-set update is staged + atomic too: a crash between the two
-      // moves re-lands at most one file, which the stream dedups
+      // moves re-lands at most one file, which the stream dedups.
+      // Newest links last; trim from the front so the re-poll overlap
+      // window (always recent) survives the cap.
       val tmpSeen = Paths.get(staging, "_seen_links.txt")
       Files.write(tmpSeen,
-        (seen ++ deduped.map(_._1)).toSeq.sorted.mkString("\n").getBytes(UTF_8))
+        (seenLines ++ deduped.map(_._1)).takeRight(maxSeen)
+          .mkString("\n").getBytes(UTF_8))
       Files.move(tmpSeen, seenFile, StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
       PollResult(records.size, deduped.size, Some(target.toString))
     }
   }
 
+  /** Merge constant provenance fields into a record (payload fields win —
+    * a feed that already states its lang keeps it). */
+  private def enrich(node: JsonNode, extra: Map[String, String]): JsonNode =
+    if (extra.isEmpty || !node.isObject) node
+    else {
+      val obj = node.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+      extra.foreach { case (k, v) => if (!obj.has(k)) obj.put(k, v) }
+      obj
+    }
+
   /** A [[graft.Schedule.Flow]] wrapping [[poll]] — registered BEFORE the
     * landing dir's streaming flow, a tick becomes the reference's full
     * crawl cadence: poll → land → stream → lake. */
-  def flow(name: String, url: String, landingDir: String): graft.Schedule.Flow =
-    graft.Schedule.Flow(name, tick => { poll(url, landingDir, tick): Unit })
+  def flow(name: String, url: String, landingDir: String,
+      extra: Map[String, String] = Map.empty): graft.Schedule.Flow =
+    graft.Schedule.Flow(name, tick => { poll(url, landingDir, tick, extra = extra): Unit })
 
   /** Payload → records: a top-level JSON array, or NDJSON (one object
     * per non-blank line). */

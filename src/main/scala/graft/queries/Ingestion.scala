@@ -300,12 +300,16 @@ object Ingestion {
       .groupBy(col("o_orderpriority"))
       .agg(
         count(lit(1)).as("n_orders"),
-        sum(col("o_totalprice")).as("sum_price"))
+        // DECIMAL fence per the catalog convention (Relational.scala:16):
+        // a raw DOUBLE sum drifts with partition fold order (64 files here)
+        // and hash-mismatches DuckDB; exact decimal agg, then one cast.
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"))
   }
 
   val compactionSql: String =
     """SELECT o_orderpriority, COUNT(*) AS n_orders,
-      |  SUM(o_totalprice) AS sum_price
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY o_orderpriority""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -41,6 +41,56 @@ object NewsStream {
       StructField("tweet", StructType(Seq(
         StructField("id", StringType)))))))))
 
+  /** Raw GoogleNews landing record, as [[graft.ingest.CrawlFanout]] feeds
+    * land it: the reference's result keys (crawl_google_news.py:56-63)
+    * plus the poller-injected `lang`/`tag` provenance. */
+  val googleNewsRawSchema: StructType = StructType(Seq(
+    StructField("title", StringType),
+    StructField("desc", StringType),
+    StructField("date", StringType),
+    StructField("link", StringType),
+    StructField("img", StringType),
+    StructField("site", StringType),
+    StructField("author", StringType),
+    StructField("lang", StringType),
+    StructField("tag", StringType)))
+
+  /** Raw tweet landing record (crawl_tweets.py:71-84 fields + injected
+    * `lang`). */
+  val tweetRawSchema: StructType = StructType(Seq(
+    StructField("user", StringType),
+    StructField("content", StringType),
+    StructField("date", StringType),
+    StructField("tweet_id", StringType),
+    StructField("link", StringType),
+    StructField("lang", StringType)))
+
+  /** The full fan-out pipeline: RAW per-source landing dirs → P11/P12
+    * shaping ([[NewsShaping]]) → union → watermark + key-dedup → sink.
+    * One streaming query, one checkpoint: both file sources' offsets
+    * commit together, so a re-fire resumes both exactly-once. This is the
+    * reference's two crawl DAGs (GoogleNews + tweets) landing in one
+    * deduped store, with the shaping moved crawler-side → Spark-side. */
+  def runOnceFanout(spark: SparkSession, newsLanding: String,
+      tweetsLanding: String, sinkDir: String, checkpointDir: String): Unit =
+    StateStores.streamingSession(spark) { s =>
+      val news = NewsShaping.shapeGoogleNews(
+        s.readStream.schema(googleNewsRawSchema).json(newsLanding))
+      val tweets = NewsShaping.shapeTweet(
+        s.readStream.schema(tweetRawSchema).json(tweetsLanding))
+      val deduped = news.unionByName(tweets)
+        .filter(col("title").isNotNull) // F4
+        .withWatermark("date", "7 days") // T3
+        .dropDuplicates("link", "date")
+      val q = deduped.writeStream
+        .format("parquet")
+        .option("path", sinkDir)
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
   /** Run the landing → sink pipeline to completion (AvailableNow). The
     * whole lifecycle builds on a conf-isolated streaming session
     * (RocksDB state, state-sized shuffle width) so the streaming confs

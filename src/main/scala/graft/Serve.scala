@@ -2,8 +2,11 @@ package graft
 
 import java.net.{InetAddress, InetSocketAddress}
 import java.nio.charset.StandardCharsets.UTF_8
+import java.security.KeyStore
 
-import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import javax.net.ssl.{KeyManagerFactory, SSLContext}
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer, HttpsConfigurator, HttpsServer}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedFunction, UnresolvedRelation, UnresolvedTableValuedFunction}
@@ -58,13 +61,19 @@ import org.apache.spark.sql.graft.PlanShim
   * Exposure: Spark SQL is NOT a sandbox — an unrestricted statement can
   * read any host file (``SELECT * FROM parquet.`/any/path` ``), write
   * directories (`INSERT OVERWRITE DIRECTORY`), and mutate session state
-  * (`SET`). Three layers close that: the server binds the loopback
+  * (`SET`). Four layers close that: the server binds the loopback
   * interface unless `--bind-all` is passed explicitly; `--bind-all`
   * refuses to start without a shared secret, which every request must
-  * then present as `Authorization: Bearer <token>` (401 otherwise); and
-  * `/sql` accepts only pure queries over the registered views — the
-  * parsed plan is rejected if it contains any command/write node or any
-  * multipart (catalog- or path-qualified) relation ([[guardSql]]).
+  * then present as `Authorization: Bearer <token>` (401 otherwise);
+  * `--bind-all` ALSO refuses to serve plaintext — it requires TLS
+  * (`--tls-keystore=<p12>`, the parity move to the reference fronting ES
+  * with HTTPS, create-certs.yml / SearchUI.js:7 — without it the bearer
+  * token would cross the network in the clear) unless the operator
+  * explicitly accepts `--insecure-http` (a TLS-terminating reverse proxy
+  * on the same host being the one legitimate reason); and `/sql` accepts
+  * only pure queries over the registered views — the parsed plan is
+  * rejected if it contains any command/write node or any multipart
+  * (catalog- or path-qualified) relation ([[guardSql]]).
   */
 object Serve {
 
@@ -281,18 +290,48 @@ object Serve {
   private[graft] val LakeViewNames =
     Seq("cases", "france_cases", "virtests", "news_crawl", "news_tweets", "news")
 
+  /** TLS material: a PKCS12 keystore holding the server key + cert.
+    * The password array is cleared after the context is built. */
+  final case class Tls(keystorePath: String, password: Array[Char])
+
+  /** Keystore → SSLContext (server side). Standard JSSE, no extra
+    * dependencies: PKCS12 load → KeyManagerFactory → TLS context. */
+  private[graft] def sslContext(tls: Tls): SSLContext = {
+    val ks = KeyStore.getInstance("PKCS12")
+    val in = java.nio.file.Files.newInputStream(
+      java.nio.file.Paths.get(tls.keystorePath))
+    try ks.load(in, tls.password) finally in.close()
+    val kmf = KeyManagerFactory.getInstance(KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(ks, tls.password)
+    val ctx = SSLContext.getInstance("TLS")
+    ctx.init(kmf.getKeyManagers, null, null)
+    java.util.Arrays.fill(tls.password, ' ')
+    ctx
+  }
+
   def start(spark: SparkSession, dir: String, port: Int,
       bindAll: Boolean = false, token: Option[String] = None,
-      lakeDir: Option[String] = None): HttpServer = {
+      lakeDir: Option[String] = None, tls: Option[Tls] = None,
+      insecureHttp: Boolean = false): HttpServer = {
     require(!bindAll || token.exists(_.nonEmpty),
       "--bind-all exposes the SQL endpoint beyond localhost and requires --token=<secret>")
+    require(!bindAll || tls.isDefined || insecureHttp,
+      "--bind-all serves the bearer token over the network and requires TLS " +
+        "(--tls-keystore=<p12>, password in GRAFT_TLS_PASSWORD); pass " +
+        "--insecure-http only behind a TLS-terminating reverse proxy")
     val tables = registerTables(spark, dir) ++
       (if (lakeDir.isDefined) LakeViewNames else Nil)
     lakeDir.foreach(registerLake(spark, _))
     val addr =
       if (bindAll) new InetSocketAddress(port)
       else new InetSocketAddress(InetAddress.getLoopbackAddress, port)
-    val server = HttpServer.create(addr, 0)
+    val server = tls match {
+      case Some(t) =>
+        val s = HttpsServer.create(addr, 0)
+        s.setHttpsConfigurator(new HttpsConfigurator(sslContext(t)))
+        s
+      case None => HttpServer.create(addr, 0)
+    }
 
     def params(ex: HttpExchange): Map[String, String] =
       Option(ex.getRequestURI.getRawQuery).getOrElse("").split("&").toSeq
@@ -464,6 +503,17 @@ object Serve {
     // keeps serving a permanently stale lake
     require(refreshHours.forall(_ > 0),
       s"--refresh-hours must be positive (got ${refreshHours.get})")
+    // --tls-keystore=<p12> upgrades the listener to HTTPS; the keystore
+    // password rides in GRAFT_TLS_PASSWORD (env, not argv — argv is
+    // world-readable in /proc). --insecure-http is the explicit
+    // reverse-proxy-only override for a plaintext --bind-all.
+    val tls = args.collectFirst { case a if a.startsWith("--tls-keystore=") =>
+      a.stripPrefix("--tls-keystore=") }.filter(_.nonEmpty).map { path =>
+      Tls(path, sys.env.getOrElse("GRAFT_TLS_PASSWORD",
+        throw new IllegalArgumentException(
+          "--tls-keystore needs GRAFT_TLS_PASSWORD in the environment")).toCharArray)
+    }
+    val insecureHttp = args.contains("--insecure-http")
     val pos = args.filterNot(_.startsWith("--"))
     val dir = pos.headOption.getOrElse("/root/testdata/sf0.001")
     val port = pos.lift(1).map(_.toInt).getOrElse(8080)
@@ -472,7 +522,7 @@ object Serve {
     // Bind the server BEFORE the refresh daemon starts: the daemon's
     // tick-0 writes would otherwise race start()'s initial registerLake
     // against half-written directories during boot.
-    val server = start(spark, dir, port, bindAll, token, lake)
+    val server = start(spark, dir, port, bindAll, token, lake, tls, insecureHttp)
     for (lakeDir <- lake; hours <- refreshHours) {
       val t = new Thread(() =>
         Schedule.loop(Schedule.defaultFlows(spark, lakeDir),

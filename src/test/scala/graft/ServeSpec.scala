@@ -107,6 +107,62 @@ class ServeSpec extends SparkSpec {
     } finally srv.stop(0)
   }
 
+  test("TLS: an HTTPS instance completes the handshake and serves /tables") {
+    val dir = Fixtures.scratchDir("serve_tls")
+    val ks = s"$dir/ks.p12"
+    // keytool (JDK-shipped) generates the self-signed PKCS12 keystore;
+    // SAN ip:127.0.0.1 so the DEFAULT hostname verifier passes — the
+    // client side stays strict, no verifier override.
+    val rc = new ProcessBuilder("keytool", "-genkeypair", "-alias", "serve",
+      "-keyalg", "RSA", "-keysize", "2048", "-storetype", "PKCS12",
+      "-keystore", ks, "-storepass", "changeit", "-dname", "CN=localhost",
+      "-ext", "SAN=ip:127.0.0.1", "-validity", "1")
+      .inheritIO().start().waitFor()
+    assert(rc === 0, "keytool failed")
+    val srv = Serve.start(spark, sf0001, port = 0,
+      tls = Some(Serve.Tls(ks, "changeit".toCharArray)))
+    try {
+      // client trusts exactly the generated cert (same p12 as truststore)
+      val tks = java.security.KeyStore.getInstance("PKCS12")
+      val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(ks))
+      try tks.load(in, "changeit".toCharArray) finally in.close()
+      val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+        javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+      tmf.init(tks)
+      val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+      ctx.init(null, tmf.getTrustManagers, null)
+      val url = new URI(
+        s"https://127.0.0.1:${srv.getAddress.getPort}/tables").toURL
+      val conn = url.openConnection()
+        .asInstanceOf[javax.net.ssl.HttpsURLConnection]
+      conn.setSSLSocketFactory(ctx.getSocketFactory)
+      assert(conn.getResponseCode === 200)
+      val body = Source.fromInputStream(conn.getInputStream, "UTF-8").mkString
+      conn.getInputStream.close()
+      assert(body.contains("\"nation\""))
+      // and the same socket refuses plaintext: an http:// GET cannot
+      // parse a TLS handshake response
+      intercept[Exception] {
+        getFrom(srv, "/tables")
+      }
+    } finally srv.stop(0)
+  }
+
+  test("--bind-all refuses plaintext unless --insecure-http is explicit") {
+    val e = intercept[IllegalArgumentException] {
+      Serve.start(spark, sf0001, port = 0, bindAll = true, token = Some("t"))
+    }
+    assert(e.getMessage.contains("TLS"))
+    // the documented reverse-proxy override starts (and still enforces
+    // the bearer token)
+    val srv = Serve.start(spark, sf0001, port = 0, bindAll = true,
+      token = Some("t"), insecureHttp = true)
+    try {
+      val (noTok, _) = getFrom(srv, "/tables")
+      assert(noTok === 401)
+    } finally srv.stop(0)
+  }
+
   test("a lake-backed instance serves flow outputs and picks up refresh ticks") {
     val lakeDir = Fixtures.scratchDir("serve_lake")
     val flows = Schedule.defaultFlows(spark, lakeDir)

@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -11,31 +11,43 @@ import graft.Tables
   * `mapInPandas`: per-partition iterator, explicit batch shape, typed
   * row in / typed row out, no per-row serialization boundary.
   *
-  * The decode step is a clearly-marked DETERMINISTIC STUB (no codec
-  * libraries ship in this container): it derives features from the raw
-  * bytes. Everything around it — the schema, the binary column, batch
-  * iteration, partitioning, the feature schema, the aggregation — is the
-  * real plumbing a codec-backed decoder would drop into.
+  * The decode step is REAL: payloads are genuine media containers —
+  * 24-bit BMP for images, binary PPM (P6) for video frames, PCM WAV for
+  * audio — encoded and decoded by the pure-JVM [[ImageCodec]] (no codec
+  * libraries ship in this container, so the formats are the simple
+  * uncompressed ones; the pipeline shape is what a JPEG/MP4 decoder
+  * would drop into unchanged). The containers are synthesized
+  * deterministically from the `documents` text, so the DuckDB oracle
+  * can predict the DECODED raster from first principles: any decoder
+  * bug — a forgotten BMP row flip, BGR swap, or padding skip — shows up
+  * as an order-sensitive checksum mismatch, not a silent pass.
   *
-  * Scale: `mapPartitions` keeps the decode batched and local (one task
-  * per input split); features are narrow, so the only shuffle is the
-  * final small aggregation.
+  * Scale: `mapPartitions` keeps encode/decode/resize batched and local
+  * (one task per input split); features are narrow, so the only shuffle
+  * is the final small aggregation.
   */
 object MediaPipeline {
 
   /** Typed media record: opaque payload + metadata (SURVEY §1.2 "binary
-    * columns with typed metadata"). */
+    * columns with typed metadata"). `width`/`height` are the SOURCE
+    * dimensions the encoder renders at (for audio: width·height =
+    * sample count). */
   case class MediaRecord(media_id: Long, media_type: String,
       payload: Array[Byte], width: Int, height: Int)
 
-  /** Decoder output (what a real image/audio decode would emit). */
+  /** Decoder output: container size plus the DECODED geometry and two
+    * raster folds — `pixel_sum` (order-insensitive) and `raster_check`
+    * (Σ (j+1)·byte_j over the canonical raster order — the fold that
+    * catches a right-multiset-wrong-order decode). */
   case class MediaFeatures(media_id: Long, media_type: String,
-      n_bytes: Long, checksum: Long, first_byte: Int, frame_avg: Double)
+      n_bytes: Long, width: Int, height: Int,
+      pixel_sum: Long, raster_check: Long)
 
   val BatchSize = 64
 
-  /** Synthesize the media table deterministically from `documents`: the
-    * text bytes act as the opaque payload (ASCII, so byte k == char k). */
+  /** Source records from `documents`: the text bytes are the pixel
+    * source, dims derived from the id (small enough that a row's
+    * container stays a few KiB). */
   def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
     Tables.load(spark, dir, "documents")
@@ -45,68 +57,84 @@ object MediaPipeline {
           .when(col("doc_id") % 3 === 1, "audio")
           .otherwise("video").as("media_type"),
         col("text").cast("binary").as("payload"),
-        (lit(64) + col("doc_id") % 512).cast("int").as("width"),
-        (lit(64) + col("doc_id") % 256).cast("int").as("height"))
+        (lit(8) + col("doc_id") % 24).cast("int").as("width"),
+        (lit(8) + col("doc_id") % 16).cast("int").as("height"))
       .as[MediaRecord]
   }
 
-  /** STUB decode — deterministic fake standing in for a codec call. A
-    * real implementation would decode `payload` (JPEG/WAV/MP4) here; the
-    * signature, batching, and feature schema would not change. */
-  def decodeStub(r: MediaRecord): MediaFeatures = {
-    val n = r.payload.length.toLong
-    var checksum = 0L
-    var i = 0
-    while (i < r.payload.length) { checksum += (r.payload(i) & 0xff); i += 1 }
-    val stride = math.max(n / 8, 1L)
-    // "frame sampling": probe 8 evenly-strided bytes (what a video
-    // frame-sampler would do per keyframe).
-    var sampleSum = 0L; var samples = 0
-    var k = 0L
-    while (k < 8) {
-      val pos = 1 + k * stride
-      if (pos <= n) { sampleSum += (r.payload((pos - 1).toInt) & 0xff); samples += 1 }
-      k += 1
+  /** Render one record's payload into its real container: the text
+    * bytes cycle through the raster (byte j = text[j mod len], 0 when
+    * empty), then image→BMP, video→PPM, audio→WAV. */
+  def encodeMedia(r: MediaRecord): MediaRecord = {
+    val n = if (r.media_type == "audio") r.width * r.height
+      else 3 * r.width * r.height
+    val src = r.payload
+    val px = new Array[Byte](n)
+    var j = 0
+    while (j < n) {
+      px(j) = if (src.length > 0) src(j % src.length) else 0
+      j += 1
     }
-    MediaFeatures(r.media_id, r.media_type, n, checksum,
-      if (n > 0) r.payload(0) & 0xff else -1,
-      if (samples > 0) sampleSum.toDouble / samples else 0.0)
+    val container = r.media_type match {
+      case "image" => ImageCodec.encodeBmp(r.width, r.height, px)
+      case "video" => ImageCodec.encodePpm(r.width, r.height, px)
+      case _ => ImageCodec.encodeWav(px)
+    }
+    r.copy(payload = container)
+  }
+
+  /** The batched encode stage: after this, `payload` is a real BMP/PPM/
+    * WAV container — the state a crawled corpus would arrive in. */
+  def encoded(ds: Dataset[MediaRecord]): Dataset[MediaRecord] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.grouped(BatchSize).flatMap(_.map(encodeMedia)))
+  }
+
+  /** REAL decode: parse the container ([[ImageCodec.decode]]), fold the
+    * canonical raster. */
+  def decodeMedia(r: MediaRecord): MediaFeatures = {
+    val d = ImageCodec.decode(r.payload)
+    var s = 0L; var wsum = 0L; var j = 0
+    while (j < d.data.length) {
+      val b = d.data(j) & 0xff
+      s += b; wsum += (j + 1).toLong * b
+      j += 1
+    }
+    MediaFeatures(r.media_id, r.media_type, r.payload.length.toLong,
+      d.width, d.height, s, wsum)
   }
 
   /** Batched feature extraction: the mapInPandas-shaped stage. */
   def extractFeatures(ds: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
-    ds.mapPartitions(_.grouped(BatchSize).flatMap(_.map(decodeStub)))
+    ds.mapPartitions(_.grouped(BatchSize).flatMap(_.map(decodeMedia)))
   }
 
-  /** Resize output: the downsampled payload STAYS a binary column (the
-    * next pipeline stage — thumbnailing, embedding — consumes bytes,
-    * not summaries), plus the audit numbers. */
+  /** Resize output: the thumbnail STAYS a binary column in the SAME
+    * container format (the next pipeline stage — thumbnailing,
+    * embedding — consumes bytes, not summaries), plus the audit
+    * numbers. */
   case class ResizedMedia(media_id: Long, media_type: String,
       orig_bytes: Long, resized: Array[Byte])
 
-  /** Resize target: cap the payload at this many samples (the 1-D
-    * stand-in for a 32×32 thumbnail's 1024 pixels). */
-  val ResizeCap = 1024
+  /** Thumbnail geometry: 8×8 for images/frames, 64 samples for audio. */
+  val ThumbW = 8
+  val ThumbH = 8
+  val AudioResamples = 64
 
-  /** STUB resize — nearest-neighbor downsample over the raw bytes:
-    * sample positions 1, 1+stride, 1+2·stride, … (1-based, stride =
-    * max(n/cap, 1)), keeping at most [[ResizeCap]] samples. A real
-    * implementation would hand the batch to an image scaler (the
-    * mapInPandas analog: PIL `resize` per batch row); the batching,
-    * binary-in/binary-out schema, and metadata update are the real
-    * plumbing it would drop into. */
-  def resizeStub(r: MediaRecord): ResizedMedia = {
-    val n = r.payload.length.toLong
-    val stride = math.max(n / ResizeCap, 1L)
-    val out = new java.io.ByteArrayOutputStream()
-    var k = 0L
-    while (k < ResizeCap) {
-      val pos = 1 + k * stride
-      if (pos <= n) out.write(r.payload((pos - 1).toInt))
-      k += 1
+  /** REAL resize: decode the container, nearest-neighbor downsample the
+    * raster ([[ImageCodec.resizeRaster]] / [[ImageCodec.resample]]),
+    * re-encode into the same container format. */
+  def resizeMedia(r: MediaRecord): ResizedMedia = {
+    val d = ImageCodec.decode(r.payload)
+    val out = d.kind match {
+      case "bmp" => ImageCodec.encodeBmp(ThumbW, ThumbH,
+        ImageCodec.resizeRaster(d.width, d.height, d.data, ThumbW, ThumbH))
+      case "ppm" => ImageCodec.encodePpm(ThumbW, ThumbH,
+        ImageCodec.resizeRaster(d.width, d.height, d.data, ThumbW, ThumbH))
+      case _ => ImageCodec.encodeWav(ImageCodec.resample(d.data, AudioResamples))
     }
-    ResizedMedia(r.media_id, r.media_type, n, out.toByteArray)
+    ResizedMedia(r.media_id, r.media_type, r.payload.length.toLong, out)
   }
 
   /** Batched resize: same mapInPandas-shaped stage as
@@ -114,6 +142,6 @@ object MediaPipeline {
     * no shuffle. */
   def resize(ds: Dataset[MediaRecord]): Dataset[ResizedMedia] = {
     import ds.sparkSession.implicits._
-    ds.mapPartitions(_.grouped(BatchSize).flatMap(_.map(resizeStub)))
+    ds.mapPartitions(_.grouped(BatchSize).flatMap(_.map(resizeMedia)))
   }
 }

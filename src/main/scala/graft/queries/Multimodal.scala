@@ -3,86 +3,132 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.multimodal.MediaPipeline
+import graft.multimodal.{ImageCodec, MediaPipeline}
 
-/** Correctness query over the multimodal pipeline: the DuckDB oracle
-  * recomputes the stub-decoder's byte arithmetic directly on the source
-  * text (payload bytes == ASCII codes), independently of the Scala
-  * implementation. */
+/** Correctness queries over the multimodal pipeline. The Spark side
+  * round-trips REAL containers: text bytes → encode (BMP bottom-up BGR
+  * padded / PPM / WAV) → [[graft.multimodal.ImageCodec.decode]] →
+  * canonical-raster folds. The DuckDB oracle never parses a container —
+  * it predicts what a CORRECT codec must produce straight from
+  * (doc_id, text): dims from the id, raster byte j = text[j mod len],
+  * container sizes from the format arithmetic. The order-sensitive
+  * `raster_check` (Σ (j+1)·byte_j) is what turns "decoder dropped the
+  * BMP row flip / BGR swap / padding skip" into a hash mismatch instead
+  * of a silent pass.
+  */
 object Multimodal {
 
   def mediaFeatures(spark: SparkSession, dir: String): DataFrame =
-    MediaPipeline.extractFeatures(MediaPipeline.mediaTable(spark, dir))
+    MediaPipeline.extractFeatures(
+      MediaPipeline.encoded(MediaPipeline.mediaTable(spark, dir)))
       .groupBy(col("media_type"))
       .agg(
         count(lit(1)).as("n_media"),
         sum(col("n_bytes")).as("sum_bytes"),
-        sum(col("checksum")).as("sum_checksum"),
-        min(col("first_byte")).as("min_first_byte"),
-        max(col("frame_avg")).as("max_frame_avg"))
+        sum(col("width")).as("sum_width"),
+        sum(col("height")).as("sum_height"),
+        sum(col("pixel_sum")).as("sum_pixel"),
+        sum(col("raster_check")).as("sum_raster_check"))
 
+  /** The oracle's container-size arithmetic, spelled out:
+    * BMP = 54 + rowSize·h (rowSize = 3w padded to 4); PPM = 9 + digits
+    * of w + digits of h + 3wh; WAV = 44 + samples. Decoded dims: images
+    * (w, h); audio (samples, 1). */
   val mediaFeaturesSql: String =
     """WITH m AS (SELECT doc_id AS media_id,
       |    CASE WHEN doc_id % 3 = 0 THEN 'image'
       |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
-      |    text, len(text) AS n FROM documents),
-      |p AS (SELECT *, list_filter(list_transform(range(0, 8),
-      |        k -> 1 + k * greatest(n // 8, 1)), x -> x <= n) AS pos FROM m),
-      |f AS (SELECT media_id, media_type, CAST(n AS BIGINT) AS n_bytes,
-      |    CAST(list_sum(list_transform(range(1, n+1), i -> ascii(substr(text, CAST(i AS INT), 1)))) AS BIGINT) AS checksum,
-      |    CASE WHEN n > 0 THEN ascii(substr(text, 1, 1)) ELSE -1 END AS first_byte,
-      |    CAST(list_sum(list_transform(pos, x -> ascii(substr(text, CAST(x AS INT), 1)))) AS DOUBLE)
-      |      / len(pos) AS frame_avg
-      |  FROM p)
+      |    text, len(text) AS tl,
+      |    8 + doc_id % 24 AS w, 8 + doc_id % 16 AS h FROM documents),
+      |d AS (SELECT media_type, text, tl,
+      |    CASE WHEN media_type = 'audio' THEN w*h ELSE 3*w*h END AS nd,
+      |    CASE media_type
+      |      WHEN 'image' THEN 54 + ((3*w + 3) // 4) * 4 * h
+      |      WHEN 'video' THEN 9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + 3*w*h
+      |      ELSE 44 + w*h END AS n_bytes,
+      |    CASE WHEN media_type = 'audio' THEN w*h ELSE w END AS width,
+      |    CASE WHEN media_type = 'audio' THEN 1 ELSE h END AS height
+      |  FROM m),
+      |f AS (SELECT media_type, n_bytes, width, height,
+      |    CAST(coalesce(list_sum(list_transform(range(0, nd), j ->
+      |      CASE WHEN tl > 0 THEN ascii(substr(text, CAST(j % tl AS INT) + 1, 1)) ELSE 0 END)), 0) AS BIGINT) AS pixel_sum,
+      |    CAST(coalesce(list_sum(list_transform(range(0, nd), j ->
+      |      (j + 1) * CASE WHEN tl > 0 THEN ascii(substr(text, CAST(j % tl AS INT) + 1, 1)) ELSE 0 END)), 0) AS BIGINT) AS raster_check
+      |  FROM d)
       |SELECT media_type, COUNT(*) AS n_media,
       |  CAST(SUM(n_bytes) AS BIGINT) AS sum_bytes,
-      |  CAST(SUM(checksum) AS BIGINT) AS sum_checksum,
-      |  MIN(first_byte) AS min_first_byte,
-      |  MAX(frame_avg) AS max_frame_avg
+      |  CAST(SUM(width) AS BIGINT) AS sum_width,
+      |  CAST(SUM(height) AS BIGINT) AS sum_height,
+      |  CAST(SUM(pixel_sum) AS BIGINT) AS sum_pixel,
+      |  CAST(SUM(raster_check) AS BIGINT) AS sum_raster_check
       |FROM f GROUP BY media_type""".stripMargin
 
   /** The resize stage verified THROUGH the binary boundary: the
-    * downsampled payload is re-read as bytes and folded to per-type
-    * sample counts and checksums, so the oracle (which recomputes the
-    * same nearest-neighbor positions on the source text) catches any
-    * loss, reorder, or off-by-one in the byte plumbing — not just in
-    * the summary arithmetic. */
+    * thumbnail container is decoded AGAIN on the Spark side and folded
+    * to per-type dims + order-sensitive checksums, so the oracle (which
+    * predicts the nearest-neighbor source positions on the text bytes)
+    * catches any loss, reorder, or off-by-one in decode → resample →
+    * re-encode → re-decode — not just in the summary arithmetic. */
   def mediaResize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    MediaPipeline.resize(MediaPipeline.mediaTable(spark, dir))
+    MediaPipeline.resize(
+      MediaPipeline.encoded(MediaPipeline.mediaTable(spark, dir)))
       .map { r =>
-        var checksum = 0L
-        r.resized.foreach(b => checksum += (b & 0xff))
-        (r.media_type, r.orig_bytes, r.resized.length.toLong, checksum)
+        val d = ImageCodec.decode(r.resized)
+        var wsum = 0L; var j = 0
+        while (j < d.data.length) { wsum += (j + 1).toLong * (d.data(j) & 0xff); j += 1 }
+        (r.media_type, r.orig_bytes, r.resized.length.toLong,
+          d.width, d.height, wsum)
       }
-      .toDF("media_type", "orig_bytes", "new_bytes", "checksum")
+      .toDF("media_type", "orig_bytes", "new_bytes", "rw", "rh", "raster_check")
       .groupBy(col("media_type"))
       .agg(
         count(lit(1)).as("n_media"),
         sum(col("orig_bytes")).as("sum_orig_bytes"),
         sum(col("new_bytes")).as("sum_new_bytes"),
-        sum(col("checksum")).as("sum_checksum"))
+        min(col("rw")).as("min_rw"), max(col("rw")).as("max_rw"),
+        min(col("rh")).as("min_rh"), max(col("rh")).as("max_rh"),
+        sum(col("raster_check")).as("sum_raster_check"))
   }
 
-  val mediaResizeSql: String = {
-    val cap = MediaPipeline.ResizeCap
-    s"""WITH m AS (SELECT doc_id AS media_id,
+  /** Thumbnail raster prediction: out byte j maps to source raster
+    * index (⌊ty·h/8⌋·w + ⌊tx·w/8⌋)·3 + c with (ty,tx,c) unpacked from
+    * j; audio sample k maps to ⌊k·n/64⌋. Resized container sizes are
+    * constants of the format: BMP 8×8 = 246, PPM 8×8 = 203, WAV 64 =
+    * 108. */
+  val mediaResizeSql: String =
+    """WITH m AS (SELECT doc_id AS media_id,
       |    CASE WHEN doc_id % 3 = 0 THEN 'image'
       |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
-      |    text, len(text) AS n FROM documents),
-      |p AS (SELECT *, list_filter(list_transform(range(0, $cap),
-      |        k -> 1 + k * greatest(n // $cap, 1)), x -> x <= n) AS pos FROM m),
-      |f AS (SELECT media_type, CAST(n AS BIGINT) AS orig_bytes,
-      |    CAST(len(pos) AS BIGINT) AS new_bytes,
-      |    CAST(coalesce(list_sum(list_transform(pos,
-      |      x -> ascii(substr(text, CAST(x AS INT), 1)))), 0) AS BIGINT) AS checksum
-      |  FROM p)
+      |    text, len(text) AS tl,
+      |    8 + doc_id % 24 AS w, 8 + doc_id % 16 AS h FROM documents),
+      |d AS (SELECT media_type, text, tl, w, h,
+      |    CASE media_type
+      |      WHEN 'image' THEN 54 + ((3*w + 3) // 4) * 4 * h
+      |      WHEN 'video' THEN 9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + 3*w*h
+      |      ELSE 44 + w*h END AS orig_bytes,
+      |    CASE media_type WHEN 'image' THEN 246 WHEN 'video' THEN 203
+      |      ELSE 108 END AS new_bytes,
+      |    CASE WHEN media_type = 'audio' THEN 64 ELSE 8 END AS rw,
+      |    CASE WHEN media_type = 'audio' THEN 1 ELSE 8 END AS rh
+      |  FROM m),
+      |f AS (SELECT media_type, orig_bytes, new_bytes, rw, rh,
+      |    CAST(coalesce(list_sum(CASE WHEN media_type = 'audio'
+      |      THEN list_transform(range(0, 64), k ->
+      |        (k + 1) * CASE WHEN tl > 0 THEN ascii(substr(text,
+      |          CAST((k * w * h // 64) % tl AS INT) + 1, 1)) ELSE 0 END)
+      |      ELSE list_transform(range(0, 192), j ->
+      |        (j + 1) * CASE WHEN tl > 0 THEN ascii(substr(text,
+      |          CAST(((((j // 24) * h // 8) * w + ((j // 3) % 8) * w // 8) * 3 + j % 3) % tl AS INT) + 1, 1)) ELSE 0 END)
+      |      END), 0) AS BIGINT) AS raster_check
+      |  FROM d)
       |SELECT media_type, COUNT(*) AS n_media,
       |  CAST(SUM(orig_bytes) AS BIGINT) AS sum_orig_bytes,
       |  CAST(SUM(new_bytes) AS BIGINT) AS sum_new_bytes,
-      |  CAST(SUM(checksum) AS BIGINT) AS sum_checksum
+      |  MIN(rw) AS min_rw, MAX(rw) AS max_rw,
+      |  MIN(rh) AS min_rh, MAX(rh) AS max_rh,
+      |  CAST(SUM(raster_check) AS BIGINT) AS sum_raster_check
       |FROM f GROUP BY media_type""".stripMargin
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_media_features" -> (mediaFeatures _),

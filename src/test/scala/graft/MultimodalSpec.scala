@@ -1,28 +1,92 @@
 package graft
 
-import graft.multimodal.MediaPipeline
-import graft.multimodal.MediaPipeline.{MediaRecord, MediaFeatures}
+import graft.multimodal.{ImageCodec, MediaPipeline}
+import graft.multimodal.MediaPipeline.MediaRecord
 
-/** The stub decoder's byte arithmetic on known payloads, and the batched
-  * mapPartitions stage preserving every record. */
+/** The real codec pipeline: container round-trips, canonical-raster
+  * ordering under BMP's bottom-up/BGR/padded storage, and the batched
+  * mapPartitions stages preserving every record. */
 class MultimodalSpec extends SparkSpec {
 
-  test("decode stub: known payload arithmetic") {
-    val r = MediaRecord(7L, "image", "abcd".getBytes("UTF-8"), 64, 64)
-    val f = MediaPipeline.decodeStub(r)
-    assert(f.n_bytes === 4L)
-    assert(f.checksum === ('a' + 'b' + 'c' + 'd').toLong)
-    assert(f.first_byte === 'a'.toInt)
-    // stride = max(4/8, 1) = 1 => positions 1..8 clipped to 1..4 => avg of all
-    assert(f.frame_avg === ('a' + 'b' + 'c' + 'd') / 4.0)
+  private def raster(w: Int, h: Int): Array[Byte] =
+    Array.tabulate(3 * w * h)(i => (i % 251).toByte)
+
+  test("BMP round-trip restores the canonical raster (flip + BGR + padding)") {
+    // w=3 → rowSize 12 (3 bytes padding/row): exercises all three traps
+    val w = 3; val h = 2
+    val rgb = raster(w, h)
+    val bmp = ImageCodec.encodeBmp(w, h, rgb)
+    assert(bmp.length === 54 + 12 * h)
+    assert(bmp(0) === 'B'.toByte && bmp(1) === 'M'.toByte)
+    // stored bottom-up BGR: first stored pixel is source row 1 pixel 0,
+    // blue channel first
+    assert(bmp(54) === rgb((1 * w + 0) * 3 + 2))
+    val d = ImageCodec.decode(bmp)
+    assert(d.kind === "bmp" && d.width === w && d.height === h)
+    assert(d.data.toSeq === rgb.toSeq)
   }
 
-  test("batched extraction preserves cardinality and ids (batch size 64)") {
-    val ds = MediaPipeline.mediaTable(spark, sf0001)
+  test("PPM and WAV round-trip byte-exactly; decode dispatches on magic") {
+    val w = 5; val h = 4
+    val rgb = raster(w, h)
+    val p = ImageCodec.decode(ImageCodec.encodePpm(w, h, rgb))
+    assert(p.kind === "ppm" && p.width === w && p.height === h)
+    assert(p.data.toSeq === rgb.toSeq)
+    val samples = Array.tabulate(100)(i => (i * 7 % 256).toByte)
+    val a = ImageCodec.decode(ImageCodec.encodeWav(samples))
+    assert(a.kind === "wav" && a.width === 100 && a.height === 1)
+    assert(a.data.toSeq === samples.toSeq)
+    intercept[IllegalArgumentException] {
+      ImageCodec.decode("not media".getBytes("UTF-8"))
+    }
+  }
+
+  test("encodeMedia cycles text bytes through a real container per type") {
+    val text = "abcd".getBytes("UTF-8")
+    val img = MediaPipeline.encodeMedia(MediaRecord(0L, "image", text, 8, 8))
+    val d = ImageCodec.decode(img.payload)
+    assert(d.kind === "bmp" && d.width === 8 && d.height === 8)
+    // raster byte j = text[j mod 4] — the oracle's prediction
+    (0 until 3 * 64).foreach(j => assert(d.data(j) === text(j % 4)))
+    val wav = MediaPipeline.encodeMedia(MediaRecord(1L, "audio", text, 8, 8))
+    assert(ImageCodec.decode(wav.payload).data.length === 64)
+    // empty text → zero raster, not a crash
+    val empty = MediaPipeline.encodeMedia(
+      MediaRecord(2L, "video", Array.empty[Byte], 8, 8))
+    assert(ImageCodec.decode(empty.payload).data.forall(_ === 0))
+  }
+
+  test("nearest-neighbor resize matches the index formula; resample too") {
+    val w = 16; val h = 12
+    val rgb = raster(w, h)
+    val out = ImageCodec.resizeRaster(w, h, rgb, 8, 8)
+    assert(out.length === 192)
+    for (ty <- 0 until 8; tx <- 0 until 8; c <- 0 until 3) {
+      val expected = rgb(((ty * h / 8) * w + (tx * w / 8)) * 3 + c)
+      assert(out((ty * 8 + tx) * 3 + c) === expected, s"($ty,$tx,$c)")
+    }
+    val s = Array.tabulate(100)(i => i.toByte)
+    val rs = ImageCodec.resample(s, 64)
+    (0 until 64).foreach(k => assert(rs(k) === s(k * 100 / 64)))
+  }
+
+  test("batched encode→decode preserves cardinality, ids, and dims") {
+    val ds = MediaPipeline.encoded(MediaPipeline.mediaTable(spark, sf0001))
     val n = ds.count()
     val out = MediaPipeline.extractFeatures(ds)
     assert(out.count() === n)
     assert(out.select("media_id").distinct().count() === n)
+    // decoded dims equal the metadata dims for images (real decode, not
+    // metadata echo): join features back to the source records
+    import spark.implicits._
+    val src = MediaPipeline.mediaTable(spark, sf0001)
+      .filter(_.media_type == "image")
+      .map(r => (r.media_id, r.width, r.height)).toDF("media_id", "sw", "sh")
+    val mismatched = out.filter($"media_type" === "image")
+      .join(src, "media_id")
+      .filter($"width" =!= $"sw" || $"height" =!= $"sh")
+      .count()
+    assert(mismatched === 0L)
   }
 
   test("fixture ASCII contract: every doc's UTF-8 byte length equals its char length") {
@@ -41,25 +105,17 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("resize stub: exact nearest-neighbor byte selection, cap respected") {
-    // n <= cap: stride 1, payload passes through unchanged
-    val small = MediaRecord(1L, "image", "abcd".getBytes("UTF-8"), 64, 64)
-    assert(MediaPipeline.resizeStub(small).resized.toSeq === "abcd".getBytes("UTF-8").toSeq)
-    // n > cap: stride = n/cap, every stride-th byte, exactly cap samples
-    val big = MediaRecord(2L, "video",
-      Array.tabulate(3000)(i => (i % 251).toByte), 64, 64)
-    val r = MediaPipeline.resizeStub(big)
-    assert(r.orig_bytes === 3000L)
-    assert(r.resized.length === MediaPipeline.ResizeCap) // 1 + 1023*2 = 2047 <= 3000
-    val stride = 3000L / MediaPipeline.ResizeCap // = 2
-    (0 until MediaPipeline.ResizeCap).foreach { k =>
-      assert(r.resized(k) === big.payload((k * stride).toInt),
-        s"sample $k not the nearest-neighbor byte")
+  test("resize survives the binary boundary: thumbnail re-decodes to 8x8/64") {
+    val resized = MediaPipeline.resize(
+      MediaPipeline.encoded(MediaPipeline.mediaTable(spark, sf0001)))
+    val dims = resized.collect().map { r =>
+      val d = ImageCodec.decode(r.resized)
+      (r.media_type, d.width, d.height)
     }
-    // the binary survives the Dataset boundary intact (plumbing, not
-    // just arithmetic)
-    import spark.implicits._
-    val viaSpark = MediaPipeline.resize(Seq(big).toDS()).collect().head
-    assert(viaSpark.resized.toSeq === r.resized.toSeq)
+    assert(dims.nonEmpty)
+    dims.foreach {
+      case ("audio", w, h) => assert(w === 64 && h === 1)
+      case (_, w, h) => assert(w === 8 && h === 8)
+    }
   }
 }

@@ -18,11 +18,17 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Failed queries must be DURABLE in the artifact, not just stderr:
+    // r14's 14 analysis-broken queries were absent from the correctness
+    // artifact entirely because their parquet dirs never materialized
+    // (ADVICE r14) — errors.json makes every failure explicit.
+    val failed = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(300)}"
       }
       // Caches are scoped per query: without this, persisted
       // intermediates (e.g. the dedup shingle index) accumulate across
@@ -44,6 +50,8 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/errors.json"),
+      failed.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     // Environment evidence riding with the artifact (the Bench
     // convention, VERDICT r12 item 8): per-run wall time and start/end
     // 1-min loadavg, so a contended correctness run is diagnosable from

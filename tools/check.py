@@ -66,12 +66,17 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    try:
+        errors = json.load(open(f"{outdir}/errors.json"))
+    except FileNotFoundError:
+        errors = {}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
             files = glob.glob(f"{outdir}/{name}/*.parquet")
             if not files:
-                print(f"FAIL {name}: no spark output")
+                print(f"FAIL {name}: no spark output"
+                      + (f" ({errors[name]})" if name in errors else ""))
                 n_fail += 1
                 continue
             got = canon(pd.concat([pd.read_parquet(f) for f in files]))

@@ -34,7 +34,8 @@ object SparkEntry {
       graft.queries.Functions.queries ++
       graft.queries.Curation.queries ++
       graft.queries.CorpusOps.queries ++
-      graft.queries.Bucketed.queries
+      graft.queries.Bucketed.queries ++
+      graft.queries.Pii.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -52,5 +53,6 @@ object SparkEntry {
       graft.queries.Functions.oracles ++
       graft.queries.Curation.oracles ++
       graft.queries.CorpusOps.oracles ++
-      graft.queries.Bucketed.oracles
+      graft.queries.Bucketed.oracles ++
+      graft.queries.Pii.oracles
 }

@@ -881,7 +881,72 @@ object LlmDedup {
        |       THEN CAST(n_seen AS DOUBLE) / n_grams ELSE 0.0 END AS seen_frac
        |FROM d LEFT JOIN b USING (doc_id) WHERE d.is_batch""".stripMargin
 
+  // ---------------------------------------------------- paragraph dedup
+
+  /** Paragraph window size (tokens). The fixture is single-paragraph
+    * prose, so "paragraphs" are fixed non-overlapping token windows —
+    * the synthetic-boundary move the chunker family uses; the tiny
+    * fixture vocabulary guarantees genuine cross-document collisions,
+    * so the dedup is non-vacuous. */
+  val ParaTokens = 10
+
+  /** Paragraph-level exact dedup (the Dolma pipeline's middle
+    * granularity, between whole-doc [[exactDedup]] and span-level
+    * [[substrDupCoverage]]): a paragraph that appears anywhere earlier
+    * in the corpus — ANY document — is dropped; first occurrence wins,
+    * ordered by (doc_id, paragraph index). Output = per-document audit
+    * (paragraphs in, paragraphs kept, surviving chars).
+    *
+    * Scale design: first-occurrence election is groupBy(hash) →
+    * min(struct(doc_id, idx)) rather than a row_number window — the
+    * min-fold partial-aggregates MAP-SIDE, so a boilerplate paragraph
+    * duplicated 10⁹ times collapses to one row per map task before the
+    * shuffle, where a window would sort the whole 10⁹-row hash
+    * partition in one task. The rejoin keys on the same hash, so the
+    * exploded side's exchange is reused. */
+  def paragraphDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val paras = docs
+      .select(col("doc_id"), split(normText(col("text")), " ").as("t"))
+      .select(col("doc_id"), posexplode(
+        transform(
+          expr(s"sequence(0, (size(t) + ${ParaTokens - 1}) div $ParaTokens - 1)"),
+          i => concat_ws(" ", slice(col("t"), i * ParaTokens + 1, lit(ParaTokens))))))
+      .withColumnRenamed("pos", "idx")
+      .withColumnRenamed("col", "para")
+      .withColumn("h", md5(col("para")))
+    val firsts = paras.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("first"))
+    paras.join(firsts, "h")
+      .withColumn("kept",
+        struct(col("doc_id"), col("idx")) === col("first"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(col("kept").cast("long")).as("n_kept"),
+        sum(when(col("kept"), length(col("para"))).otherwise(lit(0)))
+          .as("kept_chars"))
+  }
+
+  val paragraphDedupSql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(${normTextSql()}, ' ') AS t
+       |             FROM documents),
+       |p AS (SELECT doc_id, CAST(i AS INT) AS idx,
+       |        array_to_string(t[(CAST(i AS INT)*$ParaTokens + 1):(CAST(i AS INT)*$ParaTokens + $ParaTokens)], ' ') AS para
+       |      FROM toks, unnest(range(0, (len(t) + ${ParaTokens - 1}) // $ParaTokens)) AS r(i)),
+       |h AS (SELECT doc_id, idx, para, md5(para) AS hh FROM p),
+       |f AS (SELECT hh, MIN(doc_id * 1000000 + idx) AS first_key
+       |      FROM h GROUP BY hh),
+       |k AS (SELECT h.doc_id, h.para,
+       |        (h.doc_id * 1000000 + h.idx = f.first_key) AS kept
+       |      FROM h JOIN f ON h.hh = f.hh)
+       |SELECT doc_id, COUNT(*) AS n_paras,
+       |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(CASE WHEN kept THEN len(para) ELSE 0 END) AS BIGINT) AS kept_chars
+       |FROM k GROUP BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_para_dedup" -> (paragraphDedup _),
     "llm_exact_dedup" -> (exactDedup _),
     "llm_minhash_neardup" -> (minhashNearDup _),
     "llm_simhash" -> (simhash _),
@@ -892,6 +957,7 @@ object LlmDedup {
     "llm_bloom_dedup" -> (bloomDedup _))
 
   val oracles: Map[String, String] = Map(
+    "llm_para_dedup" -> paragraphDedupSql,
     "llm_exact_dedup" -> exactDedupSql,
     "llm_minhash_neardup" -> minhashNearDupSql,
     "llm_simhash" -> simhashSql,

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ingest.{CasesIngest, GeoExtend, GeoResolver, SourceSpec}
@@ -312,7 +312,70 @@ object Ingestion {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY o_orderpriority""".stripMargin
 
+  /** Z-order layout audit `ing_lake_zorder`: Morton values over
+    * (o_custkey, days-since-1992) — the two dimensions a lake would
+    * cluster on for customer- AND time-selective pruning — bucketed by
+    * their top 5 bits (the 32 coarse Z-tiles a writer would bin files
+    * by). `sum_z` pins the exact interleave cross-engine (the 32-term
+    * bit arithmetic is mirrored verbatim in SQL); the per-bucket
+    * min/max of BOTH source dimensions exhibits the locality rectangle
+    * each tile covers. The file-level pruning effect is measured in
+    * ZOrderSpec (file stats aren't SQL-expressible). */
+  def lakeZorder(spark: SparkSession, dir: String): DataFrame = {
+    val Z = graft.operators.ZOrder
+    val orders = graft.Tables.load(spark, dir, "orders")
+      .withColumn("day", to_date(col("o_orderdate")))
+      .withColumn("yd",
+        datediff(col("day"), lit("1992-01-01").cast("date")).cast("long"))
+    // domain bounds: what a real Z-order writer computes before binning
+    // (one row, broadcast — the k-centroid/bounded-fold tier)
+    val bounds = orders.agg(
+      min(col("o_custkey")).as("cmin"), max(col("o_custkey")).as("cmax"),
+      min(col("yd")).as("dmin"), max(col("yd")).as("dmax"))
+    // floor division via double is exact here: numerator ≤ 1.5e4·65535
+    // ≈ 9.8e8 (exact in double) and quotients are ≥ 1/d above any
+    // integer they exceed, far outside double's rounding error
+    def norm(v: Column, lo: Column, hi: Column): Column =
+      floor(((v - lo).cast("long") * ((1L << Z.Bits) - 1)) /
+        greatest(hi - lo, lit(1L))).cast("long")
+    orders.crossJoin(broadcast(bounds))
+      .withColumn("z", Z.zValue(
+        norm(col("o_custkey"), col("cmin"), col("cmax")),
+        norm(col("yd"), col("dmin"), col("dmax"))))
+      .withColumn("bucket", shiftrightunsigned(col("z"), 2 * Z.Bits - 5))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("z")).as("sum_z"),
+        min(col("o_custkey")).as("min_cust"),
+        max(col("o_custkey")).as("max_cust"),
+        // formatted strings per the catalog determinism rules
+        date_format(min(col("day")), "yyyy-MM-dd").as("min_date"),
+        date_format(max(col("day")), "yyyy-MM-dd").as("max_date"))
+  }
+
+  val lakeZorderSql: String = {
+    val bits = graft.operators.ZOrder.Bits
+    val top = (1L << bits) - 1
+    val z = graft.operators.ZOrder.zValueSql(
+      s"((o_custkey - cmin) * $top) // greatest(cmax - cmin, 1)",
+      s"((yd - dmin) * $top) // greatest(dmax - dmin, 1)")
+    s"""WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,
+       |    date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS yd
+       |  FROM orders),
+       |b AS (SELECT MIN(o_custkey) AS cmin, MAX(o_custkey) AS cmax,
+       |        MIN(yd) AS dmin, MAX(yd) AS dmax FROM o),
+       |z AS (SELECT o_custkey, day, $z AS z FROM o CROSS JOIN b)
+       |SELECT (z >> ${2 * bits - 5}) AS bucket,
+       |  COUNT(*) AS n, CAST(SUM(z) AS BIGINT) AS sum_z,
+       |  MIN(o_custkey) AS min_cust, MAX(o_custkey) AS max_cust,
+       |  strftime(MIN(day), '%Y-%m-%d') AS min_date,
+       |  strftime(MAX(day), '%Y-%m-%d') AS max_date
+       |FROM z GROUP BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ing_lake_zorder" -> (lakeZorder _),
     "ing_cases_norm" -> (casesNorm _),
     "ing_cases_by_country" -> (casesByCountry _),
     "ing_lake_roundtrip" -> (lakeRoundtrip _),
@@ -322,6 +385,7 @@ object Ingestion {
     "ing_scd2_merge" -> (scd2Merge _))
 
   val oracles: Map[String, String] = Map(
+    "ing_lake_zorder" -> lakeZorderSql,
     "ing_cases_norm" -> casesNormSql,
     "ing_cases_by_country" -> casesByCountrySql,
     "ing_lake_roundtrip" -> lakeRoundtripSql,

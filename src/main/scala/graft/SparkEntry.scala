@@ -35,7 +35,8 @@ object SparkEntry {
       graft.queries.Curation.queries ++
       graft.queries.CorpusOps.queries ++
       graft.queries.Bucketed.queries ++
-      graft.queries.Pii.queries
+      graft.queries.Pii.queries ++
+      graft.queries.TextClean.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -54,5 +55,6 @@ object SparkEntry {
       graft.queries.Curation.oracles ++
       graft.queries.CorpusOps.oracles ++
       graft.queries.Bucketed.oracles ++
-      graft.queries.Pii.oracles
+      graft.queries.Pii.oracles ++
+      graft.queries.TextClean.oracles
 }

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+import graft.queries.TextClean
+
+/** Markup strip: exact behavior on hand-built fragments (the oracle
+  * checks aggregates; this pins the per-string chain) and the
+  * round-trip invariant on the live fixture. */
+class TextCleanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def strip(s: String): String =
+    Seq(s).toDF("t").select(TextClean.stripHtml(col("t"))).as[String]
+      .collect().head
+
+  test("blocks drop with contents, tags strip, entities decode one level") {
+    assert(strip("<html><body><p class=\"x\">hello world</p>" +
+      "<script type=\"text/javascript\">var x = 1 &amp;&amp; 2;</script>" +
+      "</body></html>") === "hello world")
+    assert(strip("<div>core &lt;tagged&gt; &amp; more</div>" +
+      "<style>p { color: red }</style>") === "core <tagged> & more")
+    // lazy block match: two script blocks must not merge and eat "mid"
+    assert(strip("<script>a</script>mid<script>b</script>") === "mid")
+    // one-level entity decode (&amp;lt; -> &lt;, not <)
+    assert(strip("five &amp;lt; six") === "five &lt; six")
+    // untouched prose passes through (modulo whitespace collapse)
+    assert(strip("plain  text   stays") === "plain text stays")
+    // self-closing + attributes with > inside quotes are out of scope
+    // for the regex core; plain self-closing strips fine
+    assert(strip("a<br/>b <img src=\"x.png\"/> c") === "a b c")
+  }
+
+  test("fixture round-trip: class-0 wrapping strips back to the original text") {
+    val out = TextClean.htmlStrip(spark, sf0001).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(out.keySet === Set(0, 1, 2))
+    // every class-0 doc round-trips exactly
+    assert(out(0).getAs[Long]("n_roundtrip") === out(0).getAs[Long]("n_docs"))
+    // class-1 keeps its decoded suffix -> never equal
+    assert(out(1).getAs[Long]("n_roundtrip") === 0L)
+    // class-2 is untouched prose -> round-trips trivially
+    assert(out(2).getAs[Long]("n_roundtrip") === out(2).getAs[Long]("n_docs"))
+    // stripping shrank the wrapped classes
+    Seq(0, 1).foreach { c =>
+      assert(out(c).getAs[Long]("sum_len_after") < out(c).getAs[Long]("sum_len_html"), c)
+    }
+  }
+}

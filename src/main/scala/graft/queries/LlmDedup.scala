@@ -904,8 +904,12 @@ object LlmDedup {
     * shuffle, where a window would sort the whole 10⁹-row hash
     * partition in one task. The rejoin keys on the same hash, so the
     * exploded side's exchange is reused. */
-  def paragraphDedup(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+  def paragraphDedup(spark: SparkSession, dir: String): DataFrame =
+    paragraphAudit(Tables.load(spark, dir, "documents"))
+
+  /** The election + audit over any (doc_id, text) frame — exposed for
+    * the composite clean pipeline ([[TextClean.cleanPipeline]]). */
+  private[queries] def paragraphAudit(docs: DataFrame): DataFrame = {
     val paras = docs
       .select(col("doc_id"), split(normText(col("text")), " ").as("t"))
       .select(col("doc_id"), posexplode(

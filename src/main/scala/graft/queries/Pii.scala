@@ -61,7 +61,28 @@ object Pii {
   }
 
   /** The deterministic PII injection both engines replay: class by
-    * doc_id mod 4, payload digits from the id. */
+    * doc_id mod 4, payload digits from the id. Exposed for the
+    * composite clean pipeline ([[TextClean.cleanPipeline]]). */
+  private[queries] def injectPii(id: Column, text: Column): Column = {
+    val cls: Column = id % 4
+    when(cls === 0, concat(text, lit(" contact user"),
+        id, lit("@example.com now")))
+      .when(cls === 1, concat(text, lit(" call +1-555-"),
+        lpad((id % 10000).cast("string"), 4, "0"), lit(" now")))
+      .when(cls === 2, concat(text, lit(" from 10."),
+        (id % 256).cast("string"), lit("."),
+        (id % 100).cast("string"), lit(".7 now")))
+      .otherwise(text)
+  }
+
+  /** DuckDB mirror of [[injectPii]]. */
+  private[queries] def injectPiiSql(id: String, text: String): String =
+    s"""CASE $id % 4
+       |      WHEN 0 THEN $text || ' contact user' || $id || '@example.com now'
+       |      WHEN 1 THEN $text || ' call +1-555-' || lpad(CAST($id % 10000 AS VARCHAR), 4, '0') || ' now'
+       |      WHEN 2 THEN $text || ' from 10.' || ($id % 256) || '.' || ($id % 100) || '.7 now'
+       |      ELSE $text END""".stripMargin
+
   private def augmented(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val cls: Column = col("doc_id") % 4
@@ -69,14 +90,7 @@ object Pii {
       col("doc_id"),
       when(cls === 0, lit("email")).when(cls === 1, lit("phone"))
         .when(cls === 2, lit("ip")).otherwise(lit("clean")).as("pii_class"),
-      when(cls === 0, concat(col("text"), lit(" contact user"),
-          col("doc_id"), lit("@example.com now")))
-        .when(cls === 1, concat(col("text"), lit(" call +1-555-"),
-          lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" now")))
-        .when(cls === 2, concat(col("text"), lit(" from 10."),
-          (col("doc_id") % 256).cast("string"), lit("."),
-          (col("doc_id") % 100).cast("string"), lit(".7 now")))
-        .otherwise(col("text")).as("text"))
+      injectPii(col("doc_id"), col("text")).as("text"))
   }
 
   /** llm_pii_scrub: inject → scrub → per-class audit. Redaction is

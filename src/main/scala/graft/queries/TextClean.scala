@@ -52,6 +52,41 @@ object TextClean {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** The deterministic markup wrapping both engines replay (class by
+    * doc_id mod 3). Exposed for [[cleanPipeline]]. */
+  private[queries] def wrapHtml(id: Column, text: Column): Column = {
+    val cls = id % 3
+    when(cls === 0, concat(
+      lit("<html><body><p class=\"lead\">"), text,
+      lit("</p><script type=\"text/javascript\">var x = 1 &amp;&amp; 2;</script></body></html>")))
+      .when(cls === 1, concat(
+        lit("<div>"), text,
+        lit(" &lt;tagged&gt; &amp; entity-laden</div><style>p { color: red }</style>")))
+      .otherwise(text)
+  }
+
+  /** DuckDB mirror of [[wrapHtml]]. */
+  private[queries] def wrapHtmlSql(id: String, text: String): String =
+    s"""CASE $id % 3
+       |      WHEN 0 THEN '<html><body><p class="lead">' || $text ||
+       |        '</p><script type="text/javascript">var x = 1 &amp;&amp; 2;</script></body></html>'
+       |      WHEN 1 THEN '<div>' || $text ||
+       |        ' &lt;tagged&gt; &amp; entity-laden</div><style>p { color: red }</style>'
+       |      ELSE $text END""".stripMargin
+
+  /** The strip chain as DuckDB SQL, column-parameterized. */
+  private[queries] def stripHtmlSql(c: String): String = {
+    val noBlocks = s"regexp_replace($c, '(?s)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g')"
+    val noTags = s"regexp_replace($noBlocks, '<[^>]+>', ' ', 'g')"
+    val decoded = Seq(
+      ("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""),
+      ("&#39;", "''"), ("&nbsp;", " "), ("&amp;", "&"))
+      .foldLeft(noTags) { case (acc, (from, to)) =>
+        s"replace($acc, '$from', '$to')"
+      }
+    s"trim(regexp_replace($decoded, '\\s+', ' ', 'g'))"
+  }
+
   /** llm_html_strip: wrap docs in markup by class, strip, audit. The
     * round-trip invariant IS the oracle: stripped text must equal the
     * original (normalized), so `len_after` matches the clean corpus
@@ -59,14 +94,7 @@ object TextClean {
   def htmlStrip(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val cls = col("doc_id") % 3
-    val wrapped =
-      when(cls === 0, concat(
-        lit("<html><body><p class=\"lead\">"), col("text"),
-        lit("</p><script type=\"text/javascript\">var x = 1 &amp;&amp; 2;</script></body></html>")))
-        .when(cls === 1, concat(
-          lit("<div>"), col("text"),
-          lit(" &lt;tagged&gt; &amp; entity-laden</div><style>p { color: red }</style>")))
-        .otherwise(col("text"))
+    val wrapped = wrapHtml(col("doc_id"), col("text"))
     docs
       .select(col("doc_id"), cls.cast("int").as("cls"),
         col("text"), wrapped.as("html"))
@@ -82,39 +110,89 @@ object TextClean {
           1L).otherwise(0L)).as("n_roundtrip"))
   }
 
-  val htmlStripSql: String = {
-    // the identical strip chain in DuckDB (RE2: (?s) flag, lazy .*?)
-    def strip(c: String): String = {
-      val noBlocks = s"regexp_replace($c, '(?s)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g')"
-      val noTags = s"regexp_replace($noBlocks, '<[^>]+>', ' ', 'g')"
-      val decoded = Seq(
-        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""),
-        ("&#39;", "''"), ("&nbsp;", " "), ("&amp;", "&"))
-        .foldLeft(noTags) { case (acc, (from, to)) =>
-          s"replace($acc, '$from', '$to')"
-        }
-      s"trim(regexp_replace($decoded, '\\s+', ' ', 'g'))"
-    }
+  val htmlStripSql: String =
     s"""WITH w AS (SELECT doc_id, CAST(doc_id % 3 AS INT) AS cls, text,
-       |    CASE doc_id % 3
-       |      WHEN 0 THEN '<html><body><p class="lead">' || text ||
-       |        '</p><script type="text/javascript">var x = 1 &amp;&amp; 2;</script></body></html>'
-       |      WHEN 1 THEN '<div>' || text ||
-       |        ' &lt;tagged&gt; &amp; entity-laden</div><style>p { color: red }</style>'
-       |      ELSE text END AS html
+       |    ${wrapHtmlSql("doc_id", "text")} AS html
        |  FROM documents),
-       |s AS (SELECT cls, text, html, ${strip("html")} AS stripped FROM w)
+       |s AS (SELECT cls, text, html, ${stripHtmlSql("html")} AS stripped FROM w)
        |SELECT cls, COUNT(*) AS n_docs,
        |  CAST(SUM(len(html)) AS BIGINT) AS sum_len_html,
        |  CAST(SUM(len(stripped)) AS BIGINT) AS sum_len_after,
        |  CAST(SUM(CASE WHEN stripped = trim(regexp_replace(text, '\\s+', ' ', 'g'))
        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip
        |FROM s GROUP BY cls""".stripMargin
+
+  /** llm_clean_pipeline: the full cleaning chain in ONE dataflow —
+    * crawled-shape corpus (PII injected into the text, then wrapped in
+    * markup) → strip → scrub → paragraph dedup → per-lang audit. Like
+    * [[Curation]]'s llm_curation_pipeline, the oracle recomputes the
+    * WHOLE chain independently, so rule drift between stages
+    * hash-fails even when every component query passes alone. No
+    * shuffle beyond the paragraph election (the chain's only keyed
+    * stage); everything upstream is the same narrow scan work as the
+    * component queries. */
+  def cleanPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val crawled = docs.select(
+      col("doc_id"), col("lang"),
+      wrapHtml(col("doc_id"),
+        Pii.injectPii(col("doc_id"), col("text"))).as("html"))
+    val cleaned = Pii.scrub(
+      crawled.withColumn("text", stripHtml(col("html"))), "text")
+    val audit = LlmDedup.paragraphAudit(
+      cleaned.select(col("doc_id"), col("redacted").as("text")))
+    cleaned.select(col("doc_id"), col("lang"),
+        (col("n_email") + col("n_phone") + col("n_ip")).as("n_pii"))
+      .join(audit, "doc_id")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_pii")).as("sum_pii"),
+        sum(col("n_paras")).as("sum_paras"),
+        sum(col("n_kept")).as("sum_kept"),
+        sum(col("kept_chars")).as("sum_kept_chars"))
+  }
+
+  val cleanPipelineSql: String = {
+    val P = LlmDedup.ParaTokens
+    s"""WITH crawled AS (SELECT doc_id, lang,
+       |    ${wrapHtmlSql("doc_id", s"(${Pii.injectPiiSql("doc_id", "text")})")} AS html
+       |  FROM documents),
+       |cleaned AS (SELECT doc_id, lang, ${stripHtmlSql("html")} AS text FROM crawled),
+       |scrubbed AS (SELECT doc_id, lang,
+       |    len(regexp_extract_all(text, '${Pii.EmailRe}'))
+       |      + len(regexp_extract_all(text, '${Pii.PhoneRe}'))
+       |      + len(regexp_extract_all(text, '${Pii.Ipv4Re}')) AS n_pii,
+       |    regexp_replace(regexp_replace(regexp_replace(text,
+       |      '${Pii.EmailRe}', '[EMAIL]', 'g'),
+       |      '${Pii.PhoneRe}', '[PHONE]', 'g'),
+       |      '${Pii.Ipv4Re}', '[IP]', 'g') AS redacted
+       |  FROM cleaned),
+       |toks AS (SELECT doc_id, string_split(${LlmDedup.normTextSql("redacted")}, ' ') AS t
+       |         FROM scrubbed),
+       |p AS (SELECT doc_id, CAST(i AS INT) AS idx,
+       |        array_to_string(t[(CAST(i AS INT)*$P + 1):(CAST(i AS INT)*$P + $P)], ' ') AS para
+       |      FROM toks, unnest(range(0, (len(t) + ${P - 1}) // $P)) AS r(i)),
+       |h AS (SELECT doc_id, idx, para, md5(para) AS hh FROM p),
+       |f AS (SELECT hh, MIN(doc_id * 1000000 + idx) AS first_key FROM h GROUP BY hh),
+       |k AS (SELECT h.doc_id,
+       |        COUNT(*) AS n_paras,
+       |        SUM(CASE WHEN h.doc_id * 1000000 + h.idx = f.first_key THEN 1 ELSE 0 END) AS n_kept,
+       |        SUM(CASE WHEN h.doc_id * 1000000 + h.idx = f.first_key THEN len(h.para) ELSE 0 END) AS kept_chars
+       |      FROM h JOIN f ON h.hh = f.hh GROUP BY h.doc_id)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_pii) AS BIGINT) AS sum_pii,
+       |  CAST(SUM(n_paras) AS BIGINT) AS sum_paras,
+       |  CAST(SUM(n_kept) AS BIGINT) AS sum_kept,
+       |  CAST(SUM(kept_chars) AS BIGINT) AS sum_kept_chars
+       |FROM scrubbed JOIN k USING (doc_id) GROUP BY lang""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "llm_html_strip" -> (htmlStrip _))
+    "llm_html_strip" -> (htmlStrip _),
+    "llm_clean_pipeline" -> (cleanPipeline _))
 
   val oracles: Map[String, String] = Map(
-    "llm_html_strip" -> htmlStripSql)
+    "llm_html_strip" -> htmlStripSql,
+    "llm_clean_pipeline" -> cleanPipelineSql)
 }

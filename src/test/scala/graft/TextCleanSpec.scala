@@ -31,6 +31,23 @@ class TextCleanSpec extends SparkSpec {
     assert(strip("a<br/>b <img src=\"x.png\"/> c") === "a b c")
   }
 
+  test("clean pipeline: per-lang audit is internally consistent and non-vacuous") {
+    val rows = TextClean.cleanPipeline(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    var pii = 0L; var paras = 0L; var kept = 0L
+    rows.foreach { r =>
+      val (nd, np, sp, sk) = (r.getAs[Long]("n_docs"), r.getAs[Long]("sum_pii"),
+        r.getAs[Long]("sum_paras"), r.getAs[Long]("sum_kept"))
+      assert(nd > 0 && sk <= sp, r.toString)
+      pii += np; paras += sp; kept += sk
+    }
+    // ~3/4 of docs get one injected PII item, the scrub must find them
+    val nDocs = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(pii >= (nDocs * 6) / 10, s"pii $pii of $nDocs docs")
+    // dedup dropped something (tiny vocab -> collisions) but not everything
+    assert(kept < paras && kept > paras / 2, s"kept $kept of $paras")
+  }
+
   test("fixture round-trip: class-0 wrapping strips back to the original text") {
     val out = TextClean.htmlStrip(spark, sf0001).collect()
       .map(r => r.getInt(0) -> r).toMap

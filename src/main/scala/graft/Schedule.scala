@@ -90,6 +90,33 @@ object Schedule {
     base ++ tweets
   }
 
+  /** Housekeeping flow: compact any flow output whose visible file
+    * count exceeds `maxFiles`. Register it AFTER the ingest flows —
+    * ticks run flows sequentially, so it fires between AvailableNow
+    * stream runs (compactSink's stopped-writer contract) and after the
+    * batch lakes commit. Full-refresh lakes rewrite small each tick,
+    * but the streaming sink and keyed-upsert lakes ACCRETE files with
+    * every cadence — without this the reference's 24 h loop degrades
+    * the lake into a small-file swamp over months. Per-lake failures
+    * are isolated like any flow body; a lake that hasn't landed yet
+    * (None) is skipped silently. */
+  def compactionFlow(spark: SparkSession, lakeDir: String,
+      maxFiles: Int = 64,
+      targetBytes: Long = graft.operators.Compaction.DefaultTargetBytes): Flow =
+    Flow("compact", _ => {
+      val C = graft.operators.Compaction
+      Seq("cases", "france_cases", "virtests", "news_crawl", "news_tweets")
+        .foreach { name =>
+          val path = s"$lakeDir/$name"
+          C.visibleFileCount(spark, path).foreach { n =>
+            if (n > maxFiles) {
+              val r = C.compactAny(spark, path, targetBytes)
+              println(s"[compact] $name: ${r.filesBefore} -> ${r.filesAfter} files")
+            }
+          }
+        }
+    })
+
   /** Fire every flow once, in registration order, isolating failures. */
   def runTick(flows: Seq[Flow], tick: Long): TickReport =
     TickReport(tick, flows.map { f =>

@@ -525,7 +525,8 @@ object Serve {
     val server = start(spark, dir, port, bindAll, token, lake, tls, insecureHttp)
     for (lakeDir <- lake; hours <- refreshHours) {
       val t = new Thread(() =>
-        Schedule.loop(Schedule.defaultFlows(spark, lakeDir),
+        Schedule.loop(Schedule.defaultFlows(spark, lakeDir) :+
+            Schedule.compactionFlow(spark, lakeDir),
           (hours * 3600 * 1000).toLong,
           onTick = { r =>
             println(Schedule.summary(r))

@@ -104,6 +104,23 @@ object Compaction {
       Report(before.size.toLong, bytesBefore, moved.size.toLong, sinkDir)
     }
 
+  /** Data files a reader would scan at `path` right now: a streaming
+    * sink's committed listing, a [[graft.LakeCommit]] version's files,
+    * or None when nothing has landed yet. The cheap probe the cadence
+    * loop's housekeeping flow gates on before paying for a rewrite. */
+  def visibleFileCount(spark: SparkSession, path: String): Option[Long] =
+    if (SinkLogShim.hasMetadata(spark, path))
+      Some(SinkLogShim.listedFiles(spark, path).size.toLong)
+    else graft.LakeCommit.resolve(spark, path).map(v =>
+      dataFileStats(fsFor(spark, path), new Path(v))._1)
+
+  /** Dispatch to the right rewrite for whatever lives at `path`
+    * (streaming sink vs versioned/flat lake). */
+  def compactAny(spark: SparkSession, path: String,
+      targetBytes: Long = DefaultTargetBytes): Report =
+    if (SinkLogShim.hasMetadata(spark, path)) compactSink(spark, path, targetBytes)
+    else compactLake(spark, path, targetBytes)
+
   /** Delete sink-root data files the metadata log no longer references
     * and whose modification time is older than `graceMs` — the
     * compaction grace window for readers that planned against the old

@@ -405,11 +405,23 @@ object Serve {
         val size = clamp(intParam(p, "size", 10), MaxLimit)
         if (page.toLong * size > MaxLimit)
           (400, s"""{"error":"page*size must be <= $MaxLimit (got ${page.toLong * size})"}""")
-        else {
-          val ranker = if (p.get("rank").contains("overlap")) "overlap" else "bm25"
-          (200, render(
-            graft.queries.TextAnalysis.searchHits(spark, dir, terms, page, size, ranker),
-            size))
+        else p.get("index") match {
+          // the reference UI's actual target: the crawled news store
+          // (SearchUI.js:6 queries the news_* index pattern) — served
+          // from the lake's deduped `news` view when one is registered
+          case Some("news") =>
+            if (!spark.catalog.tableExists("news"))
+              (400, """{"error":"no news lake registered (start with --lake)"}""")
+            else (200, render(
+              graft.queries.TextAnalysis.newsSearchHits(
+                spark.table("news"), terms, page, size), size))
+          case Some(other) =>
+            (400, s"""{"error":"unknown index ${jstr(other.take(40)).drop(1).dropRight(1)} (use news, or omit for documents)"}""")
+          case None =>
+            val ranker = if (p.get("rank").contains("overlap")) "overlap" else "bm25"
+            (200, render(
+              graft.queries.TextAnalysis.searchHits(spark, dir, terms, page, size, ranker),
+              size))
         }
       }
     })

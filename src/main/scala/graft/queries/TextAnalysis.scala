@@ -216,13 +216,26 @@ object TextAnalysis {
     * the relevance-ranked replacement for the unweighted [[search]]. */
   def bm25Search(spark: SparkSession, dir: String, terms: Seq[String],
       page: Int, pageSize: Int): DataFrame = {
-    require(terms.nonEmpty && page >= 1 && pageSize >= 1,
-      s"bm25Search needs >=1 term, page>=1, pageSize>=1 (got $terms, $page, $pageSize)")
     val docs = Tables.load(spark, dir, "documents")
       .withColumn("t", toks(col("text"))) // materialize once (see LlmDedup)
       .withColumn("ttl", slice(col("t"), 1, Bm25TitleLen))
       .withColumn("src_t", toks(col("source")))
-    val fields = bm25Fields
+    bm25Rank(docs, bm25Fields, "doc_id", terms, page, pageSize)
+  }
+
+  /** The best_fields BM25 core behind [[bm25Search]] — and, with a
+    * different field set, the crawled-news search
+    * ([[newsSearchHits]]): two-pass ranking over ANY prepared corpus.
+    * `prepared` carries the token columns `fields` reference plus
+    * `keyCol`, a unique ascending tiebreaker; pass 1 folds the corpus
+    * statistics to ONE broadcast row, pass 2 scores per doc and
+    * `greatest`s across fields, top-k is the WindowGroupLimit
+    * pre-limit rank. */
+  private[queries] def bm25Rank(prepared: DataFrame,
+      fields: Seq[(String, Column)], keyCol: String,
+      terms: Seq[String], page: Int, pageSize: Int): DataFrame = {
+    require(terms.nonEmpty && page >= 1 && pageSize >= 1,
+      s"bm25 rank needs >=1 term, page>=1, pageSize>=1 (got $terms, $page, $pageSize)")
     val statCols: Seq[Column] =
       count(lit(1)).cast("double").as("n") +:
         fields.flatMap { case (f, tc) =>
@@ -233,8 +246,8 @@ object TextAnalysis {
                 .cast("double").as(s"df_${f}_$i")
             }
         }
-    val stats = docs.select(struct(statCols: _*).as("st"))
-    val scored = docs.join(broadcast(stats))
+    val stats = prepared.select(struct(statCols: _*).as("st"))
+    val scored = prepared.join(broadcast(stats))
     def fieldScore(f: String, tc: Column): Column = {
       val dlD = size(tc).cast("double")
       terms.zipWithIndex.map { case (term, i) =>
@@ -248,12 +261,37 @@ object TextAnalysis {
       }.reduce(_ + _)
     }
     val best = greatest(fields.map { case (f, tc) => fieldScore(f, tc) }: _*)
-    val w = Window.orderBy(col("score").desc, col("doc_id").asc)
+    val w = Window.orderBy(col("score").desc, col(keyCol).asc)
     val (lo, hi) = ((page - 1) * pageSize + 1, page * pageSize)
-    scored.select(col("doc_id"), round(best, 6).as("score"))
+    scored.select(col(keyCol), round(best, 6).as("score"))
       .filter(col("score") > 0)
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") >= lo && col("rank") <= hi)
+  }
+
+  /** EP3 over the CRAWLED news store — the corpus the reference's
+    * search UI actually queries (SearchUI.js:6 reads the `news_*`
+    * index pattern; fields title/desc/lang/site). Ranked page + the
+    * per-hit payload the UI renders (title, desc snippet, link, date,
+    * crawler provenance) in one frame: same broadcast-back join shape
+    * as [[searchHits]], same [[bm25Rank]] core as the analytics
+    * search — only the field set differs. */
+  def newsSearchHits(news: DataFrame, terms: Seq[String],
+      page: Int, pageSize: Int): DataFrame = {
+    val prepared = news
+      .withColumn("ttl_t", toks(col("title")))
+      .withColumn("desc_t", toks(coalesce(col("desc"), lit(""))))
+      .withColumn("site_t", toks(coalesce(col("source.website"), lit(""))))
+    val fields = Seq(
+      "title" -> col("ttl_t"), "desc" -> col("desc_t"),
+      "lang" -> array(col("lang")), "site" -> col("site_t"))
+    val ranked = bm25Rank(prepared, fields, "link", terms, page, pageSize)
+    news.join(broadcast(ranked), "link")
+      .select(col("rank"), col("score"), col("title"),
+        substring(coalesce(col("desc"), lit("")), 1, SnippetChars).as("snippet"),
+        col("link"), date_format(col("date"), "yyyy-MM-dd").as("date"),
+        col("lang"), col("source.crawler").as("crawler"))
+      .orderBy(col("rank").asc)
   }
 
   /** Snippet length for [[searchHits]] — the bounded preview a results

@@ -194,6 +194,14 @@ class ServeSpec extends SparkSpec {
       val after = getFrom(srv, "/sql?q=" + java.net.URLEncoder.encode(
         "SELECT COUNT(*) AS n FROM cases", "UTF-8"))._2
       assert(after === before, s"refresh changed the full-refresh view: $before -> $after")
+      // /search?index=news queries the crawled store (the reference
+      // UI's actual target), not the analytics documents table
+      val (c5, b5) = getFrom(srv, "/search?index=news&q=vaccine+rollout")
+      assert(c5 === 200, b5.take(300))
+      assert(b5.contains("news.example/a1"), b5.take(400)) // the vaccine headline
+      assert(b5.contains("\"crawler\""))
+      val (c6, b6) = getFrom(srv, "/search?index=bogus&q=x")
+      assert(c6 === 400 && b6.contains("unknown index"), b6.take(200))
     } finally srv.stop(0)
   }
 

@@ -229,4 +229,36 @@ class TextVectorSpec extends SparkSpec {
     assert(ranks.forall(rs => rs.map(_.getAs[Long]("rank")).sorted.toSeq ==
       (1L to rs.length).toSeq))
   }
+
+  test("newsSearchHits ranks the crawled-news schema with payload pass-through") {
+    import spark.implicits._
+    def src(crawler: String) = struct(
+      lit(crawler).as("crawler"), lit("news.example").as("website"),
+      lit("a").as("author"), lit("https://news.example").as("url"),
+      struct(lit(null).cast("string").as("id")).as("tweet"))
+    val news = Seq(
+      ("Corona surge in city", "daily report", "https://n/1"),
+      ("daily report", "corona numbers drop again", "https://n/2"),
+      ("sports roundup", "football results", "https://n/3"))
+      .toDF("title", "desc", "link")
+      .withColumn("lang", lit("en"))
+      .withColumn("img", lit(""))
+      .withColumn("date", lit("2021-03-01 10:00:00").cast("timestamp"))
+      .withColumn("source", src("googlenews"))
+    val hits = TextAnalysis.newsSearchHits(news, Seq("corona"), 1, 10).collect()
+    // both corona docs rank (title match via the lowercasing tokenizer,
+    // desc match via the desc field); sports doc absent
+    assert(hits.map(_.getAs[String]("link")).toSet ===
+      Set("https://n/1", "https://n/2"))
+    assert(hits.map(_.getAs[Long]("rank")).toSeq === Seq(1L, 2L))
+    assert(hits.forall(_.getAs[Double]("score") > 0))
+    // payload the reference UI renders: snippet, date, provenance
+    val top = hits.head
+    assert(top.getAs[String]("date") === "2021-03-01")
+    assert(top.getAs[String]("crawler") === "googlenews")
+    assert(top.getAs[String]("snippet").nonEmpty)
+    // single-field query hits exactly its doc
+    val fb = TextAnalysis.newsSearchHits(news, Seq("football"), 1, 10).collect()
+    assert(fb.map(_.getAs[String]("link")).toSeq === Seq("https://n/3"))
+  }
 }

@@ -114,12 +114,38 @@ object Compaction {
     else graft.LakeCommit.resolve(spark, path).map(v =>
       dataFileStats(fsFor(spark, path), new Path(v))._1)
 
+  /** Hive-style partition columns of the layout at `dataDir` (the
+    * `k=v` subdirectory chain), outermost first. A compaction that
+    * ignores these would silently rewrite a partitioned lake flat —
+    * losing partition pruning for every later reader — so
+    * [[compactAny]] infers and preserves them. */
+  def inferPartitioning(spark: SparkSession, dataDir: String): Seq[String] = {
+    val fs = fsFor(spark, dataDir)
+    @annotation.tailrec
+    def walk(dir: Path, acc: Seq[String]): Seq[String] = {
+      val sub = fs.listStatus(dir).toSeq
+        .filter(st => st.isDirectory && !hidden(st.getPath.getName))
+        .map(_.getPath.getName)
+        .find(_.contains("="))
+      sub match {
+        case Some(kv) => walk(new Path(dir, kv), acc :+ kv.takeWhile(_ != '='))
+        case None => acc
+      }
+    }
+    walk(new Path(dataDir), Nil)
+  }
+
   /** Dispatch to the right rewrite for whatever lives at `path`
-    * (streaming sink vs versioned/flat lake). */
+    * (streaming sink vs versioned/flat lake), preserving a partitioned
+    * lake's layout. */
   def compactAny(spark: SparkSession, path: String,
       targetBytes: Long = DefaultTargetBytes): Report =
     if (SinkLogShim.hasMetadata(spark, path)) compactSink(spark, path, targetBytes)
-    else compactLake(spark, path, targetBytes)
+    else {
+      val parts = graft.LakeCommit.resolve(spark, path)
+        .map(inferPartitioning(spark, _)).getOrElse(Nil)
+      compactLake(spark, path, targetBytes, partitionBy = parts)
+    }
 
   /** Delete sink-root data files the metadata log no longer references
     * and whose modification time is older than `graceMs` — the

@@ -278,7 +278,16 @@ object TextAnalysis {
     * search — only the field set differs. */
   def newsSearchHits(news: DataFrame, terms: Seq[String],
       page: Int, pageSize: Int): DataFrame = {
-    val prepared = news
+    // the store dedups on (link, date), so one link can carry several
+    // crawl snapshots — a search hit is one LINK, newest snapshot wins
+    // (otherwise the rank window ties on the key and the payload join
+    // fans one ranked row back out into duplicates)
+    val latestW = Window.partitionBy(col("link"))
+      .orderBy(col("date").desc_nulls_last)
+    val latest = news
+      .withColumn("_rn", row_number().over(latestW))
+      .filter(col("_rn") === 1).drop("_rn")
+    val prepared = latest
       .withColumn("ttl_t", toks(col("title")))
       .withColumn("desc_t", toks(coalesce(col("desc"), lit(""))))
       .withColumn("site_t", toks(coalesce(col("source.website"), lit(""))))
@@ -286,7 +295,7 @@ object TextAnalysis {
       "title" -> col("ttl_t"), "desc" -> col("desc_t"),
       "lang" -> array(col("lang")), "site" -> col("site_t"))
     val ranked = bm25Rank(prepared, fields, "link", terms, page, pageSize)
-    news.join(broadcast(ranked), "link")
+    latest.join(broadcast(ranked), "link")
       .select(col("rank"), col("score"), col("title"),
         substring(coalesce(col("desc"), lit("")), 1, SnippetChars).as("snippet"),
         col("link"), date_format(col("date"), "yyyy-MM-dd").as("date"),

@@ -35,4 +35,30 @@ class CompactionFlowSpec extends SparkSpec {
     assert(Compaction.visibleFileCount(spark, s"$lakeDir/virtests").get === smallBefore)
     // absent lakes (news_crawl etc.) were skipped without failing the tick
   }
+
+  test("compacting a partitioned lake preserves its hive layout") {
+    val lakeDir = Fixtures.scratchDir("compact_flow_part")
+    // the cases-lake shape: partitioned by source, many small files
+    val df = (1 to 300).map(i => (i.toLong, s"src${i % 3}", s"v$i"))
+      .toDF("k", "source_index", "v")
+    LakeCommit.commit(df.repartition(30), s"$lakeDir/cases", Seq("source_index"))
+    val before = LakeCommit.resolve(spark, s"$lakeDir/cases").get
+    assert(Compaction.inferPartitioning(spark, before) === Seq("source_index"))
+
+    val report = Schedule.runTick(
+      Seq(Schedule.compactionFlow(spark, lakeDir, maxFiles = 8)), 0)
+    assert(report.outcomes.forall(_._2.isEmpty), report.outcomes.toString)
+
+    val after = LakeCommit.resolve(spark, s"$lakeDir/cases").get
+    assert(after !== before, "compaction did not commit a new version")
+    // layout preserved: still hive-partitioned on source_index...
+    assert(Compaction.inferPartitioning(spark, after) === Seq("source_index"))
+    // ...fewer files, identical content including the partition column
+    assert(Compaction.visibleFileCount(spark, s"$lakeDir/cases").get < 30L)
+    val rows = spark.read.parquet(after)
+    assert(rows.count() === 300L)
+    assert(rows.groupBy("source_index").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("src0" -> 100L, "src1" -> 100L, "src2" -> 100L))
+  }
 }

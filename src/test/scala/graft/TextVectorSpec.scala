@@ -260,5 +260,17 @@ class TextVectorSpec extends SparkSpec {
     // single-field query hits exactly its doc
     val fb = TextAnalysis.newsSearchHits(news, Seq("football"), 1, 10).collect()
     assert(fb.map(_.getAs[String]("link")).toSeq === Seq("https://n/3"))
+    // a link with two crawl snapshots (distinct dates survive the
+    // (link,date) store dedup) yields ONE hit, newest snapshot's payload
+    val resnap = news.unionByName(news
+      .where($"link" === "https://n/1")
+      .withColumn("date", lit("2021-03-05 09:00:00").cast("timestamp"))
+      .withColumn("desc", lit("updated corona coverage")))
+    val re = TextAnalysis.newsSearchHits(resnap, Seq("corona"), 1, 10).collect()
+    assert(re.count(_.getAs[String]("link") == "https://n/1") === 1)
+    val hit1 = re.find(_.getAs[String]("link") == "https://n/1").get
+    assert(hit1.getAs[String]("date") === "2021-03-05")
+    assert(re.map(_.getAs[Long]("rank")).toSeq.sorted ===
+      (1L to re.length.toLong).toSeq)
   }
 }

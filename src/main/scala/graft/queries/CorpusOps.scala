@@ -324,6 +324,58 @@ object CorpusOps {
         java.util.Arrays.asList(rows: _*), folded.schema)
     }
 
+  /** Target uncompressed chars per export shard for the sized planner
+    * (chars proxy JSONL bytes; loaders want ~even shards of a target
+    * SIZE, not a fixed count — a fixed count under-shards a growing
+    * corpus and over-shards a small one). */
+  val ExportTargetChars: Long = 50000L
+
+  /** Cap on planned shards — a corrupted n_chars column must not plan
+    * a million output directories. */
+  val ExportMaxShards: Int = 4096
+
+  /** Size-targeted export planning: shards = clamp(⌈Σ n_chars /
+    * target⌉, 1, cap), then the same deterministic doc_id-mod
+    * assignment and roundtrip fold as [[exportJsonl]]. The corpus
+    * total is ONE driver-held row (the bounded-fold tier) — at 100 TB
+    * this is the difference between "shards sized for the loader" and
+    * "8 shards of 12 TB each". The oracle derives the identical count
+    * from the same sum, so the PLAN (not just the content) is under
+    * the hash gate. */
+  def exportJsonlSized(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.Fixtures.reusedScratchDir("jsonl_export_sized")
+    val docs = Tables.load(spark, dir, "documents")
+    val total = docs.agg(sum(col("n_chars")).cast("long")).head.getLong(0)
+    val shards = math.min(ExportMaxShards.toLong,
+      math.max(1L, (total + ExportTargetChars - 1) / ExportTargetChars))
+    lockFor(out).synchronized {
+      docs
+        .withColumn("shard", pmod(col("doc_id"), lit(shards)))
+        .write.mode("overwrite").partitionBy("shard")
+        .option("compression", "gzip").json(out)
+      val folded = spark.read.json(out)
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+            .as("text_sig"))
+      val rows = folded.collect() // bounded: <= ExportMaxShards rows
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), folded.schema)
+    }
+  }
+
+  val exportJsonlSizedSql: String =
+    s"""WITH n AS (SELECT LEAST($ExportMaxShards,
+       |    GREATEST(1, CAST(CEIL(SUM(n_chars) / $ExportTargetChars.0) AS BIGINT))) AS ns
+       |  FROM documents)
+       |SELECT ((doc_id % ns) + ns) % ns AS shard,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       |  CAST(SUM(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS text_sig
+       |FROM documents CROSS JOIN n GROUP BY 1""".stripMargin
+
   // pmod on the Spark side is always non-negative; mirror it exactly in
   // the oracle (DuckDB's % is sign-preserving) so a negative doc_id
   // lands in the same shard group on both sides.
@@ -339,12 +391,14 @@ object CorpusOps {
     "txt_repetition" -> (repetition _),
     "llm_domain_mixture" -> (domainMixture _),
     "llm_pack_bins" -> (packBins _),
-    "llm_export_jsonl" -> (exportJsonl _))
+    "llm_export_jsonl" -> (exportJsonl _),
+    "llm_export_sized" -> (exportJsonlSized _))
 
   val oracles: Map[String, String] = Map(
     "llm_decontaminate" -> decontaminateSql,
     "txt_repetition" -> repetitionSql,
     "llm_domain_mixture" -> domainMixtureSql,
     "llm_pack_bins" -> packBinsSql,
-    "llm_export_jsonl" -> exportJsonlSql)
+    "llm_export_jsonl" -> exportJsonlSql,
+    "llm_export_sized" -> exportJsonlSizedSql)
 }

@@ -46,8 +46,10 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 object CrawlPoller {
 
   /** One poll's outcome: records fetched, records landed after link
-    * dedup, and the landing file (None when nothing new). */
-  final case class PollResult(fetched: Int, landed: Int, file: Option[String])
+    * dedup, the landing file (None when nothing new), and whether the
+    * server answered 304 (feed unchanged — nothing was downloaded). */
+  final case class PollResult(fetched: Int, landed: Int,
+      file: Option[String], notModified: Boolean = false)
 
   private val mapper = new ObjectMapper()
 
@@ -64,8 +66,15 @@ object CrawlPoller {
       extra: Map[String, String] = Map.empty,
       maxSeen: Int = 100000): PollResult = {
     val staging = s"$landingDir/_staging"
-    val fetched = HttpFetch.fetchToStaging(url, staging, s"poll_$tick.json",
-      retries, backoffMs)
+    // conditional GET: replay the feed's cached validators; a 304 means
+    // nothing was downloaded, the tick is done — the polite-crawler
+    // fast path for a 24 h cadence against a slow-moving feed
+    val cached = readValidators(landingDir).getOrElse(url, HttpFetch.Validators())
+    val fetchedOpt = HttpFetch.fetchConditional(url, staging, s"poll_$tick.json",
+      retries, backoffMs, cached)
+    if (fetchedOpt.isEmpty) return PollResult(0, 0, None, notModified = true)
+    val (fetched, fresh0) = fetchedOpt.get
+    if (fresh0 != cached) writeValidators(landingDir, url, fresh0)
     val records = parseRecords(fetched)
     val seenFile = Paths.get(landingDir, "_seen_links.txt")
     // landing order, oldest first (pre-bound files were sorted; order only
@@ -120,6 +129,39 @@ object CrawlPoller {
   def flow(name: String, url: String, landingDir: String,
       extra: Map[String, String] = Map.empty): graft.Schedule.Flow =
     graft.Schedule.Flow(name, tick => { poll(url, landingDir, tick, extra = extra): Unit })
+
+  /** Per-URL response validators (`url TAB etag TAB last-modified`,
+    * empty slots as blank) kept next to the seen-set — one line per
+    * FEED, so the file is bounded by the fan-out width, not history.
+    * Same `_`-prefixed invisibility and staged-atomic-move discipline
+    * as the seen-set; a lost file merely costs one full refetch. */
+  private def validatorsFile(landingDir: String) =
+    Paths.get(landingDir, "_http_validators.txt")
+
+  private def readValidators(landingDir: String): Map[String, HttpFetch.Validators] = {
+    val f = validatorsFile(landingDir)
+    if (!Files.exists(f)) Map.empty
+    else Files.readAllLines(f).asScala.flatMap { line =>
+      line.split("\t", -1) match {
+        case Array(u, e, m) => Some(u -> HttpFetch.Validators(
+          Option(e).filter(_.nonEmpty), Option(m).filter(_.nonEmpty)))
+        case _ => None
+      }
+    }.toMap
+  }
+
+  private def writeValidators(landingDir: String, url: String,
+      v: HttpFetch.Validators): Unit = {
+    val staging = Paths.get(landingDir, "_staging")
+    Files.createDirectories(staging)
+    val updated = readValidators(landingDir) + (url -> v)
+    val tmp = staging.resolve("_http_validators.txt")
+    Files.write(tmp, updated.toSeq.sortBy(_._1).map { case (u, vv) =>
+      s"$u\t${vv.etag.getOrElse("")}\t${vv.lastModified.getOrElse("")}"
+    }.mkString("\n").getBytes(UTF_8))
+    Files.move(tmp, validatorsFile(landingDir), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
 
   /** Payload → records: a top-level JSON array, or NDJSON (one object
     * per non-blank line). */

@@ -62,6 +62,45 @@ class CrawlPollerSpec extends SparkSpec {
     }
   }
 
+  test("conditional GET: unchanged feed answers 304, nothing re-downloads") {
+    val payload = new AtomicReference[String]("[]")
+    val etag = new AtomicReference[String]("\"v1\"")
+    val served = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/feed", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val inm = Option(ex.getRequestHeaders.getFirst("If-None-Match"))
+        if (inm.contains(etag.get)) {
+          ex.sendResponseHeaders(304, -1); ex.close()
+        } else {
+          served.incrementAndGet()
+          val bytes = payload.get.getBytes(UTF_8)
+          ex.getResponseHeaders.set("ETag", etag.get)
+          ex.sendResponseHeaders(200, bytes.length)
+          ex.getResponseBody.write(bytes); ex.close()
+        }
+      }
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/feed"
+      val landing = Fixtures.scratchDir("poller_cond")
+      payload.set(s"[${doc("https://n/c1", "one")}]")
+      val r1 = CrawlPoller.poll(url, landing, tick = 0)
+      assert(r1.landed === 1 && !r1.notModified && served.get === 1)
+      // unchanged feed: the poller replays the ETag, the server 304s,
+      // and no payload crosses the wire
+      val r2 = CrawlPoller.poll(url, landing, tick = 1)
+      assert(r2.notModified && r2.fetched === 0 && r2.landed === 0)
+      assert(served.get === 1, "payload was re-downloaded despite 304")
+      // feed changes (new etag): normal fetch resumes, new link lands
+      payload.set(s"[${doc("https://n/c1", "one")},${doc("https://n/c2", "two")}]")
+      etag.set("\"v2\"")
+      val r3 = CrawlPoller.poll(url, landing, tick = 2)
+      assert(!r3.notModified && r3.landed === 1 && served.get === 2)
+    } finally server.stop(0)
+  }
+
   test("tick test: endpoint → landing → streamed → deduped lake rows") {
     withServer { (payload, url) =>
       val landing = Fixtures.scratchDir("poller_e2e_landing")

@@ -90,6 +90,35 @@ object Schedule {
     base ++ tweets
   }
 
+  /** The reference's per-source crawl grid as cadence flows: the
+    * GoogleNews (lang × tag) polls and/or the synthesized tweet query
+    * ([[graft.ingest.CrawlFanout]]), each landing RAW records under
+    * `landingRoot`, followed by ONE stream flow that shapes both
+    * sources (P11/P12) and lands the deduped union in
+    * `lakeDir/news_fanout`. Registered before the stream flow, a tick
+    * is the full crawl cadence: poll ×N → land → stream → lake. */
+  def fanoutFlows(spark: SparkSession, lakeDir: String,
+      newsEndpoint: Option[String], tweetsEndpoint: Option[String],
+      landingRoot: String): Seq[Flow] = {
+    import graft.ingest.CrawlFanout
+    val newsLanding = s"$landingRoot/gnews"
+    val tweetsLanding = s"$landingRoot/tweets"
+    val polls =
+      newsEndpoint.toSeq.flatMap(e =>
+        CrawlFanout.flows(CrawlFanout.googleNews(e), newsLanding)) ++
+        tweetsEndpoint.toSeq.flatMap(e =>
+          CrawlFanout.flows(CrawlFanout.tweets(e), tweetsLanding))
+    if (polls.isEmpty) Nil
+    else polls :+ Flow("news_fanout", _ => {
+      // both landing dirs must exist for the two-source stream even
+      // when only one endpoint is configured
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(newsLanding))
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tweetsLanding))
+      NewsStream.runOnceFanout(spark, newsLanding, tweetsLanding,
+        s"$lakeDir/news_fanout", s"$lakeDir/_fanout_ckpt")
+    })
+  }
+
   /** Housekeeping flow: compact any flow output whose visible file
     * count exceeds `maxFiles`. Register it AFTER the ingest flows —
     * ticks run flows sequentially, so it fires between AvailableNow

@@ -256,7 +256,8 @@ object Serve {
         case _: org.apache.spark.sql.AnalysisException => None
         case _: java.io.IOException => None
       }
-    val loaded = Seq("cases", "france_cases", "virtests", "news_crawl", "news_tweets")
+    val loaded = Seq("cases", "france_cases", "virtests", "news_crawl",
+      "news_tweets", "news_fanout")
       .flatMap(n => load(n).map(n -> _))
     loaded.foreach { case (n, df) => df.createOrReplaceTempView(n) }
     val flows = loaded.map(_._1)
@@ -288,7 +289,8 @@ object Serve {
     * allowlisted at startup could never become queryable after its
     * first refresh tick. */
   private[graft] val LakeViewNames =
-    Seq("cases", "france_cases", "virtests", "news_crawl", "news_tweets", "news")
+    Seq("cases", "france_cases", "virtests", "news_crawl", "news_tweets",
+      "news_fanout", "news")
 
   /** TLS material: a PKCS12 keystore holding the server key + cert.
     * The password array is cleared after the context is built. */
@@ -535,9 +537,22 @@ object Serve {
     // tick-0 writes would otherwise race start()'s initial registerLake
     // against half-written directories during boot.
     val server = start(spark, dir, port, bindAll, token, lake, tls, insecureHttp)
+    // --news-endpoint / --tweets-endpoint add the reference's crawl
+    // fan-out (GoogleNews lang×tag grid / synthesized tweet query) to
+    // the refresh cadence, landing through the shaped fan-out stream
+    // into the lake's news_fanout view
+    def flag(name: String): Option[String] = args.collectFirst {
+      case a if a.startsWith(s"--$name=") => a.stripPrefix(s"--$name=")
+    }.filter(_.nonEmpty)
+    val newsEndpoint = flag("news-endpoint")
+    val tweetsEndpoint = flag("tweets-endpoint")
+    require((newsEndpoint.isEmpty && tweetsEndpoint.isEmpty) || lake.isDefined,
+      "--news-endpoint/--tweets-endpoint need --lake=<dir> to land into")
     for (lakeDir <- lake; hours <- refreshHours) {
       val t = new Thread(() =>
-        Schedule.loop(Schedule.defaultFlows(spark, lakeDir) :+
+        Schedule.loop(Schedule.defaultFlows(spark, lakeDir) ++
+            Schedule.fanoutFlows(spark, lakeDir, newsEndpoint, tweetsEndpoint,
+              s"$lakeDir/_crawl_landing") :+
             Schedule.compactionFlow(spark, lakeDir),
           (hours * 3600 * 1000).toLong,
           onTick = { r =>

@@ -110,6 +110,35 @@ class CrawlFanoutSpec extends SparkSpec {
     }
   }
 
+  test("fanoutFlows integrates the grid into the cadence and the lake views") {
+    withServer { (_, base) =>
+      val lakeDir = Fixtures.scratchDir("fanout_sched_lake")
+      val flows = Schedule.fanoutFlows(spark, lakeDir,
+        newsEndpoint = Some(s"$base/news"),
+        tweetsEndpoint = Some(s"$base/tweets"),
+        landingRoot = s"$lakeDir/_crawl_landing")
+      // 4 news polls + 1 tweet poll + the stream flow
+      assert(flows.map(_.name) === Seq("news_fr_covid", "news_fr_corona",
+        "news_en_covid", "news_en_corona", "tweets_en", "news_fanout"))
+      val report = Schedule.runTick(flows, 0)
+      assert(report.outcomes.forall(_._2.isEmpty), report.outcomes.toString)
+      // the sink registers as a lake view and joins the news union
+      val names = Serve.registerLake(spark, lakeDir)
+      assert(names.contains("news_fanout") && names.contains("news"))
+      assert(spark.table("news_fanout").count() === 4L) // 3 stories + 1 tweet
+      assert(spark.table("news").count() === 4L)
+      // news-endpoint-only config still works (tweet landing stays empty)
+      val lake2 = Fixtures.scratchDir("fanout_sched_lake2")
+      val newsOnly = Schedule.fanoutFlows(spark, lake2,
+        newsEndpoint = Some(s"$base/news"), tweetsEndpoint = None,
+        landingRoot = s"$lake2/_crawl_landing")
+      assert(Schedule.runTick(newsOnly, 0).outcomes.forall(_._2.isEmpty))
+      assert(spark.read.parquet(s"$lake2/news_fanout").count() === 3L)
+      // no endpoints -> no flows at all
+      assert(Schedule.fanoutFlows(spark, lake2, None, None, "x").isEmpty)
+    }
+  }
+
   test("bounded seen-set: recent links survive the cap, old ones re-land once") {
     withServer { (_, base) =>
       val landing = Fixtures.scratchDir("fanout_seen_cap")

@@ -134,7 +134,8 @@ object Schedule {
       targetBytes: Long = graft.operators.Compaction.DefaultTargetBytes): Flow =
     Flow("compact", _ => {
       val C = graft.operators.Compaction
-      Seq("cases", "france_cases", "virtests", "news_crawl", "news_tweets")
+      Seq("cases", "france_cases", "virtests", "news_crawl", "news_tweets",
+        "news_fanout")
         .foreach { name =>
           val path = s"$lakeDir/$name"
           C.visibleFileCount(spark, path).foreach { n =>

@@ -546,8 +546,11 @@ object Serve {
     }.filter(_.nonEmpty)
     val newsEndpoint = flag("news-endpoint")
     val tweetsEndpoint = flag("tweets-endpoint")
-    require((newsEndpoint.isEmpty && tweetsEndpoint.isEmpty) || lake.isDefined,
-      "--news-endpoint/--tweets-endpoint need --lake=<dir> to land into")
+    // endpoints without the refresh daemon would register flows that
+    // never fire — refuse loudly rather than silently never polling
+    require((newsEndpoint.isEmpty && tweetsEndpoint.isEmpty) ||
+        (lake.isDefined && refreshHours.isDefined),
+      "--news-endpoint/--tweets-endpoint need --lake=<dir> AND --refresh-hours=<h> to poll into")
     for (lakeDir <- lake; hours <- refreshHours) {
       val t = new Thread(() =>
         Schedule.loop(Schedule.defaultFlows(spark, lakeDir) ++

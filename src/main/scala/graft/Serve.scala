@@ -362,15 +362,67 @@ object Serve {
             got.getBytes(UTF_8), t.getBytes(UTF_8)))
     }
 
-    def handle(ex: HttpExchange)(f: => (Int, String)): Unit =
+    // Per-SERVER metrics (an instance, not a global — concurrent test
+    // instances must not pollute each other): request/error counters
+    // and a fixed 512-sample latency ring per endpoint, all lock-free
+    // atomics, so the serving hot path pays two increments and a slot
+    // write. The reference gets its serving observability from Kibana
+    // monitoring; here it's a JSON endpoint on the server itself.
+    val startedAtNanos = System.nanoTime()
+    final class EpStats {
+      val n = new java.util.concurrent.atomic.AtomicLong
+      val errors = new java.util.concurrent.atomic.AtomicLong
+      val ring = new java.util.concurrent.atomic.AtomicLongArray(512)
+      val idx = new java.util.concurrent.atomic.AtomicLong
+      def record(code: Int, ms: Long): Unit = {
+        n.incrementAndGet(): Unit
+        if (code >= 400) errors.incrementAndGet(): Unit
+        ring.set((idx.getAndIncrement() % 512).toInt, ms)
+      }
+      def json: String = {
+        val filled = math.min(idx.get, 512L).toInt
+        val lat = (0 until filled).map(ring.get).sorted
+        def pct(p: Int): Long =
+          if (lat.isEmpty) 0L else lat(math.min(lat.size - 1, (lat.size * p) / 100))
+        s"""{"n":${n.get},"errors":${errors.get},"p50_ms":${pct(50)},""" +
+          s""""p95_ms":${pct(95)},"max_ms":${if (lat.isEmpty) 0L else lat.last}}"""
+      }
+    }
+    val epStats = new java.util.concurrent.ConcurrentHashMap[String, EpStats]()
+    def statsFor(path: String): EpStats = {
+      // first path segment: /query/<name> folds to /query
+      val ep = "/" + path.stripPrefix("/").takeWhile(_ != '/')
+      epStats.computeIfAbsent(ep, _ => new EpStats)
+    }
+
+    def handle(ex: HttpExchange)(f: => (Int, String)): Unit = {
+      val t0 = System.nanoTime()
+      def done(code: Int, body: String): Unit = {
+        reply(ex, code, body)
+        statsFor(ex.getRequestURI.getPath)
+          .record(code, (System.nanoTime() - t0) / 1000000L)
+      }
       try {
         if (!authorized(ex))
-          reply(ex, 401, """{"error":"missing or invalid bearer token"}""")
-        else { val (code, body) = f; reply(ex, code, body) }
+          done(401, """{"error":"missing or invalid bearer token"}""")
+        else { val (code, body) = f; done(code, body) }
       }
       catch { case e: Exception =>
-        reply(ex, 400, s"""{"error":${jstr(e.toString.take(500))}}""")
+        done(400, s"""{"error":${jstr(e.toString.take(500))}}""")
       }
+    }
+
+    server.createContext("/metrics", (ex: HttpExchange) => handle(ex) {
+      val ups = (System.nanoTime() - startedAtNanos) / 1e9
+      val eps = epStats.entrySet().iterator()
+      val sb = new StringBuilder
+      while (eps.hasNext) {
+        val e = eps.next()
+        if (sb.nonEmpty) sb.append(","): Unit
+        sb.append(s"${jstr(e.getKey)}:${e.getValue.json}"): Unit
+      }
+      (200, f"""{"uptime_sec":$ups%.1f,"endpoints":{$sb}}""")
+    })
 
     server.createContext("/tables", (ex: HttpExchange) => handle(ex) {
       // allowlisted lake views that have not landed yet are queryable

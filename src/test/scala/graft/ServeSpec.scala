@@ -82,6 +82,26 @@ class ServeSpec extends SparkSpec {
       s"highlight '${hit.group(2)}' contains none of ${matched.mkString(",")}")
   }
 
+  test("/metrics reports per-endpoint counts, errors, and latency percentiles") {
+    // a dedicated instance so other tests' requests can't skew counts
+    val srv = Serve.start(spark, sf0001, port = 0)
+    try {
+      getFrom(srv, "/tables"): Unit
+      getFrom(srv, "/tables"): Unit
+      getFrom(srv, "/sql?q=bogus("): Unit // parse error -> 400 -> counted
+      val (code, body) = getFrom(srv, "/metrics")
+      assert(code === 200)
+      assert(body.contains("\"uptime_sec\""), body.take(200))
+      assert(body.contains("\"/tables\":{\"n\":2,\"errors\":0"), body)
+      assert(body.contains("\"/sql\":{\"n\":1,\"errors\":1"), body)
+      assert(body.contains("\"p95_ms\""))
+      // /query/<name> folds to its first segment
+      getFrom(srv, "/query/nope"): Unit
+      val (_, b2) = getFrom(srv, "/metrics")
+      assert(b2.contains("\"/query\":{\"n\":1,\"errors\":1"), b2)
+    } finally srv.stop(0)
+  }
+
   test("--bind-all refuses to start without a shared secret") {
     val e = intercept[IllegalArgumentException] {
       Serve.start(spark, sf0001, port = 0, bindAll = true)

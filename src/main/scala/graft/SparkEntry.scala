@@ -36,7 +36,9 @@ object SparkEntry {
       graft.queries.CorpusOps.queries ++
       graft.queries.Bucketed.queries ++
       graft.queries.Pii.queries ++
-      graft.queries.TextClean.queries
+      graft.queries.TextClean.queries ++
+      graft.queries.EsAggs.queries ++
+      graft.queries.TextIndex.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -56,5 +58,7 @@ object SparkEntry {
       graft.queries.CorpusOps.oracles ++
       graft.queries.Bucketed.oracles ++
       graft.queries.Pii.oracles ++
-      graft.queries.TextClean.oracles
+      graft.queries.TextClean.oracles ++
+      graft.queries.EsAggs.oracles ++
+      graft.queries.TextIndex.oracles
 }

@@ -1,0 +1,198 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Positional-index text surface: the three Elasticsearch text shapes
+  * beyond bag-of-words relevance (which the catalog already covers as
+  * txt_search_bm25/_fields/_hits) —
+  *
+  *  - `match_phrase` (ES positional phrase query, the quoted-search box
+  *    in the reference's news UI, SearchUI.js:6-33);
+  *  - `significant_terms` (ES's foreground-vs-background term contrast
+  *    agg — "what words characterize this slice");
+  *  - collocation mining (PMI-style association scoring over adjacent
+  *    token pairs — the classic corpus-analysis companion of the two).
+  *
+  * All three share one tokenization (lower, whitespace-collapse, split
+  * on single spaces — identical to TextAnalysis.tokens so every text
+  * operator in the catalog agrees on what a token is), and every score
+  * is a pinned single-division over exact integer counts, so the DuckDB
+  * hash can never drift on float fold order.
+  */
+object TextIndex {
+
+  /** 1-based positional postings (doc_id, pos, w) — the inverted-index
+    * shape. Built by scan + posexplode: no shuffle; the phrase join
+    * below is the only exchange. */
+  private def postings(docs: DataFrame): DataFrame = {
+    val toks = split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+    docs.select(col("doc_id"), posexplode(toks).as(Seq("pos0", "w")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("w"))
+  }
+
+  private val oraclePostings: String =
+    """SELECT doc_id,
+      |    unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w,
+      |    CAST(generate_subscripts(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '), 1) AS BIGINT) AS pos
+      |  FROM documents""".stripMargin
+
+  // ------------------------------------------------------ match_phrase
+
+  /** The catalog's fixed demo phrase — chosen to occur at every test SF
+    * (1 doc at sf0.001, 7 at sf0.01, 10 at sf0.1) so the query is
+    * non-vacuous wherever the gate runs it. */
+  val Phrase: Seq[String] = Seq("part", "filter", "scan")
+
+  /** ES `match_phrase`: docs containing the exact consecutive token
+    * sequence, with match count and first position. Plan: per-term
+    * postings are FILTERED before any join (the selective-first rule of
+    * positional indexes), each leg's position is shifted so a phrase
+    * occurrence aligns on equal (doc_id, pos), and the k legs meet on a
+    * keyed equi-join. At 100 TB all k legs hash-partition on the SAME
+    * (doc_id, pos) key, so AQE plans one exchange per leg and the
+    * intersections co-locate; nothing is ever pairwise across docs.
+    * The DuckDB oracle replays the same algebra over
+    * generate_subscripts postings. */
+  def phraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    val p = postings(Tables.load(spark, dir, "documents"))
+    val legs = Phrase.zipWithIndex.map { case (term, k) =>
+      p.filter(col("w") === term)
+        .select(col("doc_id"), (col("pos") - k).as("pos"))
+    }
+    legs.reduce((a, b) => a.join(b, Seq("doc_id", "pos")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"), min(col("pos")).as("first_pos"))
+  }
+
+  val phraseSearchSql: String = {
+    val legs = Phrase.zipWithIndex.map { case (term, k) =>
+      s"l$k AS (SELECT doc_id, pos - $k AS pos FROM p WHERE w = '$term')"
+    }.mkString(",\n")
+    val joins = (1 until Phrase.size)
+      .map(k => s"JOIN l$k USING (doc_id, pos)").mkString(" ")
+    s"""WITH p AS ($oraclePostings),
+       |$legs
+       |SELECT doc_id, COUNT(*) AS n_matches, MIN(pos) AS first_pos
+       |FROM l0 $joins
+       |GROUP BY 1""".stripMargin
+  }
+
+  // ------------------------------------------------ significant_terms
+
+  /** ES `significant_terms`: terms over-represented in a foreground
+    * slice (lang = 'de') vs the whole corpus, scored by document-
+    * frequency lift. Counts are DISTINCT-doc frequencies (ES counts
+    * docs, not occurrences); the two corpus totals ride along as one
+    * broadcast row; lift = (fg_df * bg_total) / (bg_df * fg_total) as
+    * exact long products into one pinned division. Top 15 with the
+    * (lift, term) total order, so the limit is deterministic. */
+  def significantTerms(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val toks = split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+    val docTerms = docs
+      .select(col("doc_id"), col("lang"), explode(toks).as("w"))
+      .distinct()
+    val perTerm = docTerms.groupBy(col("w")).agg(
+      count(when(col("lang") === "de", 1)).as("fg_df"),
+      count(lit(1)).as("bg_df"))
+    val totals = docs.agg(
+      count(when(col("lang") === "de", 1)).as("fg_n"),
+      count(lit(1)).as("bg_n"))
+    perTerm.crossJoin(broadcast(totals))
+      .filter(col("fg_df") >= 3)
+      .select(
+        col("w"), col("fg_df"), col("bg_df"),
+        ((col("fg_df") * col("bg_n")).cast("double") /
+          (col("bg_df") * col("fg_n")).cast("double")).as("lift"))
+      .orderBy(col("lift").desc, col("w"))
+      .limit(15)
+  }
+
+  val significantTermsSql: String =
+    """WITH n AS (SELECT doc_id, lang,
+      |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS a
+      |  FROM documents),
+      |dt AS (SELECT DISTINCT doc_id, lang, unnest(a) AS w FROM n),
+      |per AS (SELECT w, COUNT(*) FILTER (lang = 'de') AS fg_df, COUNT(*) AS bg_df
+      |  FROM dt GROUP BY 1),
+      |t AS (SELECT COUNT(*) FILTER (lang = 'de') AS fg_n, COUNT(*) AS bg_n
+      |  FROM documents)
+      |SELECT w, fg_df, bg_df,
+      |  CAST(fg_df * bg_n AS DOUBLE) / CAST(bg_df * fg_n AS DOUBLE) AS lift
+      |FROM per, t
+      |WHERE fg_df >= 3
+      |ORDER BY lift DESC, w
+      |LIMIT 15""".stripMargin
+
+  // -------------------------------------------------- collocations
+
+  /** PMI-style collocation mining: adjacent token pairs scored by
+    * association lift n(ab)*N / (n(a)*n(b)) — log-free so the score is
+    * two exact-double products into one division (PMI = log(lift) is
+    * monotone in it; dropping the log removes the only cross-engine
+    * transcendental). The Spark side derives bigrams WITHOUT a self-join
+    * — zip_with over two array slices inside the scan projection, so
+    * the only exchanges are the two counting groupBys; the DuckDB
+    * oracle instead self-joins positional postings on pos+1, making the
+    * check a genuine two-implementation cross-validation, not a mirror.
+    * Unigram joins key on the words themselves; at gate SF AQE
+    * broadcasts the ~vocab-size sides, at 100 TB they degrade to keyed
+    * joins that stay O(vocab), never O(corpus). */
+  def collocations(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val toks = split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+    val withToks = docs.select(toks.as("a"))
+    val pairs = withToks
+      .select(explode(zip_with(
+        slice(col("a"), lit(1), size(col("a")) - 1),
+        slice(col("a"), lit(2), size(col("a")) - 1),
+        (x, y) => struct(x.as("w1"), y.as("w2")))).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+    val uni = withToks.select(explode(col("a")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+    val nTotal = withToks
+      .agg(sum(size(col("a"))).cast("long").as("n_tokens"))
+    val bi = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab"))
+    bi.filter(col("n_ab") >= 5)
+      .join(uni.select(col("w").as("w1"), col("n_w").as("n_a")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("n_w").as("n_b")), Seq("w2"))
+      .crossJoin(broadcast(nTotal))
+      .select(
+        col("w1"), col("w2"), col("n_ab"), col("n_a"), col("n_b"),
+        ((col("n_ab").cast("double") * col("n_tokens").cast("double")) /
+          (col("n_a").cast("double") * col("n_b").cast("double"))).as("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  val collocationsSql: String =
+    s"""WITH p AS ($oraclePostings),
+       |bi AS (SELECT x.w AS w1, y.w AS w2
+       |  FROM p x JOIN p y ON x.doc_id = y.doc_id AND y.pos = x.pos + 1),
+       |bc AS (SELECT w1, w2, COUNT(*) AS n_ab FROM bi GROUP BY 1, 2),
+       |uni AS (SELECT w, COUNT(*) AS n_w FROM p GROUP BY 1),
+       |t AS (SELECT COUNT(*) AS n_tokens FROM p)
+       |SELECT w1, w2, n_ab, a.n_w AS n_a, b.n_w AS n_b,
+       |  (CAST(n_ab AS DOUBLE) * CAST(n_tokens AS DOUBLE)) /
+       |  (CAST(a.n_w AS DOUBLE) * CAST(b.n_w AS DOUBLE)) AS lift
+       |FROM bc
+       |JOIN uni a ON bc.w1 = a.w
+       |JOIN uni b ON bc.w2 = b.w
+       |CROSS JOIN t
+       |WHERE n_ab >= 5
+       |ORDER BY lift DESC, w1, w2
+       |LIMIT 20""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt_phrase_search" -> (phraseSearch _),
+    "txt_significant_terms" -> (significantTerms _),
+    "txt_collocations" -> (collocations _))
+
+  val oracles: Map[String, String] = Map(
+    "txt_phrase_search" -> phraseSearchSql,
+    "txt_significant_terms" -> significantTermsSql,
+    "txt_collocations" -> collocationsSql)
+}

@@ -295,7 +295,53 @@ object EventOps {
       |FROM d JOIN ud ON ud.day BETWEEN d.day - 6 AND d.day
       |GROUP BY 1""".stripMargin
 
+  /** Z-score anomaly detection: events whose value sits ≥3σ from their
+    * type's mean — the statistical-outlier shape ES ships as X-pack
+    * anomaly detection, composed here from one stats fold + one
+    * broadcast rejoin. Float discipline: mean/variance come from EXACT
+    * DECIMAL sums (values are 2dp, squares 4dp — both exact), so the
+    * per-group stats are fold-order-free; every double after that is a
+    * pinned op sequence (two divisions, one multiply-subtract, one
+    * IEEE-correctly-rounded sqrt) mirrored verbatim in the oracle, so z
+    * is bit-identical cross-engine and the 3.0 cutoff can't flake. At
+    * 100 TB: the stats side is one partial-aggregatable groupBy
+    * collapsing to |event_type| rows, broadcast back over the scan —
+    * the detection pass itself is map-only. */
+  def anomalyZscore(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val vd = col("value").cast("decimal(18,2)")
+    val stats = ev.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(vd).as("sv"),
+      sum((vd * vd).cast("decimal(38,4)")).as("sq"))
+    val mean = col("sv").cast("double") / col("n").cast("double")
+    val std = sqrt(col("sq").cast("double") / col("n").cast("double") - mean * mean)
+    val st = stats.select(col("event_type"), mean.as("mean"), std.as("std"))
+    ev.join(broadcast(st), Seq("event_type"))
+      .withColumn("z", (col("value") - col("mean")) / col("std"))
+      .filter(abs(col("z")) >= 3.0)
+      .select(col("event_id"), col("event_type"), col("value"), col("z"))
+  }
+
+  val anomalyZscoreSql: String =
+    """WITH s AS (SELECT event_type, COUNT(*) AS n,
+      |    SUM(CAST(value AS DECIMAL(18,2))) AS sv,
+      |    SUM(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))
+      |        AS DECIMAL(38,4))) AS sq
+      |  FROM events GROUP BY 1),
+      |st AS (SELECT event_type,
+      |    CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+      |    sqrt(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)
+      |      - (CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
+      |        * (CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))) AS std
+      |  FROM s)
+      |SELECT e.event_id, e.event_type, e.value,
+      |  (e.value - st.mean) / st.std AS z
+      |FROM events e JOIN st ON e.event_type = st.event_type
+      |WHERE abs((e.value - st.mean) / st.std) >= 3.0""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_anomaly_zscore" -> (anomalyZscore _),
     "evt_asof_join" -> (asofJoin _),
     "evt_asof_custom" -> (asofCustom _),
     "evt_sessionize" -> (sessionize _),
@@ -309,6 +355,7 @@ object EventOps {
   // not hash-comparable cross-engine → rows-only driver check (the
   // rel_approx_distinct precedent).
   val oracles: Map[String, String] = Map(
+    "evt_anomaly_zscore" -> anomalyZscoreSql,
     "evt_asof_join" -> asofJoinSql,
     "evt_asof_custom" -> asofCustomSql,
     "evt_sessionize" -> sessionizeSql,

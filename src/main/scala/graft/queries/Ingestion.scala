@@ -374,7 +374,63 @@ object Ingestion {
        |FROM z GROUP BY 1""".stripMargin
   }
 
+  /** Snapshot change-detection diff (CDC feed): given two versions of
+    * the orders table — the "previous" load missing keys ≡ 3 (mod 10),
+    * the "current" load missing keys ≡ 7 and re-pricing keys ≡ 5 — emit
+    * one row per differing key classified added / removed / changed.
+    * This is the DETECTION half of slowly-changing ingestion (the
+    * APPLYING half is ing_scd2_merge): a lake refresh that wants a
+    * change feed without the source providing one diffs the snapshots.
+    *
+    * Plan: one full-outer join on the key — both sides hash-partition
+    * on o_orderkey, so at 100 TB this is a co-partitioned sort-merge,
+    * never a broadcast of a snapshot. 'changed' compares the tracked
+    * column as exact DECIMAL(18,2) (the money convention), so no float
+    * equality enters the classification; unchanged keys are dropped
+    * post-join. The synthetic deltas are mod-arithmetic on the key, so
+    * the oracle regenerates both snapshots independently. */
+  def cdcDiff(spark: SparkSession, dir: String): DataFrame = {
+    val o = graft.Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice").cast("decimal(18,2)").as("price"))
+    val prev = o.filter(col("o_orderkey") % 10 =!= 3)
+    val cur = o.filter(col("o_orderkey") % 10 =!= 7)
+      .withColumn("price",
+        when(col("o_orderkey") % 10 === 5, col("price") + lit(1).cast("decimal(18,2)"))
+          .otherwise(col("price")))
+    prev.select(col("o_orderkey"), col("price").as("prev_price"))
+      .join(cur.select(col("o_orderkey"), col("price").as("cur_price")),
+        Seq("o_orderkey"), "full_outer")
+      .withColumn("status",
+        when(col("prev_price").isNull, "added")
+          .when(col("cur_price").isNull, "removed")
+          .when(col("prev_price") =!= col("cur_price"), "changed"))
+      .filter(col("status").isNotNull)
+      .select(col("o_orderkey"), col("status"),
+        col("prev_price").cast("double").as("prev_price"),
+        col("cur_price").cast("double").as("cur_price"))
+  }
+
+  val cdcDiffSql: String =
+    """WITH o AS (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      |  FROM orders),
+      |prev AS (SELECT o_orderkey, price AS prev_price FROM o WHERE o_orderkey % 10 != 3),
+      |cur AS (SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 10 = 5 THEN price + CAST(1 AS DECIMAL(18,2))
+      |         ELSE price END AS cur_price
+      |  FROM o WHERE o_orderkey % 10 != 7),
+      |d AS (SELECT COALESCE(prev.o_orderkey, cur.o_orderkey) AS o_orderkey,
+      |    prev_price, cur_price,
+      |    CASE WHEN prev_price IS NULL THEN 'added'
+      |         WHEN cur_price IS NULL THEN 'removed'
+      |         WHEN prev_price != cur_price THEN 'changed' END AS status
+      |  FROM prev FULL OUTER JOIN cur ON prev.o_orderkey = cur.o_orderkey)
+      |SELECT o_orderkey, status,
+      |  CAST(prev_price AS DOUBLE) AS prev_price,
+      |  CAST(cur_price AS DOUBLE) AS cur_price
+      |FROM d WHERE status IS NOT NULL""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ing_cdc_diff" -> (cdcDiff _),
     "ing_lake_zorder" -> (lakeZorder _),
     "ing_cases_norm" -> (casesNorm _),
     "ing_cases_by_country" -> (casesByCountry _),
@@ -385,6 +441,7 @@ object Ingestion {
     "ing_scd2_merge" -> (scd2Merge _))
 
   val oracles: Map[String, String] = Map(
+    "ing_cdc_diff" -> cdcDiffSql,
     "ing_lake_zorder" -> lakeZorderSql,
     "ing_cases_norm" -> casesNormSql,
     "ing_cases_by_country" -> casesByCountrySql,

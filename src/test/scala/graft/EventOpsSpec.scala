@@ -139,4 +139,33 @@ class EventOpsSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got === expect && got.nonEmpty)
   }
+
+  test("anomaly z-scores recompute from a driver-side stats derivation") {
+    import org.apache.spark.sql.functions._
+    val out = graft.queries.EventOps.anomalyZscore(spark, sf0001).collect()
+    assert(out.nonEmpty, "no 3-sigma outliers at sf0.001 — detection is vacuous")
+    // Independent stats: plain double fold on the driver (tolerance
+    // compare — the query's own DECIMAL path is exact, the reference
+    // here need only agree to float noise).
+    val rows = Tables.load(spark, sf0001, "events")
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val byType = rows.groupBy(_._1).map { case (t, vs) =>
+      val xs = vs.map(_._2)
+      val mean = xs.sum / xs.length
+      val std = math.sqrt(xs.map(x => x * x).sum / xs.length - mean * mean)
+      t -> ((mean, std))
+    }
+    out.foreach { r =>
+      val (mean, std) = byType(r.getAs[String]("event_type"))
+      val z = (r.getAs[Double]("value") - mean) / std
+      assert(math.abs(z - r.getAs[Double]("z")) < 1e-9)
+      assert(math.abs(r.getAs[Double]("z")) >= 3.0)
+    }
+    // Every event at >=3 sigma (by the independent stats) is reported.
+    val expected = rows.zipWithIndex.count { case ((t, v), _) =>
+      val (mean, std) = byType(t); math.abs((v - mean) / std) >= 3.0 + 1e-12
+    }
+    assert(math.abs(out.length - expected) <= 1) // cutoff-straddling ulp slack
+  }
 }

@@ -99,6 +99,19 @@ class AnnRecallSpec extends SparkSpec {
     assert(mean >= 0.9, s"mean LSH recall $mean < 0.9: $rec")
   }
 
+  test("PQ encode+ADC+rerank holds recall@5 >= 0.9 on clustered data") {
+    // The planted vectors are unit-norm, so cosine and L2 rankings
+    // coincide (d2 = 2 - 2cos) and the cosine exact set is the right
+    // ground truth for the L2-based PQ searcher.
+    val exact = topSets(VectorSearch.annSearch(spark, plantedDir, 200L until 205L, 5))
+    val ann = topSets(VectorSearch.pqTopk(spark, plantedDir))
+    val rec = recallAt(ann, exact)
+    val mean = rec.values.sum / rec.size
+    info(s"PQ recall@5 per query: ${rec.toSeq.sortBy(_._1)}; mean $mean")
+    assert(rec.size === 5)
+    assert(mean >= 0.9, s"mean PQ recall $mean < 0.9: $rec")
+  }
+
   test("IVF probed search holds recall@5 >= 0.9 on clustered data") {
     val exact = topSets(VectorSearch.annSearch(spark, plantedDir, 200L until 205L, 5))
     val ann = topSets(VectorSearch.ivfTopk(spark, plantedDir))

@@ -143,18 +143,22 @@ object TextIndex {
     * joins that stay O(vocab), never O(corpus). */
   def collocations(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    val toks = split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
-    val withToks = docs.select(toks.as("a"))
-    val pairs = withToks
+    def toks = split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+    // Every consumer explodes/aggregates the tokenizer EXPRESSION
+    // directly — never an aliased array column. Aliasing lets
+    // InferFiltersFromGenerate + pushdown inline the split into a
+    // non-codegen pre-Generate Filter (the explode-alias trap,
+    // PLANS.md r13; PlanInvariantSpec guards the whole catalog).
+    val pairs = docs
       .select(explode(zip_with(
-        slice(col("a"), lit(1), size(col("a")) - 1),
-        slice(col("a"), lit(2), size(col("a")) - 1),
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
         (x, y) => struct(x.as("w1"), y.as("w2")))).as("p"))
       .select(col("p.w1"), col("p.w2"))
-    val uni = withToks.select(explode(col("a")).as("w"))
+    val uni = docs.select(explode(toks).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("n_w"))
-    val nTotal = withToks
-      .agg(sum(size(col("a"))).cast("long").as("n_tokens"))
+    val nTotal = docs
+      .agg(sum(size(toks)).cast("long").as("n_tokens"))
     val bi = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab"))
     bi.filter(col("n_ab") >= 5)
       .join(uni.select(col("w").as("w1"), col("n_w").as("n_a")), Seq("w1"))

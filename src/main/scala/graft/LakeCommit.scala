@@ -150,6 +150,32 @@ object LakeCommit {
       .orElse(if (committed.isEmpty && fs.exists(root)) Some(path) else None)
   }
 
+  /** Committed, still-readable versions of `path`, ascending — the
+    * history listing (Delta's DESCRIBE HISTORY shape): marker exists
+    * AND the data dir survived GC. Empty for flat/absent lakes. */
+  def committedVersions(spark: SparkSession, path: String): Seq[Long] = {
+    val root = new Path(path)
+    val fs = fsFor(root, spark)
+    listVersions(fs, new Path(root, CommitsDir)).sorted
+      .filter(v => fs.exists(new Path(root, versionName(v))))
+  }
+
+  /** Time travel: read a SPECIFIC committed version of `path`. The
+    * version must be committed (marker) and inside the retention
+    * window (data dir not GC'd) — reading an expired version fails
+    * loudly rather than silently returning the wrong snapshot. */
+  def readVersion(spark: SparkSession, path: String, version: Long): DataFrame = {
+    val root = new Path(path)
+    val fs = fsFor(root, spark)
+    val marker = new Path(root, s"$CommitsDir/${versionName(version)}")
+    val data = new Path(root, versionName(version))
+    if (!fs.exists(marker)) throw new java.io.FileNotFoundException(
+      s"version $version of lake $path was never committed")
+    if (!fs.exists(data)) throw new java.io.FileNotFoundException(
+      s"version $version of lake $path is outside the retention window (GC'd)")
+    spark.read.parquet(data.toString)
+  }
+
   /** Read the current version of `path` as a DataFrame pinned to that
     * version's immutable directory — later commits and their GC (within
     * the grace window) cannot change or break this plan. */

@@ -429,7 +429,91 @@ object Ingestion {
       |  CAST(cur_price AS DOUBLE) AS cur_price
       |FROM d WHERE status IS NOT NULL""".stripMargin
 
+  private def deleteDir(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true): Unit
+  }
+
+  /** Time travel over the versioned lake (K2's commit protocol,
+    * [[graft.LakeCommit]]): commit two snapshots of orders — v1 the
+    * 'F' slice, v2 everything else — then read BOTH v1 (via
+    * `readVersion`, after it is no longer current) and v2 (via the
+    * normal current-version read), proving a reader can pin any
+    * retained snapshot. The aggregate unions the two pinned reads; the
+    * oracle recomputes each slice from the source table, so the check
+    * covers commit → supersede → time-travel-read end-to-end. Scale:
+    * time travel is pure METADATA — resolving a version is one marker
+    * lookup; the data dirs are immutable, so a pinned old-version scan
+    * plans exactly like any parquet scan. */
+  def lakeTimetravel(spark: SparkSession, dir: String): DataFrame = {
+    val lake = s"${System.getProperty("java.io.tmpdir")}/graft_lake_tt"
+    deleteDir(spark, lake) // deterministic version numbering per run
+    val o = graft.Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    graft.LakeCommit.commit(o.filter(col("o_orderstatus") === "F"), lake, keepVersions = 3)
+    graft.LakeCommit.commit(o.filter(col("o_orderstatus") =!= "F"), lake, keepVersions = 3)
+    val v1 = graft.LakeCommit.readVersion(spark, lake, 1L)
+    val cur = graft.LakeCommit.read(spark, lake)
+    v1.withColumn("version", lit(1L))
+      .unionByName(cur.withColumn("version", lit(2L)))
+      .groupBy(col("version"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("rev"))
+  }
+
+  val lakeTimetravelSql: String =
+    """SELECT CAST(1 AS BIGINT) AS version, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+      |FROM orders WHERE o_orderstatus = 'F'
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT) AS version, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+      |FROM orders WHERE o_orderstatus != 'F'""".stripMargin
+
+  /** Schema evolution on the lake: an old file vintage written with
+    * (custkey, acctbal) and a newer vintage with an added
+    * c_mktsegment column coexist in one table; `mergeSchema` reads
+    * them as one relation with NULL for the pre-evolution rows — the
+    * additive-column migration every long-lived lake performs without
+    * rewriting history. The aggregate groups by the evolved column
+    * with the NULL bucket kept visible. Scale: schema merge is a
+    * footer-metadata union (per-file schemas reconciled at planning);
+    * no data is rewritten and the scan stays columnar — the absent
+    * column materializes as nulls per batch. */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_lake_evo"
+    deleteDir(spark, base)
+    val c = graft.Tables.load(spark, dir, "customer")
+    c.filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey"), col("c_acctbal"))
+      .write.mode("overwrite").parquet(s"$base/d")
+    c.filter(col("c_custkey") % 2 === 1)
+      .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      .write.mode("append").parquet(s"$base/d")
+    spark.read.option("mergeSchema", "true").parquet(s"$base/d")
+      .groupBy(coalesce(col("c_mktsegment"), lit("(pre-evolution)")).as("segment"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("bal"))
+  }
+
+  val schemaEvolutionSql: String =
+    """WITH merged AS (
+      |  SELECT c_custkey, c_acctbal, NULL AS c_mktsegment
+      |    FROM customer WHERE c_custkey % 2 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, c_acctbal, c_mktsegment
+      |    FROM customer WHERE c_custkey % 2 = 1)
+      |SELECT COALESCE(c_mktsegment, '(pre-evolution)') AS segment,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+      |FROM merged GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ing_lake_timetravel" -> (lakeTimetravel _),
+    "ing_schema_evolution" -> (schemaEvolution _),
     "ing_cdc_diff" -> (cdcDiff _),
     "ing_lake_zorder" -> (lakeZorder _),
     "ing_cases_norm" -> (casesNorm _),
@@ -441,6 +525,8 @@ object Ingestion {
     "ing_scd2_merge" -> (scd2Merge _))
 
   val oracles: Map[String, String] = Map(
+    "ing_lake_timetravel" -> lakeTimetravelSql,
+    "ing_schema_evolution" -> schemaEvolutionSql,
     "ing_cdc_diff" -> cdcDiffSql,
     "ing_lake_zorder" -> lakeZorderSql,
     "ing_cases_norm" -> casesNormSql,

@@ -86,6 +86,26 @@ class LakeCommitSpec extends SparkSpec {
     assert(names === Set("_commits", "v000000003", "v000000004"), s"got $names")
   }
 
+  test("time travel: any retained version reads back; expired and never-committed fail loudly") {
+    val lake = s"${Fixtures.scratchDir("lc_tt")}/lake"
+    LakeCommit.commit(dataset(1), lake, keepVersions = 2)
+    LakeCommit.commit(dataset(2), lake, keepVersions = 2)
+    // Both inside the retention window: history lists them, each pins
+    // its own immutable content, current == highest.
+    assert(LakeCommit.committedVersions(spark, lake) === Seq(1L, 2L))
+    assert(ks(LakeCommit.readVersion(spark, lake, 1L)) === Set(1))
+    assert(ks(LakeCommit.readVersion(spark, lake, 2L)) === Set(2))
+    assert(ks(LakeCommit.read(spark, lake)) === Set(2))
+    // Third commit GCs v1 (keep=2): time travel to it must fail with
+    // the retention error, not silently read v2's data.
+    LakeCommit.commit(dataset(3), lake, keepVersions = 2)
+    assert(LakeCommit.committedVersions(spark, lake) === Seq(2L, 3L))
+    intercept[java.io.FileNotFoundException](LakeCommit.readVersion(spark, lake, 1L))
+    // A version number never committed is a distinct loud failure.
+    intercept[java.io.FileNotFoundException](LakeCommit.readVersion(spark, lake, 99L))
+    assert(ks(LakeCommit.readVersion(spark, lake, 2L)) === Set(2))
+  }
+
   test("rename atomicity is NOT load-bearing: concurrent readers stay consistent on a copy+delete-rename fs") {
     // The old staged-swap design moved the live directory through two
     // renames; on an object store (rename = slow copy+delete) a reader

@@ -466,7 +466,72 @@ object VectorSearch {
        |FROM r WHERE rank <= 10""".stripMargin
   }
 
+  /** Nearest-centroid classification — the cheap "label a 100 TB corpus
+    * by domain prototype" curation op (the classify half of the CCNet-
+    * style bucketing family; train = 80% split by vec_id mod 5, eval =
+    * the held-out 20%). Training is ONE aggregation: per-(label, pos)
+    * mean through DECIMAL(28,12) (the txt_unigram_lm convention — the
+    * fold is exact, the only double is a pinned division), so unlike
+    * iterative classifiers the whole model is SQL-expressible and the
+    * entry hash-checks end-to-end. Scoring: eval rows × |labels|
+    * broadcast centroids, rounded cosine, argmax via the partial-
+    * aggregatable min-struct (tie → lower label). Output is the
+    * confusion matrix — |labels|² bounded at any corpus size.
+    *
+    * On the noise fixture accuracy is chance by construction (labels
+    * are independent of geometry there) — the CORRECTNESS of the
+    * mechanism is what the oracle pins; AnnRecallSpec gates accuracy
+    * ≥0.95 on planted clusters where labels = cluster ids.
+    *
+    * 100 TB: train fold is map-side partial (|labels|×64 cells),
+    * centroids broadcast (~5 KB), scoring + argmax map-only, and the
+    * confusion fold collapses map-side — no stage shuffles the
+    * embedding column. */
+  def centroidClassify(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    val tr = emb.filter(col("vec_id") % 5 =!= 0)
+    val ev = emb.filter(col("vec_id") % 5 === 0)
+    val cent = tr
+      .select(col("label").as("clabel"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("clabel"), col("pos"))
+      .agg(sum(col("x").cast("decimal(28,12)")).as("sx"), count(lit(1)).as("n"))
+      .select(col("clabel"), col("pos"),
+        (col("sx").cast("double") / col("n").cast("double")).as("m"))
+      .groupBy(col("clabel"))
+      .agg(collect_list(struct(col("pos"), col("m"))).as("pm"))
+      .select(col("clabel"),
+        transform(array_sort(col("pm")), p => p.getField("m")).as("cv"))
+    ev.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("label"), col("clabel"),
+        cosine(col("v"), col("cv")).as("cos"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(min(struct((-col("cos")).as("nc"), col("clabel").as("c"))).as("best"))
+      .select(col("label"), col("best.c").as("pred"))
+      .groupBy(col("label"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val centroidClassifySql: String =
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |tr AS (SELECT * FROM e WHERE vec_id % 5 != 0),
+       |ev AS (SELECT * FROM e WHERE vec_id % 5 = 0),
+       |cent0 AS (SELECT label AS clabel, i,
+       |    CAST(SUM(CAST(v[i] AS DECIMAL(28,12))) AS DOUBLE)
+       |      / CAST(COUNT(*) AS DOUBLE) AS m
+       |  FROM tr CROSS JOIN range(1, 65) t(i) GROUP BY 1, 2),
+       |cvec AS (SELECT clabel, list(m ORDER BY i) AS cv FROM cent0 GROUP BY 1),
+       |sc AS (SELECT ev.vec_id, ev.label, cvec.clabel,
+       |    ${sqlCos("ev.v", "cvec.cv")} AS cos
+       |  FROM ev CROSS JOIN cvec),
+       |pred AS (SELECT vec_id, label, clabel AS pred FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cos DESC, clabel ASC) AS rn FROM sc) WHERE rn = 1)
+       |SELECT label, pred, COUNT(*) AS n FROM pred GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_centroid_classify" -> (centroidClassify _),
     "llm_embed_ann_pq" -> (pqTopk _),
     "llm_embed_topk" -> (bruteTopk _),
     "llm_embed_ann_lsh" -> (lshBucketTopk _),
@@ -478,6 +543,7 @@ object VectorSearch {
     "llm_semdedup_kmeans" -> ((s: SparkSession, d: String) => semDedupKmeans(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "llm_centroid_classify" -> centroidClassifySql,
     "llm_embed_ann_pq" -> pqTopkSql,
     "llm_embed_topk" -> bruteTopkSql,
     "llm_embed_ann_lsh" -> lshBucketTopkSql,

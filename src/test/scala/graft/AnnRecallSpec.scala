@@ -112,6 +112,21 @@ class AnnRecallSpec extends SparkSpec {
     assert(mean >= 0.9, s"mean PQ recall $mean < 0.9: $rec")
   }
 
+  test("centroid classifier reaches accuracy >= 0.95 on planted clusters") {
+    // Planted labels ARE the cluster ids, so nearest-centroid should
+    // recover them almost perfectly; on the noise fixture the same
+    // mechanism is chance-level by construction (oracle covers the
+    // mechanism there, this covers the quality).
+    val conf = VectorSearch.centroidClassify(spark, plantedDir).collect()
+    val total = conf.map(_.getAs[Long]("n")).sum
+    val correct = conf.filter(r => r.getAs[Int]("label") == r.getAs[Int]("pred"))
+      .map(_.getAs[Long]("n")).sum
+    val acc = correct.toDouble / total.toDouble
+    info(s"centroid-classifier accuracy on planted clusters: $acc ($correct/$total)")
+    assert(total > 0)
+    assert(acc >= 0.95, s"accuracy $acc < 0.95; confusion: ${conf.mkString(", ")}")
+  }
+
   test("IVF probed search holds recall@5 >= 0.9 on clustered data") {
     val exact = topSets(VectorSearch.annSearch(spark, plantedDir, 200L until 205L, 5))
     val ann = topSets(VectorSearch.ivfTopk(spark, plantedDir))

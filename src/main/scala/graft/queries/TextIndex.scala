@@ -190,13 +190,136 @@ object TextIndex {
        |ORDER BY lift DESC, w1, w2
        |LIMIT 20""".stripMargin
 
+  // ------------------------------------------------------ fuzzy match
+
+  /** The catalog's fixed fuzzy query — off-vocabulary, with two terms
+    * at edit distance 1 ("slow", "row") at every SF. */
+  val FuzzyQuery: String = "sow"
+
+  /** ES `fuzziness: 1` term matching, resolved SymSpell-style: both the
+    * query and every vocabulary term expand to {self} ∪ {1-deletions},
+    * candidates are pairs with a SHARED key (complete for Levenshtein
+    * ≤ 1: substitution → shared deletion, insert/delete → one side's
+    * deletion equals the other), then a levenshtein(term, query) ≤ 1
+    * confirm drops the false candidates the key overlap admits (e.g.
+    * transpositions are distance 2). The point at 100 TB: the
+    * vocabulary is scanned by a KEYED join against |query|·(len+1)
+    * broadcast keys — never a levenshtein against every term — and the
+    * exact filter runs only on the ~few candidates. The DuckDB oracle
+    * is the naive full-vocabulary levenshtein scan: a genuinely
+    * different algorithm, so the completeness claim is what the hash
+    * checks. Output: matched term, its distance, document frequency. */
+  def fuzzySearch(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val toks = split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+    val vocab = docs.select(col("doc_id"), explode(toks).as("w"))
+      .distinct()
+      .groupBy(col("w")).agg(count(lit(1)).as("df"))
+    // {term} ∪ 1-deletion neighborhood of column `w`, exploded as a
+    // complex EXPRESSION (the explode-alias convention) so the build
+    // stays codegen'd and never lands in an inferred Filter.
+    val keysExpr =
+      "array_union(array(w), transform(sequence(1, length(w)), " +
+        "i -> concat(substring(w, 1, i - 1), substring(w, i + 1, length(w)))))"
+    val index = vocab.select(col("w"), col("df"),
+      explode(expr(keysExpr)).as("k"))
+    val q = spark.range(1).select(lit(FuzzyQuery).as("q"))
+      .withColumn("w", col("q"))
+      .select(col("q"), explode(expr(keysExpr)).as("k"))
+      .select(col("q"), col("k")).distinct()
+    index.join(broadcast(q), Seq("k"))
+      .select(col("w"), col("df"), col("q")).distinct()
+      .filter(levenshtein(col("w"), col("q")) <= 1)
+      .select(col("w").as("term"),
+        levenshtein(col("w"), col("q")).cast("long").as("dist"), col("df"))
+  }
+
+  val fuzzySearchSql: String =
+    s"""WITH n AS (SELECT doc_id,
+       |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS a
+       |  FROM documents),
+       |v AS (SELECT w, COUNT(*) AS df FROM
+       |    (SELECT DISTINCT doc_id, unnest(a) AS w FROM n) GROUP BY 1)
+       |SELECT w AS term,
+       |  CAST(levenshtein(w, '$FuzzyQuery') AS BIGINT) AS dist, df
+       |FROM v WHERE levenshtein(w, '$FuzzyQuery') <= 1""".stripMargin
+
+  // --------------------------------------------------- more-like-this
+
+  /** ES `more_like_this`: rank documents by rare-term overlap with a
+    * source document (doc_id 42). Term weights are the integer
+    * rational-idf `1e6 div df` — monotone in idf without the
+    * cross-engine `ln`, and the per-doc score is an exact long sum, so
+    * ranking ties are impossible to drift. Source terms ride as a
+    * broadcast (distinct terms of ONE doc); scoring is one keyed join
+    * from the doc-term index + one partial-aggregatable sum. Top 10,
+    * (score, doc_id) total order. */
+  def moreLikeThis(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val toks = split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+    val docTerms = docs.select(col("doc_id"), explode(toks).as("w")).distinct()
+    val df = docTerms.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val srcTerms = docTerms.filter(col("doc_id") === 42)
+      .select(col("w")).join(df, "w")
+      .select(col("w"), expr("1000000L div df").as("weight"))
+    docTerms.filter(col("doc_id") =!= 42)
+      .join(broadcast(srcTerms), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("weight")).as("score"), count(lit(1)).as("n_shared"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(10)
+  }
+
+  val moreLikeThisSql: String =
+    """WITH n AS (SELECT doc_id,
+      |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS a
+      |  FROM documents),
+      |dt AS (SELECT DISTINCT doc_id, unnest(a) AS w FROM n),
+      |f AS (SELECT w, COUNT(*) AS df FROM dt GROUP BY 1),
+      |src AS (SELECT dt.w, CAST(1000000 // f.df AS BIGINT) AS weight
+      |  FROM dt JOIN f ON dt.w = f.w WHERE dt.doc_id = 42)
+      |SELECT dt.doc_id, CAST(SUM(src.weight) AS BIGINT) AS score, COUNT(*) AS n_shared
+      |FROM dt JOIN src ON dt.w = src.w
+      |WHERE dt.doc_id != 42
+      |GROUP BY 1 ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin
+
+  // --------------------------------------------------- autocomplete
+
+  /** ES completion suggester: popularity-ranked prefix completion over
+    * the vocabulary ('s%', top 8 by document frequency). The vocab fold
+    * is the only exchange; the candidate set is O(vocab), so the
+    * suggester stays interactive at any corpus size. */
+  def autocomplete(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val toks = split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+    docs.select(col("doc_id"), explode(toks).as("w")).distinct()
+      .groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .filter(col("w").startsWith("s"))
+      .orderBy(col("df").desc, col("w").asc)
+      .limit(8)
+  }
+
+  val autocompleteSql: String =
+    """WITH n AS (SELECT doc_id,
+      |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS a
+      |  FROM documents),
+      |dt AS (SELECT DISTINCT doc_id, unnest(a) AS w FROM n)
+      |SELECT w, COUNT(*) AS df FROM dt WHERE w LIKE 's%'
+      |GROUP BY 1 ORDER BY df DESC, w ASC LIMIT 8""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_phrase_search" -> (phraseSearch _),
     "txt_significant_terms" -> (significantTerms _),
-    "txt_collocations" -> (collocations _))
+    "txt_collocations" -> (collocations _),
+    "txt_fuzzy_search" -> (fuzzySearch _),
+    "txt_more_like_this" -> (moreLikeThis _),
+    "txt_autocomplete" -> (autocomplete _))
 
   val oracles: Map[String, String] = Map(
     "txt_phrase_search" -> phraseSearchSql,
     "txt_significant_terms" -> significantTermsSql,
-    "txt_collocations" -> collocationsSql)
+    "txt_collocations" -> collocationsSql,
+    "txt_fuzzy_search" -> fuzzySearchSql,
+    "txt_more_like_this" -> moreLikeThisSql,
+    "txt_autocomplete" -> autocompleteSql)
 }

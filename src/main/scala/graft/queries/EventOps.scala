@@ -340,7 +340,41 @@ object EventOps {
       |FROM events e JOIN st ON e.event_type = st.event_type
       |WHERE abs((e.value - st.mean) / st.std) >= 3.0""".stripMargin
 
+  /** Hopping (sliding) time windows — the Kibana moving time-chart /
+    * ES date_histogram-with-overlap shape: 6 h windows advancing every
+    * 2 h, counts + DECIMAL-fenced value sums per (window, type). Uses
+    * Spark's native `window()` TVF (each event expands to exactly
+    * duration/slide = 3 windows — a generated-column explode, no
+    * self-join); the DuckDB oracle derives the same 3 aligned window
+    * starts per event from integer epoch-microsecond arithmetic, so
+    * the TVF's alignment convention (epoch-anchored, start-inclusive
+    * end-exclusive) is independently cross-checked. Scale: one keyed
+    * aggregation over 3× the event stream; partial map-side collapse
+    * to |windows|×|types| rows. */
+  def hoppingWindow(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    ev.groupBy(
+        window(col("ts"), "6 hours", "2 hours").as("w"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+  }
+
+  val hoppingWindowSql: String =
+    """WITH x AS (SELECT event_type, value,
+      |    (epoch_us(ts) // 7200000000) * 7200000000 - k * 7200000000 AS ws
+      |  FROM events CROSS JOIN range(0, 3) t(k))
+      |SELECT strftime(make_timestamp(ws), '%Y-%m-%d %H:%M') AS window_start,
+      |  event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM x GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_hopping_window" -> (hoppingWindow _),
     "evt_anomaly_zscore" -> (anomalyZscore _),
     "evt_asof_join" -> (asofJoin _),
     "evt_asof_custom" -> (asofCustom _),
@@ -355,6 +389,7 @@ object EventOps {
   // not hash-comparable cross-engine → rows-only driver check (the
   // rel_approx_distinct precedent).
   val oracles: Map[String, String] = Map(
+    "evt_hopping_window" -> hoppingWindowSql,
     "evt_anomaly_zscore" -> anomalyZscoreSql,
     "evt_asof_join" -> asofJoinSql,
     "evt_asof_custom" -> asofCustomSql,

@@ -133,11 +133,62 @@ object Geo {
       |SELECT center_id, COUNT(*) AS n, MIN(c_custkey) AS min_key
       |FROM d WHERE dist <= 800.0 GROUP BY 1""".stripMargin
 
+  /** Convex-polygon vertices for [[geoPolygonFilter]], in integer
+    * TENTHS of a degree (x = lon, y = lat), counter-clockwise. Corner
+    * cross-products all positive (verified), so the containment test
+    * is "left of every edge". */
+  val Pentagon: Seq[(Long, Long)] =
+    Seq((-300L, -200L), (300L, -250L), (500L, 200L), (0L, 500L), (-450L, 150L))
+
+  /** ES `geo_polygon` query (the geo_shape member of the map-filter
+    * family next to the radius join and cell agg): customers inside a
+    * fixed convex pentagon, counted per nation. Containment for a
+    * CONVEX CCW polygon is "non-negative cross-product against every
+    * edge" — five integer multiply-compares over the tenth-of-degree
+    * coordinates, all EXACT in long arithmetic (|cross| ≤ ~3.5e6), so
+    * no epsilon and no cross-engine float surface at all. Scale:
+    * map-only scan work (the five predicates are one codegen
+    * conjunction); with a stored geo table the polygon's bounding box
+    * is the scan-pushable prefilter — here the coordinates are
+    * synthesized from the key, so the conjunction evaluates in the
+    * same codegen stage instead. */
+  def geoPolygonFilter(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+    val x = col("c_custkey") * 73 % 3500 - 1750 // lon tenths
+    val y = col("c_custkey") * 37 % 1700 - 850  // lat tenths
+    val inside = Pentagon.indices.map { i =>
+      val (x1, y1) = Pentagon(i)
+      val (x2, y2) = Pentagon((i + 1) % Pentagon.size)
+      (lit(x2 - x1) * (y - lit(y1)) - lit(y2 - y1) * (x - lit(x1))) >= 0
+    }.reduce(_ && _)
+    cust.filter(inside)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n"), min(col("c_custkey")).as("min_key"))
+  }
+
+  val geoPolygonFilterSql: String = {
+    val conds = Pentagon.indices.map { i =>
+      val (x1, y1) = Pentagon(i)
+      val (x2, y2) = Pentagon((i + 1) % Pentagon.size)
+      s"(${x2 - x1}) * (y - (${y1})) - (${y2 - y1}) * (x - (${x1})) >= 0"
+    }.mkString("\n  AND ")
+    s"""WITH p AS (SELECT c_custkey, c_nationkey,
+       |    c_custkey * 73 % 3500 - 1750 AS x,
+       |    c_custkey * 37 % 1700 - 850 AS y
+       |  FROM customer)
+       |SELECT c_nationkey, COUNT(*) AS n, MIN(c_custkey) AS min_key
+       |FROM p
+       |WHERE $conds
+       |GROUP BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "geo_cell_agg" -> (geoCellAgg _),
-    "geo_radius_join" -> (geoRadiusJoin _))
+    "geo_radius_join" -> (geoRadiusJoin _),
+    "geo_polygon_filter" -> (geoPolygonFilter _))
 
   val oracles: Map[String, String] = Map(
     "geo_cell_agg" -> geoCellAggSql,
-    "geo_radius_join" -> geoRadiusJoinSql)
+    "geo_radius_join" -> geoRadiusJoinSql,
+    "geo_polygon_filter" -> geoPolygonFilterSql)
 }

@@ -140,6 +140,22 @@ class EventOpsSpec extends SparkSpec {
     assert(got === expect && got.nonEmpty)
   }
 
+  test("hopping windows: every event lands in exactly duration/slide windows") {
+    import org.apache.spark.sql.functions._
+    val out = graft.queries.EventOps.hoppingWindow(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val total = out.map(_.getAs[Long]("n")).sum
+    val events = Tables.load(spark, sf0001, "events").count()
+    assert(total == 3 * events, s"window multiplicity broke: $total != 3*$events")
+    // Window starts are aligned to the 2h hop grid.
+    out.foreach { r =>
+      val mins = r.getAs[String]("window_start").takeRight(5)
+      assert(mins.endsWith(":00"))
+      assert(mins.dropRight(3).toInt % 2 == 0,
+        s"window start ${r.getAs[String]("window_start")} off the 2h grid")
+    }
+  }
+
   test("anomaly z-scores recompute from a driver-side stats derivation") {
     import org.apache.spark.sql.functions._
     val out = graft.queries.EventOps.anomalyZscore(spark, sf0001).collect()

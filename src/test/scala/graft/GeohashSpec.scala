@@ -60,4 +60,28 @@ class GeohashSpec extends SparkSpec {
       .collect()(0)
     assert(out.isNullAt(0))
   }
+
+  test("polygon containment matches a driver-side cross-product walk; filter is non-vacuous") {
+    val out = graft.queries.Geo.geoPolygonFilter(spark, sf0001).collect()
+      .map(r => r.getAs[Number]("c_nationkey").longValue ->
+        r.getAs[Number]("n").longValue).toMap
+    val verts = graft.queries.Geo.Pentagon
+    def cross(i: Int, x: Long, y: Long): Long = {
+      val (x1, y1) = verts(i); val (x2, y2) = verts((i + 1) % verts.size)
+      (x2 - x1) * (y - y1) - (y2 - y1) * (x - x1)
+    }
+    val expect = Tables.load(spark, sf0001, "customer")
+      .select("c_custkey", "c_nationkey").collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
+      .filter { case (k, _) =>
+        val x = k * 73 % 3500 - 1750; val y = k * 37 % 1700 - 850
+        verts.indices.forall(i => cross(i, x, y) >= 0)
+      }
+      .groupBy(_._2).map { case (nk, xs) => nk -> xs.length.toLong }
+    assert(out == expect)
+    assert(out.values.sum > 0, "no customer inside the pentagon — the filter is vacuous")
+    // Points exist OUTSIDE too, or the polygon test isn't filtering.
+    val all = Tables.load(spark, sf0001, "customer").count()
+    assert(out.values.sum < all)
+  }
 }

@@ -263,13 +263,89 @@ object Streaming {
        |      FROM c)
        |SELECT day, term, n, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 3""".stripMargin
 
+  private val cdcLock = new Object
+
+  /** Streaming CDC apply: the change feed from [[Ingestion.cdcDiff]]'s
+    * synthetic deltas streams through a file source and lands on the
+    * versioned lake via a foreachBatch MERGE that honors all three verb
+    * classes — delete (removed), upsert (added/changed) — completing
+    * the CDC story: ing_cdc_diff DETECTS a feed from snapshots, this
+    * APPLIES a feed to a materialized table. Exactly-once comes from
+    * the pairing of the streaming checkpoint (replayed batches are the
+    * same data) with [[graft.LakeCommit]] (each batch's merge is one
+    * atomic versioned commit; readers never see a half-applied batch).
+    *
+    * The materialized result must equal the CURRENT snapshot the feed
+    * was diffed against — which the DuckDB oracle recomputes directly
+    * from the source table, so the whole detect → stream → merge →
+    * read-back loop is hash-checked. Output folds to per-key-class
+    * stats (bounded at any scale).
+    *
+    * 100 TB: the merge's carry-forward leg is the same keyed left-anti
+    * the news upsert uses — partition-prunable by the batch's keys —
+    * and the feed batch is the only new data read per tick. */
+  def streamCdcApply(spark: SparkSession, dir: String): DataFrame = cdcLock.synchronized {
+    import org.apache.spark.sql.streaming.Trigger
+    val scratch = graft.Fixtures.reusedScratchDir("cdc_rt")
+    val in = s"$scratch/in"
+    val lake = s"$scratch/lake"
+    val ckpt = s"$scratch/ckpt"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+    // Base snapshot: the "previous" load (keys ≡ 3 mod 10 absent).
+    val o = graft.Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+    graft.LakeCommit.commit(o.filter(col("o_orderkey") % 10 =!= 3), lake)
+    // Land the change feed for the file source.
+    val feed = Ingestion.cdcDiff(spark, dir)
+    feed.coalesce(1).write.mode("overwrite").json(in)
+    val stream = spark.readStream.schema(feed.schema).json(in)
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.PathLocks.lockFor(lake).synchronized {
+          val cur = graft.LakeCommit.read(spark, lake)
+          val b = batch.cache()
+          val upserts = b.filter(col("status") =!= "removed")
+            .select(col("o_orderkey"),
+              col("cur_price").cast("decimal(18,2)").as("price"))
+          val next = cur
+            .join(b.select(col("o_orderkey")), Seq("o_orderkey"), "left_anti")
+            .unionByName(upserts)
+          graft.LakeCommit.commit(next, lake)
+          b.unpersist(); ()
+        }
+      }
+      .start()
+    q.awaitTermination()
+    graft.LakeCommit.read(spark, lake)
+      .groupBy((col("o_orderkey") % 10).as("key_class"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("price")).cast("double").as("total"))
+  }
+
+  val streamCdcApplySql: String =
+    """WITH cur AS (SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 10 = 5
+      |         THEN CAST(o_totalprice AS DECIMAL(18,2)) + CAST(1 AS DECIMAL(18,2))
+      |         ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS price
+      |  FROM orders WHERE o_orderkey % 10 != 7)
+      |SELECT o_orderkey % 10 AS key_class, COUNT(*) AS n,
+      |  CAST(SUM(price) AS DOUBLE) AS total
+      |FROM cur GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_cdc_apply" -> (streamCdcApply _),
     "stream_news_dedup" -> (newsDedup _),
     "stream_sessionize" -> (streamSessionize _),
     "stream_attribution" -> (streamAttribution _),
     "stream_trending" -> (streamTrending _))
 
   val oracles: Map[String, String] = Map(
+    "stream_cdc_apply" -> streamCdcApplySql,
     "stream_news_dedup" -> newsDedupSql,
     "stream_sessionize" -> streamSessionizeSql,
     "stream_attribution" -> streamAttributionSql,

@@ -362,4 +362,34 @@ class StreamingSpec extends SparkSpec {
       assert(got.toSeq === Seq(("i1", "2021-03-01 10:30:00.0")))
     } finally q.stop()
   }
+
+  test("CDC apply: delete/upsert verbs land; checkpoint replay commits nothing new") {
+    import org.apache.spark.sql.functions._
+    // First full run (deletes scratch, streams the feed, merges).
+    val out = graft.queries.Streaming.streamCdcApply(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("key_class") -> r.getAs[Long]("n")).toMap
+    // Verb semantics: class 7 fully deleted, class 3 inserted, others kept.
+    assert(!out.contains(7L), "removed keys survived the delete verb")
+    assert(out.contains(3L), "added keys never landed")
+    val lake = s"${graft.Fixtures.reusedScratchDir("cdc_rt")}/lake"
+    val ckpt = s"${graft.Fixtures.reusedScratchDir("cdc_rt")}/ckpt"
+    val in = s"${graft.Fixtures.reusedScratchDir("cdc_rt")}/in"
+    val versionsAfter = graft.LakeCommit.committedVersions(spark, lake)
+    // Exactly-once: re-fire the SAME stream over the SAME checkpoint
+    // with no new files — the source must deliver nothing, so no merge
+    // commit happens and the lake version stays put.
+    val feedSchema = graft.queries.Ingestion.cdcDiff(spark, sf0001).schema
+    val q = spark.readStream.schema(feedSchema).json(in)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.LakeCommit.commit(batch.sparkSession.emptyDataFrame, lake): Unit
+      }
+      .start()
+    q.awaitTermination()
+    assert(graft.LakeCommit.committedVersions(spark, lake) === versionsAfter,
+      "checkpoint replay re-delivered the already-applied feed")
+  }
 }

@@ -505,6 +505,29 @@ object Serve {
       }
     })
 
+    server.createContext("/suggest", (ex: HttpExchange) => handle(ex) {
+      // The search box's two assistive shapes (the reference UI's
+      // Searchkit input, SearchUI.js:6-33): prefix completion over the
+      // corpus vocabulary, plus optional fuzziness for off-vocabulary
+      // input. Both take user text only as literal Column values —
+      // nothing is spliced into SQL or LIKE patterns.
+      val p = params(ex)
+      p.get("q").map(_.trim.toLowerCase).filter(_.nonEmpty) match {
+        case None => (400, """{"error":"missing q parameter"}""")
+        case Some(q) if q.length > 64 =>
+          (400, """{"error":"q must be <= 64 chars"}""")
+        case Some(q) =>
+          val limit = clamp(intParam(p, "limit", 8), 100)
+          val completions = render(
+            graft.queries.TextIndex.suggest(spark, dir, q, limit), limit)
+          if (p.get("fuzzy").contains("1")) {
+            val corrections = render(
+              graft.queries.TextIndex.fuzzyMatch(spark, dir, q), limit)
+            (200, s"""{"completions":$completions,"corrections":$corrections}""")
+          } else (200, s"""{"completions":$completions}""")
+      }
+    })
+
     server.createContext("/query/", (ex: HttpExchange) => handle(ex) {
       val name = ex.getRequestURI.getPath.stripPrefix("/query/")
       SparkEntry.queries.get(name) match {

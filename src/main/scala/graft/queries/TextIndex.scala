@@ -209,7 +209,13 @@ object TextIndex {
     * is the naive full-vocabulary levenshtein scan: a genuinely
     * different algorithm, so the completeness claim is what the hash
     * checks. Output: matched term, its distance, document frequency. */
-  def fuzzySearch(spark: SparkSession, dir: String): DataFrame = {
+  def fuzzySearch(spark: SparkSession, dir: String): DataFrame =
+    fuzzyMatch(spark, dir, FuzzyQuery)
+
+  /** The parameterized form behind [[fuzzySearch]] and Serve's
+    * `/suggest?fuzzy=1` — the query string enters the plan only as a
+    * literal column, never spliced into SQL text. */
+  def fuzzyMatch(spark: SparkSession, dir: String, query: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val toks = split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
     val vocab = docs.select(col("doc_id"), explode(toks).as("w"))
@@ -223,7 +229,7 @@ object TextIndex {
         "i -> concat(substring(w, 1, i - 1), substring(w, i + 1, length(w)))))"
     val index = vocab.select(col("w"), col("df"),
       explode(expr(keysExpr)).as("k"))
-    val q = spark.range(1).select(lit(FuzzyQuery).as("q"))
+    val q = spark.range(1).select(lit(query).as("q"))
       .withColumn("w", col("q"))
       .select(col("q"), explode(expr(keysExpr)).as("k"))
       .select(col("q"), col("k")).distinct()
@@ -289,14 +295,20 @@ object TextIndex {
     * the vocabulary ('s%', top 8 by document frequency). The vocab fold
     * is the only exchange; the candidate set is O(vocab), so the
     * suggester stays interactive at any corpus size. */
-  def autocomplete(spark: SparkSession, dir: String): DataFrame = {
+  def autocomplete(spark: SparkSession, dir: String): DataFrame =
+    suggest(spark, dir, "s", 8)
+
+  /** The parameterized form behind [[autocomplete]] and Serve's
+    * `/suggest` — prefix matched via the startsWith COLUMN predicate
+    * (no pattern splicing, so `%`/`_` in user input stay literal). */
+  def suggest(spark: SparkSession, dir: String, prefix: String, limit: Int): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val toks = split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
     docs.select(col("doc_id"), explode(toks).as("w")).distinct()
       .groupBy(col("w")).agg(count(lit(1)).as("df"))
-      .filter(col("w").startsWith("s"))
+      .filter(col("w").startsWith(prefix))
       .orderBy(col("df").desc, col("w").asc)
-      .limit(8)
+      .limit(limit)
   }
 
   val autocompleteSql: String =

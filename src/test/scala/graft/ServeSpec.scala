@@ -82,6 +82,22 @@ class ServeSpec extends SparkSpec {
       s"highlight '${hit.group(2)}' contains none of ${matched.mkString(",")}")
   }
 
+  test("/suggest completes prefixes and corrects typos under fuzzy=1") {
+    val (code, body) = get("/suggest?q=s&limit=5")
+    assert(code === 200)
+    assert(body.contains("\"completions\""))
+    assert(body.contains("\"w\"") && body.contains("\"df\""))
+    assert(!body.contains("\"corrections\""))
+    // Off-vocabulary input with fuzzy: no completions, but corrections
+    // carry the distance-1 vocabulary terms.
+    val (c2, b2) = get("/suggest?q=sow&fuzzy=1")
+    assert(c2 === 200)
+    assert(b2.contains("\"corrections\""))
+    assert(b2.contains("\"slow\"") || b2.contains("\"row\""))
+    // Missing q is a shaped 400.
+    assert(get("/suggest")._1 === 400)
+  }
+
   test("/metrics reports per-endpoint counts, errors, and latency percentiles") {
     // a dedicated instance so other tests' requests can't skew counts
     val srv = Serve.start(spark, sf0001, port = 0)

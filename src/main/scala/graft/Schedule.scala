@@ -119,6 +119,27 @@ object Schedule {
     })
   }
 
+  /** Serving-index flow: materialize the crawled news corpus's title
+    * vocabulary (term → document frequency) to `lakeDir/vocab` via the
+    * versioned commit. The suggest/fuzzy endpoints' spine is this one
+    * (w, df) fold — precomputing it per refresh tick turns every
+    * `/suggest?index=news` from a corpus scan into a vocab-table scan
+    * (O(vocab), the ES in-memory-suggester analog). Runs after the
+    * news flows so the tick's own landings are indexed; skips silently
+    * until a news feed exists. */
+  def vocabIndexFlow(spark: SparkSession, lakeDir: String): Flow =
+    Flow("vocab_index", _ => {
+      val feeds = Seq("news_crawl", "news_tweets", "news_fanout")
+        .flatMap(n => LakeCommit.resolve(spark, s"$lakeDir/$n"))
+        .map(spark.read.parquet(_))
+      if (feeds.nonEmpty) {
+        val news = feeds.reduce(_.unionByName(_))
+        LakeCommit.commit(
+          graft.queries.TextIndex.vocabOf(news, "title", "link"),
+          s"$lakeDir/vocab"): Unit
+      }
+    })
+
   /** Housekeeping flow: compact any flow output whose visible file
     * count exceeds `maxFiles`. Register it AFTER the ingest flows —
     * ticks run flows sequentially, so it fires between AvailableNow

@@ -257,7 +257,7 @@ object Serve {
         case _: java.io.IOException => None
       }
     val loaded = Seq("cases", "france_cases", "virtests", "news_crawl",
-      "news_tweets", "news_fanout")
+      "news_tweets", "news_fanout", "vocab")
       .flatMap(n => load(n).map(n -> _))
     loaded.foreach { case (n, df) => df.createOrReplaceTempView(n) }
     val flows = loaded.map(_._1)
@@ -290,7 +290,7 @@ object Serve {
     * first refresh tick. */
   private[graft] val LakeViewNames =
     Seq("cases", "france_cases", "virtests", "news_crawl", "news_tweets",
-      "news_fanout", "news")
+      "news_fanout", "news", "vocab")
 
   /** TLS material: a PKCS12 keystore holding the server key + cert.
     * The password array is cleared after the context is built. */
@@ -518,13 +518,30 @@ object Serve {
           (400, """{"error":"q must be <= 64 chars"}""")
         case Some(q) =>
           val limit = clamp(intParam(p, "limit", 8), 100)
-          val completions = render(
-            graft.queries.TextIndex.suggest(spark, dir, q, limit), limit)
-          if (p.get("fuzzy").contains("1")) {
-            val corrections = render(
-              graft.queries.TextIndex.fuzzyMatch(spark, dir, q), limit)
-            (200, s"""{"completions":$completions,"corrections":$corrections}""")
-          } else (200, s"""{"completions":$completions}""")
+          // index=news serves from the MATERIALIZED vocab view (the
+          // vocab_index flow's (w, df) fold over crawled news titles) —
+          // O(vocab) per request instead of a corpus re-scan; absent
+          // index falls back to the on-the-fly documents vocabulary.
+          val vocab: Either[(Int, String), DataFrame] = p.get("index") match {
+            case Some("news") =>
+              if (spark.catalog.tableExists("vocab")) Right(spark.table("vocab"))
+              else Left((400, """{"error":"no vocab index registered (run the vocab_index flow with --lake)"}"""))
+            case Some(other) =>
+              Left((400, s"""{"error":"unknown index ${jstr(other.take(40)).drop(1).dropRight(1)} (use news, or omit for documents)"}"""))
+            case None => Right(graft.queries.TextIndex.vocabOf(
+              Tables.load(spark, dir, "documents"), "text", "doc_id"))
+          }
+          vocab match {
+            case Left(err) => err
+            case Right(v) =>
+              val completions = render(
+                graft.queries.TextIndex.suggestFrom(v, q, limit), limit)
+              if (p.get("fuzzy").contains("1")) {
+                val corrections = render(
+                  graft.queries.TextIndex.fuzzyFrom(v, q), limit)
+                (200, s"""{"completions":$completions,"corrections":$corrections}""")
+              } else (200, s"""{"completions":$completions}""")
+          }
       }
     })
 
@@ -631,6 +648,7 @@ object Serve {
         Schedule.loop(Schedule.defaultFlows(spark, lakeDir) ++
             Schedule.fanoutFlows(spark, lakeDir, newsEndpoint, tweetsEndpoint,
               s"$lakeDir/_crawl_landing") :+
+            Schedule.vocabIndexFlow(spark, lakeDir) :+
             Schedule.compactionFlow(spark, lakeDir),
           (hours * 3600 * 1000).toLong,
           onTick = { r =>

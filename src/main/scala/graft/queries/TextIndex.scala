@@ -209,18 +209,33 @@ object TextIndex {
     * is the naive full-vocabulary levenshtein scan: a genuinely
     * different algorithm, so the completeness claim is what the hash
     * checks. Output: matched term, its distance, document frequency. */
+  /** Vocabulary (w, df) of any corpus: distinct (key, token) pairs
+    * folded to per-term document frequency — the shared spine of the
+    * suggest/fuzzy/significant-terms family, and what the
+    * `vocab_index` flow materializes to the lake so serving doesn't
+    * re-scan the corpus per request. */
+  def vocabOf(corpus: DataFrame, textCol: String, keyCol: String): DataFrame = {
+    val toks = split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " ")
+    corpus.select(col(keyCol).as("k"), explode(toks).as("w")).distinct()
+      .groupBy(col("w")).agg(count(lit(1)).as("df"))
+  }
+
+  private def docsVocab(spark: SparkSession, dir: String): DataFrame =
+    vocabOf(Tables.load(spark, dir, "documents"), "text", "doc_id")
+
   def fuzzySearch(spark: SparkSession, dir: String): DataFrame =
     fuzzyMatch(spark, dir, FuzzyQuery)
 
   /** The parameterized form behind [[fuzzySearch]] and Serve's
     * `/suggest?fuzzy=1` — the query string enters the plan only as a
     * literal column, never spliced into SQL text. */
-  def fuzzyMatch(spark: SparkSession, dir: String, query: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
-    val toks = split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
-    val vocab = docs.select(col("doc_id"), explode(toks).as("w"))
-      .distinct()
-      .groupBy(col("w")).agg(count(lit(1)).as("df"))
+  def fuzzyMatch(spark: SparkSession, dir: String, query: String): DataFrame =
+    fuzzyFrom(docsVocab(spark, dir), query)
+
+  /** Fuzzy resolution against an arbitrary (w, df) vocabulary — the
+    * materialized-index serving path. */
+  def fuzzyFrom(vocab: DataFrame, query: String): DataFrame = {
+    val spark = vocab.sparkSession
     // {term} ∪ 1-deletion neighborhood of column `w`, exploded as a
     // complex EXPRESSION (the explode-alias convention) so the build
     // stays codegen'd and never lands in an inferred Filter.
@@ -301,15 +316,16 @@ object TextIndex {
   /** The parameterized form behind [[autocomplete]] and Serve's
     * `/suggest` — prefix matched via the startsWith COLUMN predicate
     * (no pattern splicing, so `%`/`_` in user input stay literal). */
-  def suggest(spark: SparkSession, dir: String, prefix: String, limit: Int): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
-    val toks = split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
-    docs.select(col("doc_id"), explode(toks).as("w")).distinct()
-      .groupBy(col("w")).agg(count(lit(1)).as("df"))
+  def suggest(spark: SparkSession, dir: String, prefix: String, limit: Int): DataFrame =
+    suggestFrom(docsVocab(spark, dir), prefix, limit)
+
+  /** Prefix completion against an arbitrary (w, df) vocabulary — the
+    * materialized-index serving path. */
+  def suggestFrom(vocab: DataFrame, prefix: String, limit: Int): DataFrame =
+    vocab
       .filter(col("w").startsWith(prefix))
       .orderBy(col("df").desc, col("w").asc)
       .limit(limit)
-  }
 
   val autocompleteSql: String =
     """WITH n AS (SELECT doc_id,

@@ -238,6 +238,18 @@ class ServeSpec extends SparkSpec {
       assert(b5.contains("\"crawler\""))
       val (c6, b6) = getFrom(srv, "/search?index=bogus&q=x")
       assert(c6 === 400 && b6.contains("unknown index"), b6.take(200))
+      // /suggest?index=news needs the MATERIALIZED vocab view: before
+      // the vocab_index flow runs it 400s with a pointer at the flow...
+      val (c7, b7) = getFrom(srv, "/suggest?index=news&q=va")
+      assert(c7 === 400 && b7.contains("vocab_index"), b7.take(200))
+      // ...and after the flow + re-registration it serves news-title
+      // completions from the vocab table, not the documents corpus.
+      Schedule.runTick(Seq(Schedule.vocabIndexFlow(spark, lakeDir)), 2)
+        .outcomes.foreach { case (n, err) => assert(err.isEmpty, s"$n: $err") }
+      Serve.registerLake(spark, lakeDir)
+      val (c8, b8) = getFrom(srv, "/suggest?index=news&q=va")
+      assert(c8 === 200, b8.take(300))
+      assert(b8.contains("\"vaccine\""), b8.take(400)) // news-title vocab term
     } finally srv.stop(0)
   }
 

@@ -511,7 +511,61 @@ object Ingestion {
       |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
       |FROM merged GROUP BY 1""".stripMargin
 
+  /** Incremental view maintenance: a per-key-class aggregate (n, total)
+    * over the orders snapshot is MAINTAINED under the CDC feed instead
+    * of recomputed — base aggregate + per-class deltas derived from the
+    * feed verbs (added: +row, removed: −row, changed: ±price delta).
+    * Count and SUM are self-maintainable aggregates, so the update is
+    * O(|Δ|): at 100 TB the recompute touches the corpus, the
+    * maintenance touches only the day's feed — this is the difference
+    * between a nightly full pass and a minutes-long refresh.
+    * Everything folds in DECIMAL(18,2), so base+delta is exact and the
+    * maintained result HASH-EQUALS the from-scratch aggregate of the
+    * current snapshot, which is exactly what the oracle computes —
+    * the equivalence IS the correctness claim of IVM. Classes whose
+    * rows vanish entirely (removed ≡ 7 mod 10) must leave, so the
+    * maintained view filters n > 0. */
+  def ivmAgg(spark: SparkSession, dir: String): DataFrame = {
+    val o = graft.Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+    val cls = (col("o_orderkey") % 10).as("key_class")
+    val base = o.filter(col("o_orderkey") % 10 =!= 3)
+      .groupBy(cls)
+      .agg(count(lit(1)).as("n"), sum(col("price")).as("total"))
+    val feed = cdcDiff(spark, dir) // o_orderkey, status, prev_price, cur_price
+    val delta = feed
+      .select((col("o_orderkey") % 10).as("key_class"),
+        when(col("status") === "added", 1L)
+          .when(col("status") === "removed", -1L)
+          .otherwise(0L).as("dn"),
+        (coalesce(col("cur_price"), lit(0.0)).cast("decimal(18,2)") -
+          coalesce(col("prev_price"), lit(0.0)).cast("decimal(18,2)")).as("dtotal"))
+      .groupBy(col("key_class"))
+      .agg(sum(col("dn")).as("dn"), sum(col("dtotal")).as("dtotal"))
+    base.join(delta, Seq("key_class"), "full_outer")
+      .select(col("key_class"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+        (coalesce(col("total"), lit(0).cast("decimal(18,2)")) +
+          coalesce(col("dtotal"), lit(0).cast("decimal(18,2)"))).as("total"))
+      .filter(col("n") > 0)
+      .select(col("key_class"), col("n"), col("total").cast("double").as("total"))
+  }
+
+  /** Oracle = the from-scratch aggregate of the CURRENT snapshot: the
+    * maintained view must be indistinguishable from a recompute. */
+  val ivmAggSql: String =
+    """WITH cur AS (SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 10 = 5
+      |         THEN CAST(o_totalprice AS DECIMAL(18,2)) + CAST(1 AS DECIMAL(18,2))
+      |         ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS price
+      |  FROM orders WHERE o_orderkey % 10 != 7)
+      |SELECT o_orderkey % 10 AS key_class, COUNT(*) AS n,
+      |  CAST(SUM(price) AS DOUBLE) AS total
+      |FROM cur GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ing_ivm_agg" -> (ivmAgg _),
     "ing_lake_timetravel" -> (lakeTimetravel _),
     "ing_schema_evolution" -> (schemaEvolution _),
     "ing_cdc_diff" -> (cdcDiff _),
@@ -525,6 +579,7 @@ object Ingestion {
     "ing_scd2_merge" -> (scd2Merge _))
 
   val oracles: Map[String, String] = Map(
+    "ing_ivm_agg" -> ivmAggSql,
     "ing_lake_timetravel" -> lakeTimetravelSql,
     "ing_schema_evolution" -> schemaEvolutionSql,
     "ing_cdc_diff" -> cdcDiffSql,

@@ -32,4 +32,25 @@ class CdcDiffSpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("cur_price") - r.getAs[Double]("prev_price") - 1.0) < 1e-9)
     }
   }
+
+  test("IVM: the maintained aggregate equals a from-scratch recompute of the target") {
+    val maintained = graft.queries.Ingestion.ivmAgg(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("key_class") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("total")))).toMap
+    // Independent recompute of the current snapshot on the driver.
+    val o = Tables.load(spark, sf0001, "orders")
+      .select(col("o_orderkey"), col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+    val cur = o.filter(_._1 % 10 != 7)
+      .map { case (k, p) => (k % 10, if (k % 10 == 5) p + 1 else p) }
+    val expect = cur.groupBy(_._1).map { case (c, xs) =>
+      c -> ((xs.length.toLong, xs.map(_._2).sum.toDouble))
+    }
+    assert(maintained.keySet == expect.keySet)
+    maintained.foreach { case (c, (n, total)) =>
+      val (en, etotal) = expect(c)
+      assert(n == en && math.abs(total - etotal) < 1e-6)
+    }
+    assert(!maintained.contains(7L), "fully-removed class must leave the view")
+  }
 }

@@ -82,4 +82,66 @@ class RoundPropertySpec extends SparkSpec {
       rows.forall(r => r.getString(1) == r.getString(0))
     }, trials = 20)
   }
+
+  // --- SymSpell deletion-key completeness (txt_fuzzy_search's kernel) ---
+
+  private def deletionKeys(w: String): Set[String] =
+    (w.indices.map(i => w.take(i) + w.drop(i + 1)).toSet + w)
+
+  private def lev1Edit(w: String): Gen[String] = {
+    val alpha = Gen.alphaLowerChar
+    val deletion =
+      if (w.length <= 1) Gen.const(w)
+      else Gen.chooseNum(0, w.length - 1).map(i => w.take(i) + w.drop(i + 1))
+    val insertion = for {
+      i <- Gen.chooseNum(0, w.length); c <- alpha
+    } yield w.take(i) + c + w.drop(i)
+    val substitution = for {
+      i <- Gen.chooseNum(0, w.length - 1); c <- alpha
+    } yield w.take(i) + c + w.drop(i + 1)
+    Gen.oneOf(deletion, insertion, substitution)
+  }
+
+  test("SymSpell: any single edit of a word shares a deletion key with it") {
+    // The completeness claim behind the fuzzy search's keyed join: for
+    // EVERY Levenshtein-1 neighbor (deletion, insertion, substitution),
+    // {self}∪{1-deletions} of the two words intersect — so the index
+    // join can never miss a distance-1 match, and the exact confirm
+    // only ever DROPS candidates. Pure-kernel property, no Spark job.
+    check("symspell-complete", Prop.forAll(
+      cleanWord.suchThat(_.nonEmpty), Gen.long) { (w, seed) =>
+      val edited = lev1Edit(w)(Gen.Parameters.default,
+        org.scalacheck.rng.Seed(seed)).getOrElse(w)
+      deletionKeys(w).intersect(deletionKeys(edited)).nonEmpty
+    })
+  }
+
+  // --- PQ self-encoding (llm_embed_ann_pq's kernel) ---
+
+  test("PQ: every codebook vector encodes to its own code in every sub-space") {
+    // The quantizer's fixed point: a vector that IS a codebook entry
+    // has sub-space distance exactly 0 to itself, and ties break to
+    // the lower code id — so codebook row k encodes to code k unless
+    // an earlier row duplicates the sub-vector (impossible in the
+    // fixture: vec_ids synthesize distinct embeddings). A drift here
+    // means the argmin or the distance got re-derived wrong.
+    import graft.queries.VectorSearch
+    val enc = VectorSearch.pqTopk(spark, sf0001) // forces registration
+    assert(enc.columns.nonEmpty) // plan builds
+    val emb = Tables.load(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .filter(col("vec_id") < 64)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1))
+    emb.foreach { case (id, v) =>
+      (0 until 8).foreach { m =>
+        val sv = v.slice(m * 8, m * 8 + 8)
+        val best = emb.map { case (cid, cv) =>
+          val c = cv.slice(m * 8, m * 8 + 8)
+          val d = sv.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+          (d, cid)
+        }.minBy(identity)
+        assert(best._2 == id, s"codebook vec $id sub-space $m encoded to ${best._2}")
+      }
+    }
+  }
 }

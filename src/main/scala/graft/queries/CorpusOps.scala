@@ -386,7 +386,61 @@ object CorpusOps {
        |  CAST(SUM(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS text_sig
        |FROM documents GROUP BY 1""".stripMargin
 
+  /** Shard count for the range-sorted export. */
+  val SortShards = 4
+
+  /** Range-partitioned SORTED export — the bulk-load shape (the
+    * reference bulk-inserts into ES, insert_owid.py:153-155; loaders
+    * and external index builds want non-overlapping sorted runs they
+    * can merge or binary-search). Unlike [[exportJsonl]]'s hash shards,
+    * shard ranges here are MONOTONE: shard k's max key < shard k+1's
+    * min key, each run internally sorted (repartition on the shard +
+    * sortWithinPartitions — one exchange, no global sort). Boundaries
+    * derive from the key bounds by exact integer arithmetic (one
+    * driver-held row) rather than Spark's sampled RangePartitioner, so
+    * the assignment is deterministic and the oracle replays it — the
+    * production trade is sampled boundaries for balance; the
+    * DETERMINISM here is what makes the export hash-verifiable. The
+    * roundtrip fold proves the written runs, not the plan. */
+  def exportSorted(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.Fixtures.reusedScratchDir("jsonl_export_sorted")
+    val docs = Tables.load(spark, dir, "documents")
+    val b = docs.agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+    lockFor(out).synchronized {
+      docs.crossJoin(broadcast(b))
+        .withColumn("shard",
+          least(lit(SortShards - 1L),
+            expr(s"((doc_id - mn) * $SortShards) div (mx - mn + 1)")))
+        .repartition(col("shard"))
+        .sortWithinPartitions(col("shard"), col("doc_id"))
+        .drop("mn", "mx")
+        .write.mode("overwrite").partitionBy("shard")
+        .option("compression", "gzip").json(out)
+      val folded = spark.read.json(out)
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"),
+          sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+            .as("text_sig"))
+      val rows = folded.collect() // bounded: SortShards rows
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), folded.schema)
+    }
+  }
+
+  val exportSortedSql: String =
+    s"""WITH b AS (SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM documents)
+       |SELECT LEAST(${SortShards - 1},
+       |    ((doc_id - mn) * $SortShards) // (mx - mn + 1)) AS shard,
+       |  COUNT(*) AS n_docs,
+       |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+       |  CAST(SUM(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS text_sig
+       |FROM documents CROSS JOIN b GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_export_sorted" -> (exportSorted _),
     "llm_decontaminate" -> (decontaminate _),
     "txt_repetition" -> (repetition _),
     "llm_domain_mixture" -> (domainMixture _),
@@ -395,6 +449,7 @@ object CorpusOps {
     "llm_export_sized" -> (exportJsonlSized _))
 
   val oracles: Map[String, String] = Map(
+    "llm_export_sorted" -> exportSortedSql,
     "llm_decontaminate" -> decontaminateSql,
     "txt_repetition" -> repetitionSql,
     "llm_domain_mixture" -> domainMixtureSql,

@@ -564,7 +564,47 @@ object Ingestion {
       |  CAST(SUM(price) AS DOUBLE) AS total
       |FROM cur GROUP BY 1""".stripMargin
 
+  /** Retention purge — the ops obligation every long-lived lake has
+    * (age-based retention + per-user erasure, the GDPR shape): events
+    * older than 7 days before the corpus max, and all events of the
+    * banned user cohort (user_id ≡ 13 mod 100), are purged by rewrite;
+    * the kept set lands via the versioned commit with keepVersions = 1
+    * — DELIBERATE, because a purge that leaves the data readable in a
+    * retained prior version hasn't purged anything; GC destroys the
+    * old version dirs at commit time. The reported kept counts come
+    * from the LAKE READ-BACK (materialization proven, not inferred);
+    * the purge classes are disjoint by construction (age first, then
+    * user-within-window), so the three columns partition the source.
+    * At 100 TB a date-partitioned lake turns the age purge into
+    * partition drops; the user purge is the rewrite path shown here. */
+  def retentionPurge(spark: SparkSession, dir: String): DataFrame = {
+    val lake = s"${System.getProperty("java.io.tmpdir")}/graft_lake_purge"
+    deleteDir(spark, lake)
+    val ev = graft.Tables.load(spark, dir, "events")
+    val cut = ev.agg(expr("max(ts) - INTERVAL 7 DAYS").as("cutoff"))
+    val evC = ev.crossJoin(broadcast(cut))
+    val kept = evC.filter(col("ts") >= col("cutoff") && col("user_id") % 100 =!= 13)
+      .select(ev.columns.map(col).toSeq: _*)
+    graft.LakeCommit.commit(kept, lake, keepVersions = 1)
+    val keptBack = graft.LakeCommit.read(spark, lake)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_kept"))
+    val purged = evC.groupBy(col("event_type")).agg(
+      count(when(col("ts") < col("cutoff"), 1)).as("n_purged_age"),
+      count(when(col("ts") >= col("cutoff") && col("user_id") % 100 === 13, 1))
+        .as("n_purged_user"))
+    keptBack.join(purged, Seq("event_type"))
+  }
+
+  val retentionPurgeSql: String =
+    """WITH c AS (SELECT max(ts) - INTERVAL 7 DAY AS cutoff FROM events)
+      |SELECT event_type,
+      |  COUNT(*) FILTER (ts >= cutoff AND user_id % 100 != 13) AS n_kept,
+      |  COUNT(*) FILTER (ts < cutoff) AS n_purged_age,
+      |  COUNT(*) FILTER (ts >= cutoff AND user_id % 100 = 13) AS n_purged_user
+      |FROM events CROSS JOIN c GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ing_retention_purge" -> (retentionPurge _),
     "ing_ivm_agg" -> (ivmAgg _),
     "ing_lake_timetravel" -> (lakeTimetravel _),
     "ing_schema_evolution" -> (schemaEvolution _),
@@ -579,6 +619,7 @@ object Ingestion {
     "ing_scd2_merge" -> (scd2Merge _))
 
   val oracles: Map[String, String] = Map(
+    "ing_retention_purge" -> retentionPurgeSql,
     "ing_ivm_agg" -> ivmAggSql,
     "ing_lake_timetravel" -> lakeTimetravelSql,
     "ing_schema_evolution" -> schemaEvolutionSql,

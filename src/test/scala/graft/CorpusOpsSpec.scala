@@ -314,4 +314,33 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.filter(_._1 == "small").sortBy(_._4).map(_._2).toSeq ===
       Seq(101L, 102L, 103L))
   }
+
+  test("sorted export: shard ranges are monotone and the written runs are sorted") {
+    import org.apache.spark.sql.functions._
+    val out = graft.queries.CorpusOps.exportSorted(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("min_id"), r.getAs[Long]("max_id")))
+      .sortBy(_._1)
+    assert(out.nonEmpty)
+    // Non-overlapping monotone ranges: the bulk-load property.
+    out.toSeq.sliding(2).foreach {
+      case Seq((_, _, hi), (_, lo2, _)) =>
+        assert(hi < lo2, s"ranges overlap: ${out.mkString(", ")}")
+      case _ =>
+    }
+    // The written run itself is sorted: read shard 0's json lines in
+    // file order and check the doc_id sequence ascends per file.
+    val dir = new java.io.File(
+      s"${graft.Fixtures.reusedScratchDir("jsonl_export_sorted")}/shard=0")
+    val files = dir.listFiles().filter(_.getName.endsWith(".gz"))
+    assert(files.nonEmpty, s"no shard-0 run files in $dir")
+    files.foreach { f =>
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+        new java.util.zip.GZIPInputStream(new java.io.FileInputStream(f))))
+      val ids = Iterator.continually(in.readLine()).takeWhile(_ != null)
+        .map(l => "\"doc_id\":(\\d+)".r.findFirstMatchIn(l).get.group(1).toLong)
+        .toSeq
+      in.close()
+      assert(ids == ids.sorted, s"run ${f.getName} is not sorted")
+    }
+  }
 }

@@ -106,6 +106,29 @@ class LakeCommitSpec extends SparkSpec {
     assert(ks(LakeCommit.readVersion(spark, lake, 2L)) === Set(2))
   }
 
+  test("retention purge: counts partition the source and the purged version is destroyed") {
+    import org.apache.spark.sql.functions._
+    val out = graft.queries.Ingestion.retentionPurge(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val totals = Tables.load(spark, sf0001, "events")
+      .groupBy(col("event_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_purged_age") +
+        r.getAs[Long]("n_purged_user") == totals(t), s"partition law broke for $t")
+    }
+    assert(out.map(_.getAs[Long]("n_purged_user")).sum > 0, "banned cohort vacuous")
+    assert(out.map(_.getAs[Long]("n_purged_age")).sum > 0, "age purge vacuous")
+    // keepVersions=1: exactly one retained version — purged data has no
+    // readable prior snapshot left behind.
+    val lake = s"${System.getProperty("java.io.tmpdir")}/graft_lake_purge"
+    assert(LakeCommit.committedVersions(spark, lake).size == 1)
+    // And the retained version truly contains no banned/expired rows.
+    val back = LakeCommit.read(spark, lake)
+    assert(back.filter(col("user_id") % 100 === 13).count() == 0)
+  }
+
   test("rename atomicity is NOT load-bearing: concurrent readers stay consistent on a copy+delete-rename fs") {
     // The old staged-swap design moved the live directory through two
     // renames; on an object store (rename = slow copy+delete) a reader

@@ -505,6 +505,28 @@ object Serve {
       }
     })
 
+    server.createContext("/explain", (ex: HttpExchange) => handle(ex) {
+      // Plan introspection for the /sql surface (the ES `_explain` /
+      // `_validate` analog): the SAME parse-time and post-analysis
+      // guards as /sql run first, so this cannot become a side door
+      // that analyzes what /sql would refuse — then the optimized plan
+      // ships back as text WITHOUT executing anything. Operators use
+      // it to see pushed filters, join strategies, and exchanges
+      // before paying for a query.
+      val p = params(ex)
+      p.get("q") match {
+        case Some(sql) =>
+          guardSql(spark, sql, tables.toSet)
+          val df = spark.sql(sql)
+          guardAnalyzed(PlanShim.analyzed(df))
+          val plan = df.queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString(
+              if (p.get("mode").contains("formatted")) "formatted" else "simple"))
+          (200, s"""{"plan":${jstr(plan.take(20000))}}""")
+        case None => (400, """{"error":"missing q parameter"}""")
+      }
+    })
+
     server.createContext("/suggest", (ex: HttpExchange) => handle(ex) {
       // The search box's two assistive shapes (the reference UI's
       // Searchkit input, SearchUI.js:6-33): prefix completion over the

@@ -82,6 +82,22 @@ class ServeSpec extends SparkSpec {
       s"highlight '${hit.group(2)}' contains none of ${matched.mkString(",")}")
   }
 
+  test("/explain returns the plan without executing, behind the /sql guards") {
+    val q = java.net.URLEncoder.encode(
+      "SELECT o_orderstatus, COUNT(*) FROM orders WHERE o_orderkey > 100 GROUP BY 1", "UTF-8")
+    val (code, body) = get(s"/explain?q=$q")
+    assert(code === 200)
+    assert(body.contains("\"plan\""))
+    assert(body.contains("Physical Plan"), body.take(200))
+    assert(body.contains("HashAggregate") || body.contains("Aggregate"))
+    // The guard runs first: a write statement is refused exactly like /sql.
+    val bad = java.net.URLEncoder.encode("DROP TABLE orders", "UTF-8")
+    assert(get(s"/explain?q=$bad")._1 === 400)
+    // formatted mode carries the per-node detail (pushed filters etc).
+    val (c2, b2) = get(s"/explain?q=$q&mode=formatted")
+    assert(c2 === 200 && b2.contains("PushedFilters"), b2.take(300))
+  }
+
   test("/suggest completes prefixes and corrects typos under fuzzy=1") {
     val (code, body) = get("/suggest?q=s&limit=5")
     assert(code === 200)

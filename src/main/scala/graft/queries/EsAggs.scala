@@ -189,13 +189,41 @@ object EsAggs {
       |  CAST(c200 AS DOUBLE) / CAST(n AS DOUBLE) * 100.0 AS rank_200
       |FROM g""".stripMargin
 
+  /** ES numeric `histogram` aggregation (the non-date Kibana bar
+    * chart): equi-width interval buckets over order totals — bucket
+    * key = floor(price / 25000)·25000, count, DECIMAL-fenced revenue,
+    * exact min/max per bucket. floor of one double division is
+    * deterministic on both engines (no accumulation), and min/max are
+    * selections, not folds — so the only fold is the decimal sum.
+    * One partial-aggregatable groupBy; bucket count is bounded by the
+    * value range, not the corpus. */
+  def histogramNumeric(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val bucket = (floor(col("o_totalprice") / 25000.0).cast("long") * 25000L).as("bucket")
+    o.groupBy(bucket)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("rev"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+  }
+
+  val histogramNumericSql: String =
+    """SELECT CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) * 25000 AS bucket,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev,
+      |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+      |FROM orders GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_histogram_numeric" -> (histogramNumeric _),
     "geo_centroid" -> (geoCentroid _),
     "rel_histogram_dense" -> (histogramDense _),
     "rel_composite_after" -> (compositeAfter _),
     "evt_percentile_ranks" -> (percentileRanks _))
 
   val oracles: Map[String, String] = Map(
+    "rel_histogram_numeric" -> histogramNumericSql,
     "geo_centroid" -> geoCentroidSql,
     "rel_histogram_dense" -> histogramDenseSql,
     "rel_composite_after" -> compositeAfterSql,

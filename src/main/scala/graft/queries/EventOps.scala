@@ -373,7 +373,48 @@ object EventOps {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM x GROUP BY 1, 2""".stripMargin
 
+  /** Event transition matrix — the product-analytics path-analysis
+    * shape (the Sankey/Markov source data): per user, consecutive
+    * event pairs under the (ts, event_id) total order, counted into a
+    * |types|² matrix with each source row's outgoing share. The lag
+    * window shuffles ONCE on user_id (the same exchange every
+    * per-user event op in the catalog rides); the matrix fold is
+    * partial-aggregatable and the output is bounded at |types|² for
+    * any corpus size. The share is one pinned division over exact
+    * counts. Tie-safety: ts alone can collide within a user, so the
+    * order key appends event_id — without it the lag pairing would be
+    * engine-dependent and the hash would flake. */
+  def transitions(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = ev
+      .select(col("user_id"), col("event_type").as("to_type"),
+        lag(col("event_type"), 1).over(w).as("from_type"))
+      .filter(col("from_type").isNotNull)
+    val counts = pairs.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val outTotals = counts.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("n_out"))
+    counts.join(outTotals, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast("double") / col("n_out").cast("double")).as("share"))
+  }
+
+  val transitionsSql: String =
+    """WITH p AS (SELECT user_id, event_type AS to_type,
+      |    lag(event_type, 1) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS from_type
+      |  FROM events),
+      |c AS (SELECT from_type, to_type, COUNT(*) AS n FROM p
+      |  WHERE from_type IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT from_type, SUM(n) AS n_out FROM c GROUP BY 1)
+      |SELECT c.from_type, c.to_type, c.n,
+      |  CAST(c.n AS DOUBLE) / CAST(t.n_out AS DOUBLE) AS share
+      |FROM c JOIN t ON c.from_type = t.from_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_transitions" -> (transitions _),
     "evt_hopping_window" -> (hoppingWindow _),
     "evt_anomaly_zscore" -> (anomalyZscore _),
     "evt_asof_join" -> (asofJoin _),
@@ -389,6 +430,7 @@ object EventOps {
   // not hash-comparable cross-engine → rows-only driver check (the
   // rel_approx_distinct precedent).
   val oracles: Map[String, String] = Map(
+    "evt_transitions" -> transitionsSql,
     "evt_hopping_window" -> hoppingWindowSql,
     "evt_anomaly_zscore" -> anomalyZscoreSql,
     "evt_asof_join" -> asofJoinSql,

@@ -140,6 +140,21 @@ class EventOpsSpec extends SparkSpec {
     assert(got === expect && got.nonEmpty)
   }
 
+  test("transitions: shares are row-stochastic and pairs count |events|-|users|") {
+    import org.apache.spark.sql.functions._
+    val out = graft.queries.EventOps.transitions(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    // Each source row's outgoing shares sum to 1 (row-stochastic matrix).
+    out.groupBy(_.getAs[String]("from_type")).foreach { case (ft, rows) =>
+      val s = rows.map(_.getAs[Double]("share")).sum
+      assert(math.abs(s - 1.0) < 1e-9, s"$ft shares sum to $s")
+    }
+    // Total transitions = sum over users of (n_events - 1).
+    val perUser = Tables.load(spark, sf0001, "events")
+      .groupBy(col("user_id")).count().collect().map(_.getLong(1))
+    assert(out.map(_.getAs[Long]("n")).sum == perUser.map(_ - 1).sum)
+  }
+
   test("hopping windows: every event lands in exactly duration/slide windows") {
     import org.apache.spark.sql.functions._
     val out = graft.queries.EventOps.hoppingWindow(spark, sf0001).collect()

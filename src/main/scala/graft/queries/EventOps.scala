@@ -413,7 +413,64 @@ object EventOps {
       |  CAST(c.n AS DOUBLE) / CAST(t.n_out AS DOUBLE) AS share
       |FROM c JOIN t ON c.from_type = t.from_type""".stripMargin
 
+  /** Cohort LTV curves — the revenue companion of [[retention]]'s
+    * count triangle: per (signup-week cohort, week offset), that
+    * week's purchase value and the cohort's CUMULATIVE value per
+    * signed-up user (the LTV curve product analytics plots). The
+    * running sum is a window over DECIMAL — exact at any fold order —
+    * and per-user normalization is one pinned division by the cohort
+    * size ridden in from a broadcast-size join. Both sides reuse the
+    * user_id-keyed exchange; the window partitions by cohort (weeks —
+    * bounded), never by user. */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val cohorts = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort"))
+    val sizes = cohorts.groupBy(col("cohort")).agg(count(lit(1)).as("n_users"))
+    val weekly = ev.filter(col("event_type") === "purchase")
+      .join(cohorts, "user_id")
+      .withColumn("wk", date_trunc("week", col("ts")).cast("date"))
+      .filter(col("wk") >= col("cohort"))
+      .select(col("cohort"),
+        (datediff(col("wk"), col("cohort")) / 7).cast("long").as("week_offset"),
+        col("value").cast("decimal(18,2)").as("v"))
+      .groupBy(col("cohort"), col("week_offset"))
+      .agg(sum(col("v")).as("wk_value"))
+    val w = Window.partitionBy(col("cohort")).orderBy(col("week_offset"))
+    weekly
+      .withColumn("cum_value", sum(col("wk_value")).over(w))
+      .join(sizes, "cohort")
+      .select(
+        date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"),
+        col("wk_value").cast("double").as("wk_value"),
+        (col("cum_value").cast("double") / col("n_users").cast("double"))
+          .as("ltv_per_user"))
+  }
+
+  val cohortLtvSql: String =
+    """WITH cohorts AS (SELECT user_id,
+      |    CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort
+      |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+      |sizes AS (SELECT cohort, COUNT(*) AS n_users FROM cohorts GROUP BY 1),
+      |weekly AS (SELECT c.cohort,
+      |    CAST(date_diff('day', c.cohort, CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS BIGINT) AS week_offset,
+      |    SUM(CAST(e.value AS DECIMAL(18,2))) AS wk_value
+      |  FROM events e JOIN cohorts c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase'
+      |    AND CAST(date_trunc('week', e.ts) AS DATE) >= c.cohort
+      |  GROUP BY 1, 2),
+      |cum AS (SELECT cohort, week_offset, wk_value,
+      |    SUM(wk_value) OVER (PARTITION BY cohort ORDER BY week_offset) AS cum_value
+      |  FROM weekly)
+      |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week, week_offset,
+      |  CAST(wk_value AS DOUBLE) AS wk_value,
+      |  CAST(cum_value AS DOUBLE) / CAST(n_users AS DOUBLE) AS ltv_per_user
+      |FROM cum JOIN sizes USING (cohort)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_cohort_ltv" -> (cohortLtv _),
     "evt_transitions" -> (transitions _),
     "evt_hopping_window" -> (hoppingWindow _),
     "evt_anomaly_zscore" -> (anomalyZscore _),
@@ -430,6 +487,7 @@ object EventOps {
   // not hash-comparable cross-engine → rows-only driver check (the
   // rel_approx_distinct precedent).
   val oracles: Map[String, String] = Map(
+    "evt_cohort_ltv" -> cohortLtvSql,
     "evt_transitions" -> transitionsSql,
     "evt_hopping_window" -> hoppingWindowSql,
     "evt_anomaly_zscore" -> anomalyZscoreSql,

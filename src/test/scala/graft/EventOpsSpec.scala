@@ -140,6 +140,20 @@ class EventOpsSpec extends SparkSpec {
     assert(got === expect && got.nonEmpty)
   }
 
+  test("cohort LTV: curves are monotone and cohorts match the retention cohort set") {
+    val out = graft.queries.EventOps.cohortLtv(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    // LTV is cumulative: non-decreasing along each cohort's offsets.
+    out.groupBy(_.getAs[String]("cohort_week")).foreach { case (_, rows) =>
+      val curve = rows.sortBy(_.getAs[Long]("week_offset")).map(_.getAs[Double]("ltv_per_user"))
+      assert(curve.zip(curve.tail).forall { case (a, b) => b >= a - 1e-9 })
+    }
+    // Same cohort universe as the retention triangle.
+    val cohorts = graft.queries.EventOps.retention(spark, sf0001).collect()
+      .map(_.getAs[String]("cohort_week")).toSet
+    assert(out.map(_.getAs[String]("cohort_week")).toSet.subsetOf(cohorts))
+  }
+
   test("transitions: shares are row-stochastic and pairs count |events|-|users|") {
     import org.apache.spark.sql.functions._
     val out = graft.queries.EventOps.transitions(spark, sf0001).collect()

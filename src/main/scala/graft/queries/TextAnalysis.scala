@@ -750,6 +750,39 @@ object TextAnalysis {
        |  MAX(n_toks) AS max_bpe_toks
        |FROM bpe_doc_toks GROUP BY source""".stripMargin
 
+  /** Tokenizer fertility by language — the standard tokenizer-evaluation
+    * metric (trained-BPE tokens per whitespace word): a fertility that
+    * drifts high for one language means the tokenizer under-serves it
+    * and its token budget buys less text. Same per-row trained encoder
+    * as [[bpeTokenStats]], one exchange on `lang`, fertility as a
+    * pinned division over exact long sums; the oracle replays the merge
+    * recursion symbolically and joins the per-doc counts back to lang. */
+  def bpeFertility(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val cnt = Bpe.tokenCountCol(Bpe.fixtureMerges)
+    docs.select(col("lang"),
+        cnt(col("text")).as("n_toks"),
+        size(toks(col("text"))).cast("long").as("n_words"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("sum_toks"),
+        sum(col("n_words")).as("sum_words"))
+      .select(col("lang"), col("n_docs"), col("sum_toks"), col("sum_words"),
+        (col("sum_toks").cast("double") / col("sum_words").cast("double"))
+          .as("fertility"))
+  }
+
+  val bpeFertilitySql: String =
+    s"""WITH RECURSIVE
+       |${Bpe.oracleCtes()}
+       |SELECT d.lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(t.n_toks) AS BIGINT) AS sum_toks,
+       |  CAST(SUM(len(${toksSqlOf("d.text")})) AS BIGINT) AS sum_words,
+       |  CAST(SUM(t.n_toks) AS DOUBLE) /
+       |    CAST(SUM(len(${toksSqlOf("d.text")})) AS DOUBLE) AS fertility
+       |FROM bpe_doc_toks t JOIN documents d USING (doc_id)
+       |GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------------ vocabulary
 
   /** Corpus vocabulary, top-100 tokens by frequency — the count table a
@@ -865,6 +898,7 @@ object TextAnalysis {
     "txt_quality" -> (quality _),
     "txt_token_stats" -> (tokenStats _),
     "txt_bpe_stats" -> (bpeTokenStats _),
+    "txt_bpe_fertility" -> (bpeFertility _),
     "txt_vocab_topk" -> (vocabTopk _),
     "txt_fingerprint" -> (fingerprint _),
     "txt_scrub" -> (scrub _))
@@ -881,6 +915,7 @@ object TextAnalysis {
     "txt_quality" -> qualitySql,
     "txt_token_stats" -> tokenStatsSql,
     "txt_bpe_stats" -> bpeStatsSql,
+    "txt_bpe_fertility" -> bpeFertilitySql,
     "txt_vocab_topk" -> vocabTopkSql,
     "txt_fingerprint" -> fingerprintSql,
     "txt_scrub" -> scrubSql)

@@ -448,19 +448,24 @@ object Ingestion {
     * plans exactly like any parquet scan. */
   def lakeTimetravel(spark: SparkSession, dir: String): DataFrame = {
     val lake = s"${System.getProperty("java.io.tmpdir")}/graft_lake_tt"
-    deleteDir(spark, lake) // deterministic version numbering per run
-    val o = graft.Tables.load(spark, dir, "orders")
-      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-    graft.LakeCommit.commit(o.filter(col("o_orderstatus") === "F"), lake, keepVersions = 3)
-    graft.LakeCommit.commit(o.filter(col("o_orderstatus") =!= "F"), lake, keepVersions = 3)
-    val v1 = graft.LakeCommit.readVersion(spark, lake, 1L)
-    val cur = graft.LakeCommit.read(spark, lake)
-    v1.withColumn("version", lit(1L))
-      .unionByName(cur.withColumn("version", lit(2L)))
-      .groupBy(col("version"))
-      .agg(
-        count(lit(1)).as("n"),
-        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("rev"))
+    // delete-then-commit is not atomic: serialize concurrent runs of
+    // this query (Serve exposes it at /query/) on the lake's own lock
+    // stripe — LakeCommit.commit takes the same lock reentrantly.
+    graft.PathLocks.lockFor(lake).synchronized {
+      deleteDir(spark, lake) // deterministic version numbering per run
+      val o = graft.Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.LakeCommit.commit(o.filter(col("o_orderstatus") === "F"), lake, keepVersions = 3)
+      graft.LakeCommit.commit(o.filter(col("o_orderstatus") =!= "F"), lake, keepVersions = 3)
+      val v1 = graft.LakeCommit.readVersion(spark, lake, 1L)
+      val cur = graft.LakeCommit.read(spark, lake)
+      v1.withColumn("version", lit(1L))
+        .unionByName(cur.withColumn("version", lit(2L)))
+        .groupBy(col("version"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("rev"))
+    }
   }
 
   val lakeTimetravelSql: String =
@@ -484,19 +489,23 @@ object Ingestion {
     * column materializes as nulls per batch. */
   def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_lake_evo"
-    deleteDir(spark, base)
-    val c = graft.Tables.load(spark, dir, "customer")
-    c.filter(col("c_custkey") % 2 === 0)
-      .select(col("c_custkey"), col("c_acctbal"))
-      .write.mode("overwrite").parquet(s"$base/d")
-    c.filter(col("c_custkey") % 2 === 1)
-      .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
-      .write.mode("append").parquet(s"$base/d")
-    spark.read.option("mergeSchema", "true").parquet(s"$base/d")
-      .groupBy(coalesce(col("c_mktsegment"), lit("(pre-evolution)")).as("segment"))
-      .agg(
-        count(lit(1)).as("n"),
-        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("bal"))
+    // serialize concurrent runs (Serve /query/) across the two-vintage
+    // write sequence — an interleaved delete would tear the table
+    graft.PathLocks.lockFor(base).synchronized {
+      deleteDir(spark, base)
+      val c = graft.Tables.load(spark, dir, "customer")
+      c.filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"), col("c_acctbal"))
+        .write.mode("overwrite").parquet(s"$base/d")
+      c.filter(col("c_custkey") % 2 === 1)
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+        .write.mode("append").parquet(s"$base/d")
+      spark.read.option("mergeSchema", "true").parquet(s"$base/d")
+        .groupBy(coalesce(col("c_mktsegment"), lit("(pre-evolution)")).as("segment"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("bal"))
+    }
   }
 
   val schemaEvolutionSql: String =
@@ -579,20 +588,23 @@ object Ingestion {
     * partition drops; the user purge is the rewrite path shown here. */
   def retentionPurge(spark: SparkSession, dir: String): DataFrame = {
     val lake = s"${System.getProperty("java.io.tmpdir")}/graft_lake_purge"
-    deleteDir(spark, lake)
-    val ev = graft.Tables.load(spark, dir, "events")
-    val cut = ev.agg(expr("max(ts) - INTERVAL 7 DAYS").as("cutoff"))
-    val evC = ev.crossJoin(broadcast(cut))
-    val kept = evC.filter(col("ts") >= col("cutoff") && col("user_id") % 100 =!= 13)
-      .select(ev.columns.map(col).toSeq: _*)
-    graft.LakeCommit.commit(kept, lake, keepVersions = 1)
-    val keptBack = graft.LakeCommit.read(spark, lake)
-      .groupBy(col("event_type")).agg(count(lit(1)).as("n_kept"))
-    val purged = evC.groupBy(col("event_type")).agg(
-      count(when(col("ts") < col("cutoff"), 1)).as("n_purged_age"),
-      count(when(col("ts") >= col("cutoff") && col("user_id") % 100 === 13, 1))
-        .as("n_purged_user"))
-    keptBack.join(purged, Seq("event_type"))
+    // serialize concurrent runs (Serve /query/) across delete + commit
+    graft.PathLocks.lockFor(lake).synchronized {
+      deleteDir(spark, lake)
+      val ev = graft.Tables.load(spark, dir, "events")
+      val cut = ev.agg(expr("max(ts) - INTERVAL 7 DAYS").as("cutoff"))
+      val evC = ev.crossJoin(broadcast(cut))
+      val kept = evC.filter(col("ts") >= col("cutoff") && col("user_id") % 100 =!= 13)
+        .select(ev.columns.map(col).toSeq: _*)
+      graft.LakeCommit.commit(kept, lake, keepVersions = 1)
+      val keptBack = graft.LakeCommit.read(spark, lake)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n_kept"))
+      val purged = evC.groupBy(col("event_type")).agg(
+        count(when(col("ts") < col("cutoff"), 1)).as("n_purged_age"),
+        count(when(col("ts") >= col("cutoff") && col("user_id") % 100 === 13, 1))
+          .as("n_purged_user"))
+      keptBack.join(purged, Seq("event_type"))
+    }
   }
 
   val retentionPurgeSql: String =

@@ -431,6 +431,16 @@ object Serve {
       (200, s"""{"tables":[${live.map(jstr).mkString(",")}]}""")
     })
 
+    // Per-request cancellation watchdog for /sql: the handler pool is
+    // BOUNDED (8 threads), so without a timeout one runaway query per
+    // thread would wedge the whole server — auth rejections included.
+    // setJobGroup is thread-local, so concurrent requests cancel only
+    // their own jobs; the watchdog fires cancelJobGroup after the
+    // (clamped) timeout and the collect surfaces as a shaped 408.
+    val watchdog = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      r => { val t = new Thread(r, "serve-sql-watchdog"); t.setDaemon(true); t })
+    val sqlSeq = new java.util.concurrent.atomic.AtomicLong()
+
     server.createContext("/sql", (ex: HttpExchange) => handle(ex) {
       val p = params(ex)
       p.get("q") match {
@@ -438,9 +448,33 @@ object Serve {
           guardSql(spark, sql, tables.toSet)
           val df = spark.sql(sql)
           guardAnalyzed(PlanShim.analyzed(df))
-          (200, render(df, intParam(p, "limit", 100)))
+          val timeoutSec = clamp(intParam(p, "timeout", 60), 600)
+          val group = s"serve-sql-${sqlSeq.incrementAndGet()}"
+          spark.sparkContext.setJobGroup(group, s"/sql $group",
+            interruptOnCancel = true)
+          val cancel = watchdog.schedule(new Runnable {
+            def run(): Unit = spark.sparkContext.cancelJobGroup(group)
+          }, timeoutSec.toLong, java.util.concurrent.TimeUnit.SECONDS)
+          try (200, render(df, intParam(p, "limit", 100)))
+          catch { case e: org.apache.spark.SparkException
+              if e.getMessage != null && e.getMessage.contains("cancelled") =>
+            (408, s"""{"error":"query exceeded ${timeoutSec}s and was cancelled"}""")
+          } finally {
+            cancel.cancel(false)
+            spark.sparkContext.clearJobGroup()
+          }
         case None => (400, """{"error":"missing q parameter"}""")
       }
+    })
+
+    server.createContext("/health", (ex: HttpExchange) => handle(ex) {
+      // Liveness + readiness in one: the session answers a trivial
+      // catalog call and the registered view count rides along, so a
+      // load balancer can distinguish "process up" from "lake views
+      // actually registered".
+      val live = tables.count(spark.catalog.tableExists)
+      val ups = (System.nanoTime() - startedAtNanos) / 1e9
+      (200, f"""{"status":"ok","uptime_sec":$ups%.1f,"tables_live":$live,"spark":${jstr(spark.version)}}""")
     })
 
     server.createContext("/search", (ex: HttpExchange) => handle(ex) {

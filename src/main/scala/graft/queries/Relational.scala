@@ -593,17 +593,38 @@ object Relational {
 
   /** HLL++ approximate distinct per group — the sketch path for A6 when
     * exact distinct is too expensive at scale (one pass, fixed-size
-    * state, no expand). No DuckDB oracle: HLL estimates are
-    * implementation-specific, so the driver records a rows-only check;
-    * the exact counterpart [[distinctCounts]] is fully oracle-checked. */
+    * state, no expand). HLL estimates are implementation-specific, so
+    * the sketch VALUE can't hash-compare cross-engine; instead the
+    * entry emits the exact counts (oracle-checkable) plus a
+    * `within_5pct` accuracy verdict per sketch, computed Spark-side
+    * against the exact count in the same pass. The oracle recomputes
+    * the exact side and asserts the verdicts literally TRUE — so an
+    * HLL drift beyond the declared 5% error bound turns the row red
+    * rather than invisible. Deterministic: HLL++ on the same data is
+    * reproducible, so this is a stable gate, not a flake. */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(spark, dir, "lineitem")
     import spark.implicits._
     li.groupBy($"l_returnflag")
       .agg(
-        approx_count_distinct($"l_partkey").as("approx_parts"),
-        approx_count_distinct($"l_suppkey").as("approx_supps"))
+        countDistinct($"l_partkey").as("exact_parts"),
+        countDistinct($"l_suppkey").as("exact_supps"),
+        approx_count_distinct($"l_partkey").as("ap"),
+        approx_count_distinct($"l_suppkey").as("asup"))
+      .select($"l_returnflag", $"exact_parts", $"exact_supps",
+        (abs($"ap" - $"exact_parts").cast("double")
+          <= $"exact_parts".cast("double") * 0.05).as("parts_within_5pct"),
+        (abs($"asup" - $"exact_supps").cast("double")
+          <= $"exact_supps".cast("double") * 0.05).as("supps_within_5pct"))
   }
+
+  val approxDistinctSql: String =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_partkey) AS exact_parts,
+      |  COUNT(DISTINCT l_suppkey) AS exact_supps,
+      |  TRUE AS parts_within_5pct,
+      |  TRUE AS supps_within_5pct
+      |FROM lineitem GROUP BY 1""".stripMargin
 
   /** Interval (range) join, grain-bucketed: orders matched to 20
     * overlapping promo windows where the order date falls inside the
@@ -810,6 +831,7 @@ object Relational {
     "rel_setops_bag" -> setOpsBagSql,
     "rel_outer_join" -> outerJoinSql,
     "rel_distinct_counts" -> distinctCountsSql,
+    "rel_approx_distinct" -> approxDistinctSql,
     "rel_grid_cells" -> gridCellsSql,
     "rel_regex_extract" -> regexExtractSql,
     "rel_table_profile" -> tableProfileSql)

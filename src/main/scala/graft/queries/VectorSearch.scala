@@ -312,9 +312,13 @@ object VectorSearch {
     * iteration's lineage stays flat instead of stacking k join plans.
     * Cells that lose every member simply vanish (k shrinks) — fine for
     * dedup, where cells are a partitioning device, not a model output.
-    * Sketch-free but not SQL-expressible in one statement (the learned
-    * centroids are data), so the catalog row is rows-only checked;
-    * TextVectorSpec pins lloydIters=0 ≡ the oracle-checked [[semDedup]]
+    * Deterministic end-to-end, so the ORACLE REPLAYS the training
+    * symbolically (the [[graft.functions.Bpe]] merge-recursion
+    * precedent): both Lloyd iterations are unrolled as DuckDB CTEs —
+    * init = k lowest vec_ids via QUALIFY, assignment = the same rounded
+    * cosine argmax, means = the same DECIMAL fold + one division — and
+    * the final keep/drop output hash-compares. TextVectorSpec
+    * additionally pins lloydIters=0 ≡ the oracle-checked [[semDedup]]
     * and the keep-rule invariants. */
   def semDedupKmeans(spark: SparkSession, dir: String, k: Int = 0,
       lloydIters: Int = 2, threshold: Double = 0.4): DataFrame = {
@@ -329,7 +333,14 @@ object VectorSearch {
       val means = assignCells(emb, cents)
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos"))
-        .agg(avg(col("x").cast("decimal(28,12)")).cast("double").as("m"))
+        // sum-then-one-division (not avg-over-decimal): the exact
+        // DECIMAL sum casts to double and divides ONCE, so the oracle's
+        // CAST(SUM(..) AS DOUBLE)/COUNT(*) reproduces the centroid
+        // bit-for-bit — what makes the Lloyd replay hash-comparable.
+        .agg(sum(col("x").cast("decimal(28,12)")).as("sx"),
+          count(lit(1)).as("n"))
+        .select(col("cid"), col("pos"),
+          (col("sx").cast("double") / col("n").cast("double")).as("m"))
         .groupBy(col("cid"))
         .agg(collect_list(struct(col("pos"), col("m"))).as("pm"))
         .select(col("cid"),
@@ -531,6 +542,42 @@ object VectorSearch {
        |      ORDER BY cos DESC, clabel ASC) AS rn FROM sc) WHERE rn = 1)
        |SELECT label, pred, COUNT(*) AS n FROM pred GROUP BY 1, 2""".stripMargin
 
+  /** Symbolic replay of [[semDedupKmeans]]'s two deterministic Lloyd
+    * iterations, fully unrolled as CTEs — init is the k = ⌈√N⌉ lowest
+    * vec_ids, each assignment the identical rounded-cosine argmax, each
+    * mean the identical DECIMAL(28,12) fold with one final double
+    * division, so every centroid is bit-identical cross-engine and the
+    * final keep/drop verdict hash-compares. */
+  val semDedupKmeansSql: String = {
+    def asg(name: String, cents: String): String =
+      s"""$name AS (SELECT vec_id, v, cid FROM (
+         |    SELECT e.vec_id, e.v, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${sqlCos("e.v", "c.cv")} DESC, c.cid ASC) AS rn
+         |    FROM e CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+    def means(name: String, asgName: String): String =
+      s"""$name AS (SELECT cid, list(m ORDER BY pos) AS cv FROM (
+         |    SELECT cid, i-1 AS pos,
+         |      CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)/COUNT(*) AS m
+         |    FROM (SELECT cid, i, v[i] AS x FROM $asgName CROSS JOIN dims t(i))
+         |    GROUP BY cid, i) GROUP BY cid)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |dims AS (SELECT unnest(range(1, (SELECT min(len(v)) FROM e)+1)) AS i),
+       |cents0 AS (SELECT vec_id AS cid, v AS cv FROM e
+       |  QUALIFY row_number() OVER (ORDER BY vec_id)
+       |    <= CAST(CEIL(SQRT((SELECT COUNT(*) FROM e))) AS BIGINT)),
+       |${asg("asg1", "cents0")},
+       |${means("cents1", "asg1")},
+       |${asg("asg2", "cents1")},
+       |${means("cents2", "asg2")},
+       |${asg("asgf", "cents2")},
+       |d AS (SELECT DISTINCT b.vec_id
+       |      FROM asgf a JOIN asgf b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |      WHERE ${sqlCos("a.v", "b.v")} >= 0.4)
+       |SELECT asgf.vec_id, asgf.cid, (d.vec_id IS NOT NULL) AS dropped
+       |FROM asgf LEFT JOIN d ON asgf.vec_id = d.vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_centroid_classify" -> (centroidClassify _),
     "llm_embed_ann_pq" -> (pqTopk _),
@@ -539,8 +586,6 @@ object VectorSearch {
     "llm_embed_ann_ivf" -> (ivfTopk _),
     "llm_embed_neardup" -> (embedNearDup _),
     "llm_semdedup" -> (semDedup _),
-    // rows-only by design: learned centroids are data, not SQL — the
-    // oracle-checked fixed-centroid variant is llm_semdedup above
     "llm_semdedup_kmeans" -> ((s: SparkSession, d: String) => semDedupKmeans(s, d)))
 
   val oracles: Map[String, String] = Map(
@@ -550,5 +595,7 @@ object VectorSearch {
     "llm_embed_ann_lsh" -> lshBucketTopkSql,
     "llm_embed_ann_ivf" -> ivfTopkSql,
     "llm_embed_neardup" -> embedNearDupSql,
-    "llm_semdedup" -> semDedupSql)
+    "llm_semdedup" -> semDedupSql,
+    "llm_semdedup_kmeans" -> semDedupKmeansSql)
+
 }

@@ -16,6 +16,18 @@ import org.apache.spark.sql.SparkSession
   *  - a failing query reports in `errors` instead of producing a bogus
   *    fast time;
   *  - UTC session, AQE on, shuffle partitions = cores (local mode).
+  *
+  * Self-defense against contended measurement (r15 verdict item 2: ~19
+  * queries inflated 1.3-1.8x by box-wide load, diagnosable only by
+  * archeology): every pass of every query records the 1-min loadavg
+  * sampled at its own start; after the two standard passes, any query
+  * whose best pass is SUSPECT — the two passes disagree by >40% (the
+  * spread only contention produces on identical code), or its best-pass
+  * loadavg exceeded the quiet threshold — gets a THIRD pass, and the
+  * artifact says which queries were retried. The detail artifact also
+  * carries per-query deltas vs the previous BENCH_DETAIL.json (the
+  * tools/bench_compare.py movers rule, computed at measurement time), so
+  * a regression is visible in the artifact itself, not a rerun later.
   */
 object Bench {
 
@@ -42,6 +54,33 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Contention discriminator: loadavg can't tell the bench's OWN
+    // local[32] bursts from a neighbor burning the box (both push the
+    // 1-min average into the same 3-5 band — measured when a first cut
+    // of this retry logic re-ran 79/138 queries off the warmup's decay
+    // tail). What can: system CPU share minus THIS process's share —
+    // self-load is subtracted out by construction. A best pass during
+    // which external processes held more than this fraction of the box
+    // is suspect and re-measured.
+    val extCpuThreshold = sys.env.get("SPARK_GRAFT_EXT_CPU")
+      .flatMap(_.toDoubleOption).getOrElse(0.20)
+    val detailPath = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_DETAIL", "/root/repo/BENCH_DETAIL.json")
+
+    // Previous round's per-query minima, read BEFORE this run overwrites
+    // the file. The detail format is our own; the one regex below only
+    // matches `"<name>":[1.2,3.4]` pass_times entries (scalar fields and
+    // the nested pass_loadavg array shapes don't).
+    val prevTimes: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(detailPath)), "UTF-8")
+        val re = """"([A-Za-z0-9_]+)":\[([0-9.,]+)\]""".r
+        re.findAllMatchIn(txt).map { m =>
+          m.group(1) -> m.group(2).split(",").flatMap(_.toDoubleOption).min
+        }.toMap.filterNot { case (k, _) => k == "pass_loadavg" }
+      } catch { case _: Throwable => Map.empty }
+
     val spark = session("graft-bench")
 
     val names = SparkEntry.queries.keys.toSeq.sorted
@@ -53,51 +92,94 @@ object Bench {
         None
       } catch { case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName)) }
 
-    def loadavg: Double = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
+    val osBean = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    def loadavg: Double = osBean.getSystemLoadAverage
+    // Fraction of the box burned by processes OTHER than this JVM since
+    // the previous call (both gauges are tick-deltas on Linux; calling
+    // once per measured query makes the window that query's own span).
+    // NaN/negative (first call, platform gaps) degrade to 0 = trusted.
+    def externalCpu: Double = {
+      val sys = osBean.getCpuLoad; val self = osBean.getProcessCpuLoad
+      if (sys.isNaN || self.isNaN || sys < 0 || self < 0) 0.0
+      else math.max(0.0, sys - self)
+    }
 
     val warmupT0 = System.nanoTime()
     names.foreach(materialize) // warmup pass, unmeasured
     val warmupSec = (System.nanoTime() - warmupT0) / 1e9
 
-    // Per-query per-pass wall times: three rounds running, the
-    // dedup-family gate numbers were un-debuggable from a min-only
-    // artifact (VERDICT r12 item 1/3) — a cold or contended pass is now
-    // visible in the artifact itself, no rerun needed.
-    val passTimes = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
+    // Per-query per-pass (wall sec, loadavg at start, external-CPU share
+    // over the pass): three rounds running, the dedup-family gate numbers
+    // were un-debuggable from a min-only artifact (VERDICT r12 item 1/3)
+    // — a cold or contended pass is now visible in the artifact itself,
+    // no rerun needed.
+    val passTimes = scala.collection.mutable.LinkedHashMap[String, List[(Double, Double, Double)]]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    // Per-pass 1-min loadavg samples (start + end of each pass): round
-    // 10's numbers were contaminated by box-wide contention invisible in
-    // the artifact — carry the evidence with the measurement. -1.0 =
-    // platform unsupported.
     val passLoads = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+
+    def measure(name: String): Unit = {
+      // Drop any cached blocks left by the warmup pass or a previous
+      // query, so each measured query pays its own full pipeline cost
+      // (a persisted intermediate materialized during warmup would
+      // otherwise turn the measured pass into a warm-cache read). The
+      // GC pass keeps one query's garbage from being collected inside
+      // the next query's timed window.
+      spark.catalog.clearCache()
+      System.gc()
+      val l = loadavg
+      externalCpu // reset the tick window to the query's own span
+      val t0 = System.nanoTime()
+      materialize(name) match {
+        case None =>
+          val t = (System.nanoTime() - t0) / 1e9
+          passTimes(name) = passTimes.getOrElse(name, Nil) :+ ((t, l, externalCpu))
+        case Some(err) =>
+          passTimes.remove(name)
+          errors(name) = err.take(200).replaceAll("[\"\\\\\n\r\t]", " ")
+      }
+    }
+
     // Two measured passes, per-query minimum: single-pass numbers on a
     // shared box swing up to 3x from scheduling/GC interference, and the
     // min is the standard estimator for the workload's actual cost.
-    for (pass <- 1 to 2) {
+    for (_ <- 1 to 2) {
       val l0 = loadavg
-      for (name <- names if !errors.contains(name)) {
-        // Drop any cached blocks left by the warmup pass or a previous
-        // query, so each measured query pays its own full pipeline cost
-        // (a persisted intermediate materialized during warmup would
-        // otherwise turn the measured pass into a warm-cache read). The
-        // GC pass keeps one query's garbage from being collected inside
-        // the next query's timed window.
-        spark.catalog.clearCache()
-        System.gc()
-        val t0 = System.nanoTime()
-        materialize(name) match {
-          case None =>
-            val t = (System.nanoTime() - t0) / 1e9
-            passTimes(name) = passTimes.getOrElse(name, Nil) :+ t
-          case Some(err) =>
-            passTimes.remove(name)
-            errors(name) = err.take(200).replaceAll("[\"\\\\\n\r\t]", " ")
-        }
-      }
+      for (name <- names if !errors.contains(name)) measure(name)
       passLoads += ((l0, loadavg))
     }
-    val times = passTimes.map { case (k, ts) => k -> ts.min }
+
+    // Third pass for contention-suspect queries only: external processes
+    // held >20% of the box during the best pass, or the two passes
+    // disagree beyond the identical-code noise band (>40% relative
+    // spread with an absolute floor so millisecond queries don't all
+    // retry). Constant external load inflates BOTH passes with a small
+    // spread (the r15 signature), which is exactly what the external-CPU
+    // trigger catches and the spread trigger can't.
+    def bestOf(ts: List[(Double, Double, Double)]): (Double, Double, Double) =
+      ts.minBy(_._1)
+    val retried = names.filter { n =>
+      passTimes.get(n).exists { ts =>
+        val (best, _, ext) = bestOf(ts)
+        val worst = ts.map(_._1).max
+        ext > extCpuThreshold ||
+          (worst - best > 0.3 && (worst - best) / best > 0.4)
+      }
+    }
+    retried.foreach(measure)
+
+    val times = passTimes.map { case (k, ts) => k -> bestOf(ts)._1 }
+    val bestLoads = passTimes.map { case (k, ts) => k -> bestOf(ts)._2 }
+    val bestExt = passTimes.map { case (k, ts) => k -> bestOf(ts)._3 }
+
+    // Movers vs the previous detail artifact (the bench_compare rule:
+    // >60% relative AND >0.3 s absolute delta on the per-query minima).
+    val movers = times.flatMap { case (k, v) =>
+      prevTimes.get(k).collect {
+        case p if (v - p).abs > 0.3 && p > 0 && (v - p).abs / p > 0.6 =>
+          k -> (p, v)
+      }
+    }
 
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON.
     def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
@@ -115,17 +197,23 @@ object Bench {
     // judge can read from the repo instead.
     val detail = {
       val perQuery = passTimes.map { case (k, ts) =>
-        s""""$k":${ts.map(f3).mkString("[", ",", "]")}"""
+        s""""$k":${ts.map(t => f3(t._1)).mkString("[", ",", "]")}"""
       }.mkString("{", ",", "}")
-      s"""{"sf":"$sfDir","warmup_sec":${f3(warmupSec)},"pass_loadavg":$loadsJson,"final_loadavg":${f3(load)},"errors":$es,"pass_times":$perQuery}"""
+      val perQueryLoads = bestLoads.map { case (k, v) => s""""$k":${f3(v)}""" }
+        .mkString("{", ",", "}")
+      val perQueryExt = bestExt.map { case (k, v) => s""""$k":${f3(v)}""" }
+        .mkString("{", ",", "}")
+      val retriedJson = retried.map(n => s""""$n"""").mkString("[", ",", "]")
+      val moversJson = movers.map { case (k, (p, v)) =>
+        s""""$k":{"prev":${f3(p)},"now":${f3(v)}}"""
+      }.mkString("{", ",", "}")
+      s"""{"sf":"$sfDir","warmup_sec":${f3(warmupSec)},"pass_loadavg":$loadsJson,"final_loadavg":${f3(load)},"ext_cpu_threshold":${f3(extCpuThreshold)},"retried":$retriedJson,"movers_vs_prev":$moversJson,"errors":$es,"best_pass_loadavg":$perQueryLoads,"best_pass_external_cpu":$perQueryExt,"pass_times":$perQuery}"""
     }
-    val detailPath = sys.env.getOrElse(
-      "SPARK_GRAFT_BENCH_DETAIL", "/root/repo/BENCH_DETAIL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (detail + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () } // diagnostics must never fail the bench
 
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir","loadavg":${f3(load)},"pass_loadavg":$loadsJson,"warmup_sec":${f3(warmupSec)}}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir","loadavg":${f3(load)},"pass_loadavg":$loadsJson,"warmup_sec":${f3(warmupSec)},"retried":${retried.size},"movers_vs_prev":${movers.size}}""")
     spark.stop()
   }
 }

@@ -163,13 +163,130 @@ object CrawlPoller {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Payload → records: a top-level JSON array, or NDJSON (one object
-    * per non-blank line). */
+  /** Payload → records: a top-level JSON array, NDJSON (one object per
+    * non-blank line), or an RSS/Atom XML feed — the ACTUAL GoogleNews
+    * first-mile shape (the reference's GoogleNews library scrapes the
+    * news.google.com RSS; format_new consumes its title/desc/img/link/
+    * site/datetime fields, crawl_google_news.py:56-70). XML items are
+    * normalized to the same raw-record JSON the P11 shaper
+    * ([[graft.streaming.NewsShaping.shapeGoogleNews]]) expects, so one
+    * landing contract serves every payload shape. */
   private def parseRecords(file: Path): Seq[JsonNode] = {
     val raw = new String(Files.readAllBytes(file), UTF_8).trim
     if (raw.isEmpty) Nil
+    else if (raw.startsWith("<")) parseFeedXml(raw)
     else if (raw.startsWith("[")) mapper.readTree(raw).elements().asScala.toSeq
     else raw.linesIterator.filter(_.trim.nonEmpty)
       .map(l => mapper.readTree(l)).toSeq
+  }
+
+  /** RSS 2.0 `<item>` / Atom `<entry>` → raw news-record JSON with the
+    * [[graft.streaming.NewsShaping.shapeGoogleNews]] field names:
+    * title, desc, date (ISO-8601), link, img, site, author. DOM parse
+    * via the JDK with DTDs and external entities OFF (a crawled feed is
+    * untrusted input; XXE through a news payload must be impossible). */
+  private[graft] def parseFeedXml(raw: String): Seq[JsonNode] = {
+    val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    dbf.setFeature("http://xml.org/sax/features/external-general-entities", false)
+    dbf.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
+    dbf.setXIncludeAware(false); dbf.setExpandEntityReferences(false)
+    dbf.setNamespaceAware(true)
+    val doc = dbf.newDocumentBuilder().parse(
+      new java.io.ByteArrayInputStream(raw.getBytes(UTF_8)))
+
+    def children(e: org.w3c.dom.Element, local: String): Seq[org.w3c.dom.Element] = {
+      val out = Seq.newBuilder[org.w3c.dom.Element]
+      val kids = e.getChildNodes
+      var i = 0
+      while (i < kids.getLength) {
+        kids.item(i) match {
+          case c: org.w3c.dom.Element if c.getLocalName == local => out += c
+          case _ =>
+        }
+        i += 1
+      }
+      out.result()
+    }
+    def text(e: org.w3c.dom.Element, local: String): String =
+      children(e, local).headOption.map(_.getTextContent.trim).getOrElse("")
+
+    // RSS descriptions arrive as escaped HTML ("<a href=..>Title</a>…");
+    // the shaped doc wants readable text, so tags are stripped and the
+    // few entities feeds actually emit are unescaped. Not a sanitizer —
+    // a DISPLAY normalization; the raw payload stays in the landing file.
+    def stripHtml(s0: String): String =
+      s0.replaceAll("<[^>]*>", " ")
+        .replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">")
+        .replace("&quot;", "\"").replace("&#39;", "'").replace("&nbsp;", " ")
+        .replaceAll("\\s+", " ").trim
+
+    // Feed dates: RSS uses RFC-1123 pubDate, Atom ISO-8601
+    // published/updated; both normalize to an ISO instant so the
+    // shaper's `cast("timestamp")` parses them identically. An
+    // unparseable date passes through raw (casts to null downstream —
+    // a visible absence, not a silent wrong time).
+    def isoDate(s0: String): String =
+      if (s0.isEmpty) s0
+      else {
+        import java.time.format.DateTimeFormatter
+        val tries = Seq[String => String](
+          v => java.time.ZonedDateTime.parse(v, DateTimeFormatter.RFC_1123_DATE_TIME)
+            .toInstant.toString,
+          v => java.time.OffsetDateTime.parse(v).toInstant.toString,
+          v => java.time.LocalDateTime.parse(v).toString)
+        tries.view.flatMap(f => scala.util.Try(f(s0)).toOption)
+          .headOption.getOrElse(s0)
+      }
+
+    def record(title: String, desc: String, date: String, link: String,
+        img: String, site: String, author: String): JsonNode = {
+      val o = mapper.createObjectNode()
+      o.put("title", title); o.put("desc", desc); o.put("date", date)
+      o.put("link", link); o.put("img", img); o.put("site", site)
+      o.put("author", author)
+      o
+    }
+
+    val root = doc.getDocumentElement
+    root.getLocalName match {
+      case "rss" =>
+        children(root, "channel").flatMap { ch =>
+          children(ch, "item").map { it =>
+            // media:content/enclosure carry the thumbnail as a url attr
+            val img = (children(it, "content") ++ children(it, "thumbnail") ++
+              children(it, "enclosure"))
+              .flatMap(e => Option(e.getAttribute("url")).filter(_.nonEmpty))
+              .headOption.getOrElse("")
+            record(
+              title = text(it, "title"),
+              desc = stripHtml(text(it, "description")),
+              date = isoDate(text(it, "pubDate")),
+              link = text(it, "link"),
+              img = img,
+              site = text(it, "source"),
+              author = text(it, "creator")) // dc:creator, local name
+          }
+        }
+      case "feed" => // Atom: site defaults to the feed's own title
+        val feedTitle = text(root, "title")
+        children(root, "entry").map { en =>
+          val link = children(en, "link")
+            .sortBy(e => if (e.getAttribute("rel") == "" ||
+              e.getAttribute("rel") == "alternate") 0 else 1)
+            .flatMap(e => Option(e.getAttribute("href")).filter(_.nonEmpty))
+            .headOption.getOrElse(text(en, "link"))
+          val author = children(en, "author").headOption
+            .map(a => text(a, "name")).getOrElse("")
+          val date = Seq(text(en, "published"), text(en, "updated"))
+            .find(_.nonEmpty).getOrElse("")
+          val desc = Seq(text(en, "summary"), text(en, "content"))
+            .find(_.nonEmpty).getOrElse("")
+          record(text(en, "title"), stripHtml(desc), isoDate(date),
+            link, img = "", site = feedTitle, author = author)
+        }
+      case other =>
+        throw new IllegalArgumentException(s"unsupported feed root <$other>")
+    }
   }
 }

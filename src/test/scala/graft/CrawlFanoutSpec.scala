@@ -139,6 +139,108 @@ class CrawlFanoutSpec extends SparkSpec {
     }
   }
 
+  /** GoogleNews-shaped RSS 2.0 payload: escaped-HTML description,
+    * RFC-1123 pubDate, <source> site, media:content thumbnail — the
+    * actual first-mile wire format the GoogleNews library scrapes. */
+  private def rssDoc(lang: String): String =
+    s"""<?xml version="1.0" encoding="UTF-8"?>
+       |<rss version="2.0" xmlns:media="http://search.yahoo.com/mrss/">
+       |<channel><title>covid - Google News</title>
+       |<item>
+       |  <title>rss-story-$lang</title>
+       |  <link>https://news.example/rss/$lang</link>
+       |  <pubDate>Mon, 01 Mar 2021 10:00:00 GMT</pubDate>
+       |  <description>&lt;a href="https://news.example/rss/$lang"&gt;rss-story-$lang&lt;/a&gt; full text</description>
+       |  <source url="https://news.example">News Example</source>
+       |  <media:content url="https://img.example/$lang.png"/>
+       |</item>
+       |<item>
+       |  <title>shared-rss-story</title>
+       |  <link>https://news.example/rss/shared</link>
+       |  <pubDate>Mon, 01 Mar 2021 09:30:00 GMT</pubDate>
+       |  <description>shared</description>
+       |  <source url="https://news.example">News Example</source>
+       |</item>
+       |</channel></rss>""".stripMargin
+
+  test("GoogleNews RSS first mile: live-served feed polls, shapes, lands in the lake") {
+    // a dedicated server so the RSS path exercises the SAME fan-out
+    // grid + stream pipeline as the JSON tests above
+    val uris = new ConcurrentLinkedQueue[String]()
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/rss", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+        uris.add(ex.getRequestURI.toString)
+        val lang = q.split("&").collectFirst {
+          case p if p.startsWith("lang=") => p.drop(5) }.getOrElse("xx")
+        val bytes = rssDoc(lang).getBytes(UTF_8)
+        ex.getResponseHeaders.add("Content-Type", "application/rss+xml")
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes); ex.close()
+      }
+    }): Unit
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val landing = Fixtures.scratchDir("rss_news")
+      val lake = Fixtures.scratchDir("rss_lake")
+      val flows = CrawlFanout.flows(CrawlFanout.googleNews(s"$base/rss"), landing) :+
+        Schedule.Flow("news_stream", _ => NewsStream.runOnceFanout(
+          spark, landing, Fixtures.scratchDir("rss_tweets"),
+          s"$lake/sink", s"$lake/_ckpt"))
+      val report = Schedule.runTick(flows, 0)
+      assert(report.outcomes.forall(_._2.isEmpty),
+        s"flow failures: ${report.outcomes.filter(_._2.nonEmpty)}")
+      assert(uris.asScala.count(_.startsWith("/rss")) === 4) // lang x tag grid
+
+      val lakeDf = spark.read.parquet(s"$lake/sink")
+      // fr + en lang stories + shared story (cross-cell deduped) = 3
+      assert(lakeDf.count() === 3)
+      val frRow = lakeDf.where("link = 'https://news.example/rss/fr'")
+        .collect().head
+      assert(frRow.getAs[String]("title") === "rss-story-fr")
+      // escaped HTML stripped to readable text
+      assert(frRow.getAs[String]("desc") === "rss-story-fr full text")
+      // RFC-1123 pubDate normalized and cast to a real timestamp
+      assert(frRow.getAs[java.sql.Timestamp]("date").toInstant.toString
+        === "2021-03-01T10:00:00Z")
+      // media thumbnail + <source> site + fan-out lang provenance
+      assert(frRow.getAs[String]("img") === "https://img.example/fr.png")
+      val src = frRow.getAs[org.apache.spark.sql.Row]("source")
+      assert(src.getAs[String]("website") === "News Example")
+      assert(src.getAs[String]("crawler") === "googlenews")
+      assert(frRow.getAs[String]("lang") === "fr")
+    } finally server.stop(0)
+  }
+
+  test("Atom entries normalize through the same landing contract") {
+    val atom =
+      """<?xml version="1.0" encoding="utf-8"?>
+        |<feed xmlns="http://www.w3.org/2005/Atom">
+        |  <title>Atom Example</title>
+        |  <entry>
+        |    <title>atom-story</title>
+        |    <link rel="alternate" href="https://news.example/atom/1"/>
+        |    <published>2021-03-01T12:00:00Z</published>
+        |    <summary>atom summary</summary>
+        |    <author><name>carol</name></author>
+        |  </entry>
+        |</feed>""".stripMargin
+    val recs = CrawlPoller.parseFeedXml(atom)
+    assert(recs.size === 1)
+    val r = recs.head
+    assert(r.get("title").asText === "atom-story")
+    assert(r.get("link").asText === "https://news.example/atom/1")
+    assert(r.get("date").asText === "2021-03-01T12:00:00Z")
+    assert(r.get("desc").asText === "atom summary")
+    assert(r.get("site").asText === "Atom Example")
+    assert(r.get("author").asText === "carol")
+    // a doctype'd payload is refused outright (XXE hygiene)
+    val evil = """<?xml version="1.0"?><!DOCTYPE r [<!ENTITY x SYSTEM "file:///etc/passwd">]><rss><channel/></rss>"""
+    intercept[Exception] { CrawlPoller.parseFeedXml(evil) }
+  }
+
   test("bounded seen-set: recent links survive the cap, old ones re-land once") {
     withServer { (_, base) =>
       val landing = Fixtures.scratchDir("fanout_seen_cap")

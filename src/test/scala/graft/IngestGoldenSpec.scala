@@ -29,6 +29,34 @@ class IngestGoldenSpec extends SparkSpec {
     assert(CasesIngest.sniffDelimiter(s"${CasesIngest.FixtureDir}/contamination_*.csv") === ",")
   }
 
+  test("S1 off file://: the full ingest chain reads an object-store scheme") {
+    // The reference's primary source is MinIO buckets; ingestion here is
+    // Hadoop-FS-URI-generic, proven by running the SAME golden source
+    // through an in-JVM object store (flat keys, synthesized prefixes,
+    // no rename — the s3a shape) and matching the file:// result.
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.s3mock.impl", classOf[S3MockFileSystem].getName)
+    S3MockFileSystem.clear()
+    for (path <- CasesIngest.specs.head.paths) {
+      val name = path.split('/').last
+      S3MockFileSystem.put(s"pandemic/cases/$name",
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+    }
+    val s3Spec = CasesIngest.specs.head.copy(
+      paths = CasesIngest.specs.head.paths.map(p =>
+        s"s3mock://pandemic/cases/${p.split('/').last}"))
+    // dialect sniff opens the object through the scheme (bounded read)
+    assert(CasesIngest.sniffDelimiter(s3Spec.paths.head) === ",")
+    // glob listing resolves bucket-prefix wildcards like a bucket scan
+    assert(CasesIngest.sniffDelimiter("s3mock://pandemic/cases/contamination_*.csv") === ",")
+    val viaS3 = ingest.SourceSpec.ingest(spark, s3Spec, CasesIngest.geoDim(spark))
+      .drop("filename") // provenance keeps the (scheme-specific) file name
+    val viaFile = ingest.SourceSpec.ingest(spark, CasesIngest.specs.head,
+      CasesIngest.geoDim(spark)).drop("filename")
+    assert(viaS3.count() === viaFile.count() && viaS3.count() > 0)
+    assert(viaS3.exceptAll(viaFile).isEmpty && viaFile.exceptAll(viaS3).isEmpty)
+  }
+
   test("row counts: invalid rows dropped, valid rows survive") {
     // 10 contamination rows: -World -Atlantis -empty-date = 7; 4 vaccination.
     assert(canon.count() === 11)

@@ -1,6 +1,6 @@
 package graft
 
-import java.io.File
+import java.io.{File, IOException}
 
 import org.apache.spark.sql.DataFrame
 
@@ -104,6 +104,85 @@ class LakeCommitSpec extends SparkSpec {
     // A version number never committed is a distinct loud failure.
     intercept[java.io.FileNotFoundException](LakeCommit.readVersion(spark, lake, 99L))
     assert(ks(LakeCommit.readVersion(spark, lake, 2L)) === Set(2))
+  }
+
+  test("crash INJECTION matrix: real failures at the real call sites, readers never see partial state") {
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.faultfs.impl", classOf[FaultFs].getName)
+    val localRoot = Fixtures.scratchDir("lc_fault")
+    val lake = s"faultfs://$localRoot/lake"
+
+    // baseline committed version through the fault FS (disarmed)
+    FaultFs.disarm()
+    LakeCommit.commit(dataset(1), lake, keepVersions = 1)
+    assert(ks(LakeCommit.read(spark, lake)) === Set(1))
+
+    // -- crash 1: between staged data write and marker publish --------
+    // poison exactly the v2 marker create; the parquet write (which
+    // also calls create, on data files) must pass through untouched
+    FaultFs.poison = (op, path) =>
+      op == "create" && path.endsWith("_commits/v000000002")
+    intercept[IOException] {
+      LakeCommit.commit(dataset(2), lake, keepVersions = 1)
+    }
+    FaultFs.disarm()
+    // partial state: data dir v2 exists (fully written), marker absent
+    assert(new File(s"$localRoot/lake/v000000002").exists())
+    assert(!new File(s"$localRoot/lake/_commits/v000000002").exists())
+    // readers are entirely unaffected: still v1, history still [1]
+    assert(ks(LakeCommit.read(spark, lake)) === Set(1))
+    assert(LakeCommit.committedVersions(spark, lake) === Seq(1L))
+    // the next tick recovers: orphan number is skipped, commit lands v3
+    val rec = LakeCommit.commit(dataset(3), lake, keepVersions = 1)
+    assert(rec.endsWith("v000000003"))
+    assert(ks(LakeCommit.read(spark, lake)) === Set(3))
+    // keep=1 floor passed the orphan: v2's half-commit is gone for good
+    assert(!new File(s"$localRoot/lake/v000000002").exists())
+
+    // -- crash 2: after the commit point, mid-GC (between supersede ---
+    // -- and data-dir delete) -----------------------------------------
+    // v4 commits (marker lands), then GC's delete of v3's DATA dir
+    // dies after v3's MARKER was already deleted — the marker-first
+    // ordering under test
+    FaultFs.poison = (op, path) =>
+      op == "delete" && path.endsWith("/v000000003") && !path.contains("_commits")
+    intercept[IOException] {
+      LakeCommit.commit(dataset(4), lake, keepVersions = 1)
+    }
+    FaultFs.disarm()
+    // the COMMIT survived the GC crash: v4 is current for new readers
+    assert(ks(LakeCommit.read(spark, lake)) === Set(4))
+    assert(LakeCommit.committedVersions(spark, lake) === Seq(4L))
+    // partial state: v3's marker went first, its data dir lingers —
+    // invisible to resolve (no marker), so no reader can pin it
+    assert(new File(s"$localRoot/lake/v000000003").exists())
+    assert(!new File(s"$localRoot/lake/_commits/v000000003").exists())
+    // next tick's GC retries and clears the lingering dir
+    LakeCommit.commit(dataset(5), lake, keepVersions = 1)
+    assert(!new File(s"$localRoot/lake/v000000003").exists())
+    assert(ks(LakeCommit.read(spark, lake)) === Set(5))
+
+    // -- crash 3: marker create dies AND the writer never returns -----
+    // (double fault: orphan from crash 1's shape followed immediately
+    // by another writer crashing the same way; numbers stay unique)
+    FaultFs.poison = (op, path) =>
+      op == "create" && path.contains("_commits/v0000000") &&
+        !path.endsWith("v000000005") // only future markers fail
+    intercept[IOException] {
+      LakeCommit.commit(dataset(6), lake, keepVersions = 1)
+    }
+    intercept[IOException] {
+      LakeCommit.commit(dataset(7), lake, keepVersions = 1)
+    }
+    FaultFs.disarm()
+    // two distinct orphans, neither visible, current still v5
+    assert(new File(s"$localRoot/lake/v000000006").exists())
+    assert(new File(s"$localRoot/lake/v000000007").exists())
+    assert(ks(LakeCommit.read(spark, lake)) === Set(5))
+    // recovery skips both
+    assert(LakeCommit.commit(dataset(8), lake, keepVersions = 1)
+      .endsWith("v000000008"))
+    assert(ks(LakeCommit.read(spark, lake)) === Set(8))
   }
 
   test("retention purge: counts partition the source and the purged version is destroyed") {

@@ -351,15 +351,34 @@ object Serve {
     }
 
     // Constant-time token check (MessageDigest.isEqual), so the compare
-    // itself cannot leak prefix length over the wire.
+    // itself cannot leak prefix length over the wire. Two accepted
+    // header shapes for the SAME shared secret: `Bearer <token>`, and
+    // `Basic base64(<user>:<token>)` with any user — the compat mode
+    // for clients hardwired to basic auth the way the reference's UI
+    // fronts ES (SearchUI.js:7 sends `Basic ` + btoa(user:pwd)). The
+    // secret is still the bearer token; Basic here changes the
+    // envelope, not the trust model (TLS remains required off-loopback).
     def authorized(ex: HttpExchange): Boolean = token match {
       case None => true
       case Some(t) =>
-        Option(ex.getRequestHeaders.getFirst("Authorization"))
-          .filter(_.startsWith("Bearer "))
-          .map(_.stripPrefix("Bearer "))
-          .exists(got => java.security.MessageDigest.isEqual(
-            got.getBytes(UTF_8), t.getBytes(UTF_8)))
+        val presented: Option[String] =
+          Option(ex.getRequestHeaders.getFirst("Authorization")).flatMap {
+            case h if h.startsWith("Bearer ") => Some(h.stripPrefix("Bearer "))
+            case h if h.startsWith("Basic ") =>
+              scala.util.Try {
+                val decoded = new String(java.util.Base64.getDecoder
+                  .decode(h.stripPrefix("Basic ").trim), UTF_8)
+                // RFC 7617: credentials are user-id ":" password; the
+                // password field carries the token
+                decoded.split(":", 2) match {
+                  case Array(_, pwd) => pwd
+                  case _ => ""
+                }
+              }.toOption
+            case _ => None
+          }
+        presented.exists(got => java.security.MessageDigest.isEqual(
+          got.getBytes(UTF_8), t.getBytes(UTF_8)))
     }
 
     // Per-SERVER metrics (an instance, not a global — concurrent test

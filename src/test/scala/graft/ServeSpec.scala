@@ -189,13 +189,27 @@ class ServeSpec extends SparkSpec {
       val (wrong, _) = getFrom(srv, "/tables",
         Map("Authorization" -> "Bearer wrong"))
       assert(wrong === 401)
-      // a non-Bearer scheme is rejected, not string-compared
-      val (basic, _) = getFrom(srv, "/tables",
+      // malformed Basic (not base64 user:pass) is rejected, not compared
+      val (basicRaw, _) = getFrom(srv, "/tables",
         Map("Authorization" -> "Basic s3cret"))
-      assert(basic === 401)
+      assert(basicRaw === 401)
       val (ok, tbl) = getFrom(srv, "/tables",
         Map("Authorization" -> "Bearer s3cret"))
       assert(ok === 200 && tbl.contains("\"nation\""))
+      // Basic compat (SearchUI.js:7 parity): base64(user:token) with
+      // any user name carries the same shared secret
+      def b64(s0: String) = java.util.Base64.getEncoder
+        .encodeToString(s0.getBytes("UTF-8"))
+      val (basicOk, tbl2) = getFrom(srv, "/tables",
+        Map("Authorization" -> s"Basic ${b64("elastic:s3cret")}"))
+      assert(basicOk === 200 && tbl2.contains("\"nation\""))
+      val (basicWrong, _) = getFrom(srv, "/tables",
+        Map("Authorization" -> s"Basic ${b64("elastic:wrong")}"))
+      assert(basicWrong === 401)
+      // colon-less credentials never match (no user/pass split exists)
+      val (basicNoColon, _) = getFrom(srv, "/tables",
+        Map("Authorization" -> s"Basic ${b64("s3cret")}"))
+      assert(basicNoColon === 401)
     } finally srv.stop(0)
   }
 

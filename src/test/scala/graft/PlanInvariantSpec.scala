@@ -35,6 +35,53 @@ class PlanInvariantSpec extends SparkSpec {
     }
   }
 
+  test("shuffle budgets: the most expensive queries never grow a new Exchange") {
+    // Per-query MAX ShuffleExchange counts for the costliest lazily-
+    // planned catalog entries (top of BENCH_DETAIL by wall time),
+    // pinned at the audited r16 plans — a plan regression that adds a
+    // shuffle fails here in seconds instead of surfacing as bench
+    // archeology a round later. Counts include subquery plans. Going
+    // UNDER budget is progress (tighten the pin); going over means a
+    // join stopped broadcasting, an exchange stopped being reused, or a
+    // partial aggregate split — all scale-killers at 100 TB.
+    val budgets = Map(
+      "llm_bloom_dedup" -> 3, "llm_shingle_jaccard" -> 3,
+      "llm_minhash_neardup" -> 1, "llm_embed_ann_pq" -> 3,
+      "llm_substr_dup" -> 4, "llm_clean_pipeline" -> 3,
+      "rel_table_profile" -> 3, "txt_search_hits" -> 2,
+      "txt_repetition" -> 2, "llm_export_jsonl" -> 0,
+      "llm_export_sorted" -> 0, "llm_export_sized" -> 0,
+      "llm_centroid_classify" -> 4, "rel_approx_distinct" -> 2,
+      "rel_shipping_priority" -> 1, "txt_heavy_hitters" -> 2,
+      "evt_cohort_ltv" -> 5, "llm_para_dedup" -> 2,
+      "llm_semdedup" -> 6, "rel_factfact_join" -> 2,
+      "evt_transitions" -> 5, "rel_dim_join_agg" -> 1)
+    def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+      var n = 0
+      def walk(q: org.apache.spark.sql.execution.SparkPlan): Unit = {
+        q match {
+          case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => n += 1
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            walk(a.executedPlan)
+          case st: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            walk(st.plan)
+          case _ =>
+        }
+        q.children.foreach(walk)
+        q.subqueries.foreach(walk)
+      }
+      walk(p)
+      n
+    }
+    budgets.toSeq.sortBy(_._1).foreach { case (name, budget) =>
+      val df = SparkEntry.queries(name)(spark, sf0001)
+      val got = shuffles(df.queryExecution.executedPlan)
+      assert(got <= budget,
+        s"$name grew to $got shuffles (budget $budget):\n" +
+          df.queryExecution.executedPlan)
+    }
+  }
+
   test("no catalog query evaluates an array constructor inside a Filter") {
     // The explode-alias trap (PLANS.md r13): InferFiltersFromGenerate +
     // predicate pushdown can inline a projected array build (split /

@@ -1,0 +1,79 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev tool: synthesize the adversarial 10× measurement corpus from an
+  * sf dir (PLANS.md r13/r14 methodology, now IN-REPO so every round's
+  * scaling rows use the identical construction):
+  *
+  *  - `documents`: every doc cloned 10× with distinct doc_ids; clones
+  *    carry a 2-token suffix, so the 10 copies are NEAR-dups (no
+  *    exact-dup collapse before pairwise work — each original becomes a
+  *    clique of 10, ~45 verified pairs per doc, a ~1000× edge blowup
+  *    vs the 10× row growth). Skew twist (r14): copies 0-4 of every
+  *    doc land in ONE mega-domain, so a single `source` holds half the
+  *    corpus.
+  *  - `embeddings`: every vector cloned 10× with distinct vec_ids and
+  *    the ORIGINAL ids preserved (codebook ids < 64 and query ids
+  *    200..204 must exist); clones are exact vector copies, which is
+  *    the adversarial case for cell-bucketed ANN — every Voronoi cell
+  *    and PQ code bucket gets 10× density, and ADC distance ties are
+  *    maximized (tie-break determinism under stress).
+  *
+  * Measurement artifact ONLY — never a correctness input.
+  *
+  * Usage: runMain graft.tools.ScaleSynth <srcSfDir> <outDir>
+  */
+object ScaleSynth {
+  def main(args: Array[String]): Unit = {
+    val (src, out) = (args(0), args(1))
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val nDocs = docs.count()
+    docs
+      .select(col("*"), explode(expr("sequence(0, 9)")).as("copy"))
+      .select(
+        (col("doc_id") + col("copy") * nDocs).as("doc_id"),
+        // copy 0 keeps the original text; 1..9 append a 2-token suffix
+        when(col("copy") === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" clonemark "),
+            col("copy").cast("string"))).as("text"),
+        col("lang"),
+        when(col("copy") < 5, lit("megadomain.example"))
+          .otherwise(col("source")).as("source"),
+        (length(col("text")) + when(col("copy") === 0, 0).otherwise(12))
+          .cast("long").as("n_chars"))
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val nVec = emb.count()
+    emb
+      .select(col("*"), explode(expr("sequence(0, 9)")).as("copy"))
+      .select(
+        (col("vec_id") + col("copy") * nVec).as("vec_id"),
+        col("embedding"), col("label"))
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    // the remaining tables pass through unchanged so any catalog query
+    // resolves against the synth dir
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events")) {
+      val p = new java.io.File(s"$src/$t.parquet")
+      if (p.exists)
+        spark.read.parquet(p.toString)
+          .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+    println(s"[scalesynth] wrote 10x corpus to $out (docs ${nDocs}x10, vecs ${nVec}x10)")
+    spark.stop()
+  }
+}

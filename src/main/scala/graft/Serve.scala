@@ -292,6 +292,119 @@ object Serve {
     Seq("cases", "france_cases", "virtests", "news_crawl", "news_tweets",
       "news_fanout", "news", "vocab")
 
+  /** The `/ui` static page: a dependency-free search client over
+    * /search and /suggest (the SearchUI.js parity surface — search box,
+    * paged hits, title/date/desc/img cards, highlighted matches,
+    * link-on-click). Everything indexed is UNTRUSTED text: rendering
+    * goes through textContent/createElement only (no innerHTML of
+    * payload), and highlighting wraps escaped text nodes in <mark>. */
+  private[graft] val UiHtml: String =
+    """<!doctype html>
+      |<html><head><meta charset="utf-8"/>
+      |<title>graft search</title>
+      |<style>
+      |body{font-family:system-ui,sans-serif;max-width:760px;margin:2rem auto;padding:0 1rem;color:#222}
+      |input,select,button{font-size:1rem;padding:.45rem .6rem;border:1px solid #bbb;border-radius:6px}
+      |#q{flex:1}
+      |.bar{display:flex;gap:.5rem;margin-bottom:1rem}
+      |.hit{border:1px solid #ddd;border-radius:8px;padding:.8rem 1rem;margin:.6rem 0;cursor:pointer;display:flex;gap:1rem}
+      |.hit:hover{background:#f6f6f6}
+      |.hit img{width:90px;height:64px;object-fit:cover;border-radius:4px}
+      |.hit h3{margin:0 0 .25rem;font-size:1.05rem}
+      |.hit small{color:#666}
+      |mark{background:#fcf403}
+      |#sug{color:#666;font-size:.9rem;min-height:1.2em}
+      |#meta{color:#999;font-size:.85rem}
+      |</style></head><body>
+      |<h1>graft search</h1>
+      |<div class="bar">
+      |  <input id="q" placeholder="Search COVID-related news" autofocus/>
+      |  <select id="index"><option value="">documents</option><option value="news">news</option></select>
+      |  <label><input type="checkbox" id="fuzzy"/> fuzzy</label>
+      |  <input id="token" placeholder="token (if required)" size="12"/>
+      |</div>
+      |<div id="sug"></div><div id="meta"></div><div id="hits"></div>
+      |<script>
+      |"use strict";
+      |const $ = id => document.getElementById(id);
+      |let timer = null, seq = 0;
+      |function headers() {
+      |  const t = $("token").value.trim();
+      |  return t ? {"Authorization": "Bearer " + t} : {};
+      |}
+      |function hl(text, terms, into) { // safe highlight: text nodes + <mark>
+      |  const words = terms.filter(w => w.length > 0);
+      |  let rest = String(text == null ? "" : text);
+      |  while (rest.length) {
+      |    let best = -1, bw = "";
+      |    for (const w of words) {
+      |      const i = rest.toLowerCase().indexOf(w.toLowerCase());
+      |      if (i >= 0 && (best < 0 || i < best)) { best = i; bw = w; }
+      |    }
+      |    if (best < 0) { into.appendChild(document.createTextNode(rest)); break; }
+      |    into.appendChild(document.createTextNode(rest.slice(0, best)));
+      |    const m = document.createElement("mark");
+      |    m.textContent = rest.slice(best, best + bw.length);
+      |    into.appendChild(m);
+      |    rest = rest.slice(best + bw.length);
+      |  }
+      |}
+      |function card(row, terms) {
+      |  const div = document.createElement("div");
+      |  div.className = "hit";
+      |  if (row.img) {
+      |    const img = document.createElement("img");
+      |    img.src = row.img; img.alt = "";
+      |    div.appendChild(img);
+      |  }
+      |  const body = document.createElement("div");
+      |  const h = document.createElement("h3");
+      |  hl(row.title || row.doc_id || "(untitled)", terms, h);
+      |  body.appendChild(h);
+      |  if (row.date) {
+      |    const d = document.createElement("small");
+      |    d.textContent = new Date(row.date).toLocaleDateString("fr-FR");
+      |    body.appendChild(d);
+      |  }
+      |  const p = document.createElement("p");
+      |  hl(row.desc || row.snippet || row.text || "", terms, p);
+      |  body.appendChild(p);
+      |  if (row.link) {
+      |    div.title = row.link;
+      |    div.addEventListener("click", () => window.open(row.link));
+      |  }
+      |  div.appendChild(body);
+      |  return div;
+      |}
+      |async function run() {
+      |  const q = $("q").value.trim();
+      |  const mine = ++seq;
+      |  $("hits").replaceChildren(); $("meta").textContent = ""; $("sug").textContent = "";
+      |  if (!q) return;
+      |  const terms = q.split(/\s+/);
+      |  const ps = new URLSearchParams({q: q, size: "8"});
+      |  if ($("index").value) ps.set("index", $("index").value);
+      |  if ($("fuzzy").checked) ps.set("fuzzy", "1");
+      |  try {
+      |    const r = await fetch("/search?" + ps, {headers: headers()});
+      |    const j = await r.json();
+      |    if (mine !== seq) return; // a newer keystroke superseded us
+      |    if (!r.ok) { $("meta").textContent = j.error || ("HTTP " + r.status); return; }
+      |    $("meta").textContent = j.n + " hit(s)";
+      |    for (const row of j.rows) $("hits").appendChild(card(row, terms));
+      |    const sr = await fetch("/suggest?" + new URLSearchParams({q: terms[terms.length-1]}),
+      |      {headers: headers()});
+      |    if (sr.ok && mine === seq) {
+      |      const sj = await sr.json();
+      |      const opts = (sj.rows || []).map(x => x.term).filter(Boolean).slice(0, 5);
+      |      if (opts.length) $("sug").textContent = "suggestions: " + opts.join(", ");
+      |    }
+      |  } catch (e) { if (mine === seq) $("meta").textContent = String(e); }
+      |}
+      |for (const id of ["q", "index", "fuzzy"])
+      |  $(id).addEventListener("input", () => { clearTimeout(timer); timer = setTimeout(run, 250); });
+      |</script></body></html>""".stripMargin
+
   /** TLS material: a PKCS12 keystore holding the server key + cert.
     * The password array is cleared after the context is built. */
   final case class Tls(keystorePath: String, password: Array[Char])
@@ -502,6 +615,22 @@ object Serve {
           }
         case None => (400, """{"error":"missing q parameter"}""")
       }
+    })
+
+    // The rendering layer (reference: the React results UI,
+    // news_app/app/app/src/SearchUI.js:35-106 — search-on-change box,
+    // 8 hits/page, title+date+desc+img cards, query highlighting,
+    // link-on-click). Served as ONE dependency-free static page that
+    // drives the same /search and /suggest endpoints every other client
+    // uses. The asset itself carries zero data, so it is served without
+    // auth; a token-protected instance takes the secret in the page's
+    // token field, which rides as the Bearer header on every API fetch.
+    server.createContext("/ui", (ex: HttpExchange) => {
+      val bytes = UiHtml.getBytes(UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
     })
 
     server.createContext("/health", (ex: HttpExchange) => handle(ex) {

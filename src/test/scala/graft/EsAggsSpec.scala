@@ -47,6 +47,27 @@ class EsAggsSpec extends SparkSpec {
     }
   }
 
+  test("rel_histogram_dense: a calendar month with zero orders in EVERY status is still emitted") {
+    // TPC-H populates every month, so the catalog fixture can't tell a
+    // min..max spine from a distinct-months spine (the r15 advisor
+    // finding). A synthetic orders table with a 2-month hole can.
+    import spark.implicits._
+    val dir = Fixtures.scratchDir("dense_gap")
+    Seq(("O", "2024-01-15", 10.0), ("F", "2024-04-02", 20.0))
+      .toDF("o_orderstatus", "d", "o_totalprice")
+      .select(col("o_orderstatus"), col("d").cast("date").as("o_orderdate"),
+        col("o_totalprice"))
+      .write.parquet(s"$dir/orders.parquet")
+    val out = EsAggs.histogramDense(spark, dir).collect()
+    val mons = out.map(_.getAs[String]("mon")).distinct.sorted
+    // Feb and Mar have zero orders ACROSS ALL statuses — a
+    // distinct-months spine would drop them; ES min_doc_count:0 emits
+    // the full continuous range.
+    assert(mons === Array("2024-01", "2024-02", "2024-03", "2024-04"))
+    assert(out.length === 2 * 4)
+    assert(out.count(_.getAs[Long]("n") == 0L) === 6)
+  }
+
   test("rel_composite_after: page picks exactly the first 10 groups past the after-key") {
     val out = EsAggs.compositeAfter(spark, sf0001).collect()
     assert(out.length == 10)

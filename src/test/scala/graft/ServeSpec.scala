@@ -174,6 +174,29 @@ class ServeSpec extends SparkSpec {
     } finally srv.stop(0)
   }
 
+  test("/ui serves the static search page wired to /search and /suggest") {
+    val (code, body) = get("/ui")
+    assert(code === 200)
+    // the page is the renderer over the serving API, not its own data
+    // path: it must fetch /search and /suggest and carry the parity
+    // affordances (search box, cards, highlight, token field)
+    assert(body.contains("<!doctype html>"))
+    assert(body.contains("/search?") && body.contains("/suggest?"))
+    assert(body.contains("id=\"q\"") && body.contains("id=\"token\""))
+    assert(body.contains("<mark>") || body.contains("createElement(\"mark\")"))
+    // untrusted indexed text must never hit innerHTML
+    assert(!body.contains("innerHTML"))
+    // the asset itself is served even on a token-protected instance
+    // (it carries no data; the API calls it makes still need the token)
+    val tok = Serve.start(spark, sf0001, port = 0, token = Some("uisecret"))
+    try {
+      val (c2, b2) = getFrom(tok, "/ui")
+      assert(c2 === 200 && b2.contains("<!doctype html>"))
+      val (c3, _) = getFrom(tok, "/search?q=x")
+      assert(c3 === 401)
+    } finally tok.stop(0)
+  }
+
   test("--bind-all refuses to start without a shared secret") {
     val e = intercept[IllegalArgumentException] {
       Serve.start(spark, sf0001, port = 0, bindAll = true)

@@ -608,6 +608,106 @@ object TextAnalysis {
        |FROM tf JOIN uni USING (w), tot
        |GROUP BY doc_id""".stripMargin
 
+  /** Perplexity-based quality filter — the CCNet/KenLM gate every
+    * production LLM pipeline runs (train a small LM on trusted text,
+    * drop documents the model finds surprising), here as a pure Spark
+    * job: an INTERPOLATED BIGRAM LM trained on the doc_id % 5 != 0
+    * split (the [[graft.queries.VectorSearch]] train/eval convention)
+    * scores the held-out docs; p(w2|w1) = 0.7·B(w1,w2)/U(w1) +
+    * 0.3·(U(w2)+1)/(N+V) (add-one on the unigram back-off, so unseen
+    * tokens stay finite), per-doc score = mean −ln p over bigram
+    * positions, `flagged` = score above the gate.
+    *
+    * Scale shape: train-side U and B are two Zipf-bounded aggregations
+    * (vocab / bigram-vocab sized, NOT corpus sized); N and V fold to a
+    * one-row broadcast; the eval side collapses to per-doc DISTINCT
+    * bigram counts before any join, so the three model joins move
+    * (doc, bigram) rows, not token streams, co-partitioned on their
+    * keys for AQE to pick broadcast vs shuffle. Per-doc re-agg runs the
+    * file-wide DECIMAL(28,12) fence (the [[unigramLm]] convention:
+    * exact counts into one ln each, fenced products, one round(…,6) at
+    * the end), so the fold is order-independent and the DuckDB replay
+    * hash-matches the model end-to-end — training included. */
+  def perplexityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), toks(col("text")).as("t"))
+    val train = docs.filter(col("doc_id") % 5 =!= 0)
+    val eval = docs.filter(col("doc_id") % 5 === 0)
+
+    val trainTok = train.select(explode(col("t")).as("w"))
+    val uni = trainTok.groupBy(col("w")).agg(count(lit(1)).as("u"))
+    def bigrams(df: DataFrame, extra: Column*): DataFrame = df
+      .select(extra ++ Seq(col("t"), posexplode(col("t")).as(Seq("i", "w1"))): _*)
+      // try_: the LAST position has no successor (ANSI element_at throws)
+      .withColumn("w2", expr("try_element_at(t, i + 2)"))
+      .filter(col("w2").isNotNull)
+      .drop("t", "i")
+    val big = bigrams(train.select(col("t")))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("b"))
+    // N tokens and V distinct vocab in ONE pass over the unigram agg
+    val scal = uni.agg(
+      sum(col("u")).cast("double").as("nn"),
+      count(lit(1)).cast("double").as("vv"))
+
+    val evalBig = bigrams(eval.select(col("t"), col("doc_id")), col("doc_id"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
+    val u1 = uni.select(col("w").as("w1"), col("u").as("u1"))
+    val u2 = uni.select(col("w").as("w2"), col("u").as("u2"))
+    evalBig
+      .join(big, Seq("w1", "w2"), "left")
+      .join(u1, Seq("w1"), "left")
+      .join(u2, Seq("w2"), "left")
+      .crossJoin(broadcast(scal))
+      .select(col("doc_id"), col("cnt"),
+        (-log(
+          lit(0.7) * coalesce(col("b").cast("double") / col("u1").cast("double"),
+            lit(0.0)) +
+          lit(0.3) * (coalesce(col("u2"), lit(0L)).cast("double") + 1.0) /
+            (col("nn") + col("vv"))) *
+          col("cnt").cast("double")).cast("decimal(28,12)").as("nll"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).cast("long").as("n_bigrams"),
+        sum(col("nll")).as("snll"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("snll").cast("double") / col("n_bigrams").cast("double"), 6)
+          .as("avg_nll"))
+      .withColumn("flagged", col("avg_nll") > PerplexityGate)
+  }
+
+  /** The filter's gate, shared with the oracle: above = surprising =
+    * dropped. Sits inside the observed eval band so BOTH verdicts occur
+    * at every gate SF (TextVectorSpec pins non-vacuity). */
+  private val PerplexityGate = 3.42
+
+  val perplexityFilterSql: String =
+    s"""WITH d AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |tr AS (SELECT * FROM d WHERE doc_id % 5 != 0),
+       |ev AS (SELECT * FROM d WHERE doc_id % 5 = 0),
+       |uni AS (SELECT w, count(*) AS u
+       |        FROM (SELECT unnest(t) AS w FROM tr) GROUP BY w),
+       |big AS (SELECT w1, w2, count(*) AS b FROM (
+       |    SELECT t[i] AS w1, t[i+1] AS w2
+       |    FROM tr, unnest(range(1, len(t))) r(i)) GROUP BY w1, w2),
+       |scal AS (SELECT CAST(SUM(u) AS DOUBLE) AS nn,
+       |    CAST(COUNT(*) AS DOUBLE) AS vv FROM uni),
+       |eb AS (SELECT doc_id, w1, w2, count(*) AS cnt FROM (
+       |    SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+       |    FROM ev, unnest(range(1, len(t))) r(i)) GROUP BY doc_id, w1, w2),
+       |sc AS (SELECT eb.doc_id, eb.cnt,
+       |    CAST(-ln(0.7 * COALESCE(CAST(big.b AS DOUBLE) / CAST(u1.u AS DOUBLE), 0.0)
+       |             + 0.3 * (CAST(COALESCE(u2.u, 0) AS DOUBLE) + 1.0) / (scal.nn + scal.vv))
+       |         * CAST(eb.cnt AS DOUBLE) AS DECIMAL(28,12)) AS nll
+       |  FROM eb
+       |  LEFT JOIN big ON eb.w1 = big.w1 AND eb.w2 = big.w2
+       |  LEFT JOIN uni u1 ON eb.w1 = u1.w
+       |  LEFT JOIN uni u2 ON eb.w2 = u2.w
+       |  CROSS JOIN scal)
+       |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+       |  round(CAST(SUM(nll) AS DOUBLE) / CAST(SUM(cnt) AS BIGINT), 6) AS avg_nll,
+       |  round(CAST(SUM(nll) AS DOUBLE) / CAST(SUM(cnt) AS BIGINT), 6) > 3.42 AS flagged
+       |FROM sc GROUP BY doc_id""".stripMargin
+
   // -------------------------------------------------------------- lang id
 
   private val lexicons: Seq[(String, Seq[String])] = Seq(
@@ -892,6 +992,7 @@ object TextAnalysis {
     "txt_search_bm25_fields" -> (searchBm25Fields _),
     "txt_search_hits" -> (searchHitsTopk _),
     "txt_unigram_lm" -> (unigramLm _),
+    "llm_perplexity_filter" -> (perplexityFilter _),
     "txt_keyword_topk" -> (keywordTopk _),
     "txt_heavy_hitters" -> (heavyHitters _),
     "txt_lang_id" -> (langId _),
@@ -909,6 +1010,7 @@ object TextAnalysis {
     "txt_search_bm25_fields" -> searchBm25FieldsSql,
     "txt_search_hits" -> searchHitsTopkSql,
     "txt_unigram_lm" -> unigramLmSql,
+    "llm_perplexity_filter" -> perplexityFilterSql,
     "txt_keyword_topk" -> keywordTopkSql,
     "txt_heavy_hitters" -> heavyHittersSql,
     "txt_lang_id" -> langIdSql,

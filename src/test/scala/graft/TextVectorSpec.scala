@@ -72,6 +72,32 @@ class TextVectorSpec extends SparkSpec {
     assert(n === Tables.load(spark, sf0001, "documents").count())
   }
 
+  test("perplexity filter: eval split only, bigram counts exact, scores finite, gate non-vacuous") {
+    import org.apache.spark.sql.functions._
+    val rows = TextAnalysis.perplexityFilter(spark, sf0001).collect()
+    val docs = Tables.load(spark, sf0001, "documents")
+    // scores exactly the held-out split (docs with >= 1 bigram)
+    val evalIds = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(rows.nonEmpty && rows.map(_.getAs[Long]("doc_id")).toSet.subsetOf(evalIds))
+    // n_bigrams = token count - 1 for these fixtures (all multi-token)
+    val expected = docs.select(col("doc_id"),
+      (size(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")) - 1)
+        .cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_bigrams") === expected(r.getAs[Long]("doc_id")))
+      // -ln of a probability in (0,1]: positive and finite (the add-one
+      // unigram back-off guarantees p > 0 even for unseen tokens)
+      val nll = r.getAs[Double]("avg_nll")
+      assert(nll > 0.0 && !nll.isInfinite && !nll.isNaN)
+      assert(r.getAs[Boolean]("flagged") === (nll > 3.42))
+    }
+    // the gate must split the fixture — a one-sided gate verifies nothing
+    assert(rows.exists(_.getAs[Boolean]("flagged")))
+    assert(rows.exists(!_.getAs[Boolean]("flagged")))
+  }
+
   test("unigram-LM scores: every doc covered, token totals exact, hand-check") {
     val rows = TextAnalysis.unigramLm(spark, sf0001).collect()
     val docs = Tables.load(spark, sf0001, "documents")

@@ -630,26 +630,33 @@ object TextAnalysis {
     * hash-matches the model end-to-end — training included. */
   def perplexityFilter(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), toks(col("text")).as("t"))
+      .select(col("doc_id"), col("text"))
     val train = docs.filter(col("doc_id") % 5 =!= 0)
     val eval = docs.filter(col("doc_id") % 5 === 0)
 
-    val trainTok = train.select(explode(col("t")).as("w"))
-    val uni = trainTok.groupBy(col("w")).agg(count(lit(1)).as("u"))
-    def bigrams(df: DataFrame, extra: Column*): DataFrame = df
-      .select(extra ++ Seq(col("t"), posexplode(col("t")).as(Seq("i", "w1"))): _*)
-      // try_: the LAST position has no successor (ANSI element_at throws)
-      .withColumn("w2", expr("try_element_at(t, i + 2)"))
-      .filter(col("w2").isNotNull)
-      .drop("t", "i")
-    val big = bigrams(train.select(col("t")))
+    // tokenizer + bigram-pair builders stay EXPRESSIONS — exploding an
+    // aliased array attribute trips the explode-alias trap
+    // (InferFiltersFromGenerate, PLANS.md r13; PlanInvariantSpec caught
+    // exactly this op's first draft); the [[TextIndex]] zip_with shape
+    // yields (w1, w2) pairs from one generator, no positional probing.
+    def tokExpr: Column = toks(col("text"))
+    def bigramPairs: Column = zip_with(
+      slice(tokExpr, lit(1), size(tokExpr) - 1),
+      slice(tokExpr, lit(2), size(tokExpr) - 1),
+      (x, y) => struct(x.as("w1"), y.as("w2")))
+
+    val uni = train.select(explode(tokExpr).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("u"))
+    val big = train.select(explode(bigramPairs).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("b"))
     // N tokens and V distinct vocab in ONE pass over the unigram agg
     val scal = uni.agg(
       sum(col("u")).cast("double").as("nn"),
       count(lit(1)).cast("double").as("vv"))
 
-    val evalBig = bigrams(eval.select(col("t"), col("doc_id")), col("doc_id"))
+    val evalBig = eval.select(col("doc_id"), explode(bigramPairs).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
       .groupBy(col("doc_id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("cnt"))
     val u1 = uni.select(col("w").as("w1"), col("u").as("u1"))

@@ -55,7 +55,8 @@ class PlanInvariantSpec extends SparkSpec {
       "rel_shipping_priority" -> 1, "txt_heavy_hitters" -> 2,
       "evt_cohort_ltv" -> 5, "llm_para_dedup" -> 2,
       "llm_semdedup" -> 6, "rel_factfact_join" -> 2,
-      "evt_transitions" -> 5, "rel_dim_join_agg" -> 1)
+      "evt_transitions" -> 5, "rel_dim_join_agg" -> 1,
+      "llm_perplexity_filter" -> 7)
     def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
       var n = 0
       def walk(q: org.apache.spark.sql.execution.SparkPlan): Unit = {

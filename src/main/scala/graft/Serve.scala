@@ -744,10 +744,24 @@ object Serve {
       // the neighbor set comes back empty — a non-empty result proves
       // the id exists, so the hot path is exactly one Spark job (the
       // previous unconditional probe doubled per-request table loads).
+      // mode selects the search path: exact brute force (default), or
+      // one of the three index shapes — LSH sign buckets, IVF probed
+      // cells, PQ ADC + exact rerank. Same parameterized operators the
+      // catalog oracle-checks; at 100 TB the approximate modes are the
+      // ones a latency budget can afford, and serving them from the
+      // same endpoint lets a client trade recall for cost per request.
       p.get("id").flatMap(_.toLongOption) match {
         case Some(id) =>
           val k = clamp(intParam(p, "k", 10), MaxLimit)
-          val nbrs = graft.queries.VectorSearch.annSearch(spark, dir, Seq(id), k)
+          val vs = graft.queries.VectorSearch
+          val nbrs = p.getOrElse("mode", "exact") match {
+            case "exact" => vs.annSearch(spark, dir, Seq(id), k)
+            case "lsh" => vs.lshBucketTopk(spark, dir, Seq(id), k)
+            case "ivf" => vs.ivfTopk(spark, dir, Seq(id), k)
+            case "pq" => vs.pqTopk(spark, dir, Seq(id), k)
+            case other => throw new IllegalArgumentException(
+              s"unknown mode ${other.take(20)} (use exact, lsh, ivf, pq)")
+          }
           val rows = collectRows(nbrs, k)
           if (rows.nonEmpty) (200, renderRows(nbrs.columns, rows))
           else if (Tables.load(spark, dir, "embeddings")

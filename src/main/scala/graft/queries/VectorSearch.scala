@@ -95,7 +95,8 @@ object VectorSearch {
   /** LSH-bucketed approximate top-5 for query vectors 100..104: sign-bit
     * bucket from 8 hyperplanes, candidates restricted to the query's
     * bucket via a keyed join. */
-  def lshBucketTopk(spark: SparkSession, dir: String): DataFrame = {
+  def lshBucketTopk(spark: SparkSession, dir: String,
+      ids: Seq[Long] = 100L until 105L, k: Int = 5): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val emb = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
@@ -108,7 +109,7 @@ object VectorSearch {
       .agg(sum(when(dot(col("v"), col("pv")) > 0,
         pow(lit(2.0), col("j").cast("double")).cast("long")).otherwise(0L)).as("bucket"))
     val embB = emb.join(buckets, "vec_id")
-    val q = embB.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+    val q = embB.filter(col("vec_id").isin(ids: _*))
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket").as("qbucket"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("vec_id").asc)
@@ -116,7 +117,7 @@ object VectorSearch {
         col("bucket") === col("qbucket") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), cosine(col("qv"), col("v")).as("score"))
       .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 5)
+      .filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("score"), col("rank"))
   }
 
@@ -144,7 +145,8 @@ object VectorSearch {
     * ~nprobe/16 of the corpus, via keyed joins on the cell id.
     * Assignment scores are rounded (tiebreak: centroid id) so the argmax
     * is cross-engine deterministic. */
-  def ivfTopk(spark: SparkSession, dir: String): DataFrame = {
+  def ivfTopk(spark: SparkSession, dir: String,
+      ids: Seq[Long] = 200L until 205L, k: Int = 5): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val emb = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
@@ -160,7 +162,7 @@ object VectorSearch {
     // query probes: nprobe=2 best cells per query vector
     val wProbe = Window.partitionBy(col("q_id"))
       .orderBy(col("cscore").desc, col("cid").asc)
-    val probes = emb.filter(col("vec_id") >= 200 && col("vec_id") < 205)
+    val probes = emb.filter(col("vec_id").isin(ids: _*))
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
       .crossJoin(broadcast(cents))
       .select(col("q_id"), col("qv"), col("cid"), cosine(col("qv"), col("cv")).as("cscore"))
@@ -173,7 +175,7 @@ object VectorSearch {
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), cosine(col("qv"), col("v")).as("score"))
       .withColumn("rank", row_number().over(wRank).cast("long"))
-      .filter(col("rank") <= 5)
+      .filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("score"), col("rank"))
   }
 
@@ -399,7 +401,8 @@ object VectorSearch {
     * (q, candidate)-keyed partial-agg integer sum over CODES only (the
     * float embeddings never shuffle); rerank touches just |queries|×100
     * vectors by key. */
-  def pqTopk(spark: SparkSession, dir: String): DataFrame = {
+  def pqTopk(spark: SparkSession, dir: String,
+      ids: Seq[Long] = 200L until 205L, k: Int = 10): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val emb = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
@@ -420,7 +423,7 @@ object VectorSearch {
       .select(col("vec_id"), col("m"), col("best.code").as("code"))
     // ADC lookup table for queries 200..204, in exact micro-units so
     // the 8-term candidate sum is an integer (fold-order-free).
-    val qd = sub.filter(col("vec_id").between(200, 204))
+    val qd = sub.filter(col("vec_id").isin(ids: _*))
       .join(broadcast(cb), Seq("m"))
       .select(col("vec_id").as("q_id"), col("m"), col("code"),
         round(d2(col("sv"), col("cv")) * 1e6).cast("long").as("qd2i"))
@@ -434,14 +437,14 @@ object VectorSearch {
       .filter(col("crank") <= 100)
       .select(col("q_id"), col("vec_id"))
     // Exact rerank of the candidates only.
-    val qv = emb.filter(col("vec_id").between(200, 204))
+    val qv = emb.filter(col("vec_id").isin(ids: _*))
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val wFinal = Window.partitionBy(col("q_id"))
       .orderBy(col("d2").asc, col("vec_id").asc)
     cands.join(emb, "vec_id").join(broadcast(qv), "q_id")
       .select(col("q_id"), col("vec_id"), d2(col("qv"), col("v")).as("d2"))
       .withColumn("rank", row_number().over(wFinal).cast("long"))
-      .filter(col("rank") <= 10)
+      .filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         col("d2"), col("rank"))
   }
@@ -580,10 +583,10 @@ object VectorSearch {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_centroid_classify" -> (centroidClassify _),
-    "llm_embed_ann_pq" -> (pqTopk _),
+    "llm_embed_ann_pq" -> ((s: SparkSession, d: String) => pqTopk(s, d)),
     "llm_embed_topk" -> (bruteTopk _),
-    "llm_embed_ann_lsh" -> (lshBucketTopk _),
-    "llm_embed_ann_ivf" -> (ivfTopk _),
+    "llm_embed_ann_lsh" -> ((s: SparkSession, d: String) => lshBucketTopk(s, d)),
+    "llm_embed_ann_ivf" -> ((s: SparkSession, d: String) => ivfTopk(s, d)),
     "llm_embed_neardup" -> (embedNearDup _),
     "llm_semdedup" -> (semDedup _),
     "llm_semdedup_kmeans" -> ((s: SparkSession, d: String) => semDedupKmeans(s, d)))

@@ -416,6 +416,25 @@ class ServeSpec extends SparkSpec {
     assert(missing === 404 && errM.contains("no embedding"), errM.take(200))
   }
 
+  test("/ann mode= serves the three index paths; unknown mode 400s") {
+    // each mode matches its parameterized operator for the same (id, k)
+    for ((mode, fn) <- Seq[(String, (Long, Int) => org.apache.spark.sql.DataFrame)](
+        "lsh" -> ((id, k) => graft.queries.VectorSearch.lshBucketTopk(spark, sf0001, Seq(id), k)),
+        "ivf" -> ((id, k) => graft.queries.VectorSearch.ivfTopk(spark, sf0001, Seq(id), k)),
+        "pq" -> ((id, k) => graft.queries.VectorSearch.pqTopk(spark, sf0001, Seq(id), k)))) {
+      val (code, body) = get(s"/ann?id=7&k=3&mode=$mode")
+      assert(code === 200, s"$mode: ${body.take(200)}")
+      val got = """"neighbor_id":(\d+)""".r
+        .findAllMatchIn(body).map(_.group(1).toLong).toSeq
+      val expect = fn(7L, 3).collect()
+        .sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("neighbor_id")).toSeq
+      assert(got === expect, s"$mode: got $got expected $expect")
+      assert(expect.nonEmpty, s"$mode returned no neighbors for id 7")
+    }
+    val (bad, err) = get("/ann?id=7&mode=hnsw")
+    assert(bad === 400 && err.contains("unknown mode"), err.take(200))
+  }
+
   test("/query/<name> serves any catalog entry; unknown names 404") {
     val (code, body) = get("/query/rel_pricing_summary")
     assert(code === 200 && body.contains("\"l_returnflag\""))

@@ -19,12 +19,13 @@ import org.apache.spark.sql.SparkSession
   *
   * Self-defense against contended measurement (r15 verdict item 2: ~19
   * queries inflated 1.3-1.8x by box-wide load, diagnosable only by
-  * archeology): every pass of every query records the 1-min loadavg
-  * sampled at its own start; after the two standard passes, any query
-  * whose best pass is SUSPECT — the two passes disagree by >40% (the
-  * spread only contention produces on identical code), or its best-pass
-  * loadavg exceeded the quiet threshold — gets a THIRD pass, and the
-  * artifact says which queries were retried. The detail artifact also
+  * archeology): every pass of every query records (loadavg at start,
+  * external-CPU share over the pass — system CPU minus this JVM's, the
+  * discriminator loadavg isn't); after the two standard passes, any
+  * query whose best pass is SUSPECT — external share above
+  * SPARK_GRAFT_EXT_CPU (default 0.20), or the two passes disagreeing by
+  * >40% — gets a THIRD pass, and the artifact says which queries were
+  * retried. The detail artifact also
   * carries per-query deltas vs the previous BENCH_DETAIL.json (the
   * tools/bench_compare.py movers rule, computed at measurement time), so
   * a regression is visible in the artifact itself, not a rerun later.
@@ -135,8 +136,12 @@ object Bench {
           val t = (System.nanoTime() - t0) / 1e9
           passTimes(name) = passTimes.getOrElse(name, Nil) :+ ((t, l, externalCpu))
         case Some(err) =>
-          passTimes.remove(name)
-          errors(name) = err.take(200).replaceAll("[\"\\\\\n\r\t]", " ")
+          // A transient failure during the contention-retry third pass
+          // must not erase the two valid standard-pass measurements —
+          // keep the best-of-N we already have and stay silent; only a
+          // query with NO successful pass is an error.
+          if (!passTimes.contains(name))
+            errors(name) = err.take(200).replaceAll("[\"\\\\\n\r\t]", " ")
       }
     }
 

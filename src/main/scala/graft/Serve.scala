@@ -352,9 +352,12 @@ object Serve {
       |function card(row, terms) {
       |  const div = document.createElement("div");
       |  div.className = "hit";
-      |  if (row.img) {
+      |  // crawled URLs are untrusted: only http(s) may become a src or
+      |  // an open target — a javascript: link in a feed item must stay inert
+      |  const safeUrl = u => /^https?:\/\//i.test(String(u || "")) ? String(u) : null;
+      |  if (safeUrl(row.img)) {
       |    const img = document.createElement("img");
-      |    img.src = row.img; img.alt = "";
+      |    img.src = safeUrl(row.img); img.alt = "";
       |    div.appendChild(img);
       |  }
       |  const body = document.createElement("div");
@@ -369,9 +372,9 @@ object Serve {
       |  const p = document.createElement("p");
       |  hl(row.desc || row.snippet || row.text || "", terms, p);
       |  body.appendChild(p);
-      |  if (row.link) {
+      |  if (safeUrl(row.link)) {
       |    div.title = row.link;
-      |    div.addEventListener("click", () => window.open(row.link));
+      |    div.addEventListener("click", () => window.open(safeUrl(row.link), "_blank", "noopener"));
       |  }
       |  div.appendChild(body);
       |  return div;
@@ -392,8 +395,9 @@ object Serve {
       |    if (!r.ok) { $("meta").textContent = j.error || ("HTTP " + r.status); return; }
       |    $("meta").textContent = j.n + " hit(s)";
       |    for (const row of j.rows) $("hits").appendChild(card(row, terms));
-      |    const sr = await fetch("/suggest?" + new URLSearchParams({q: terms[terms.length-1]}),
-      |      {headers: headers()});
+      |    const sp = new URLSearchParams({q: terms[terms.length-1]});
+      |    if ($("index").value) sp.set("index", $("index").value);
+      |    const sr = await fetch("/suggest?" + sp, {headers: headers()});
       |    if (sr.ok && mine === seq) {
       |      const sj = await sr.json();
       |      const opts = (sj.rows || []).map(x => x.term).filter(Boolean).slice(0, 5);
@@ -584,8 +588,15 @@ object Serve {
           val group = s"serve-sql-${sqlSeq.incrementAndGet()}"
           spark.sparkContext.setJobGroup(group, s"/sql $group",
             interruptOnCancel = true)
+          // the 408 below is claimed ONLY when this flag proves the
+          // watchdog actually fired — a cancellation-shaped failure
+          // from any other source must surface as the error it is
+          val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
           val cancel = watchdog.schedule(new Runnable {
-            def run(): Unit = spark.sparkContext.cancelJobGroup(group)
+            def run(): Unit = {
+              fired.set(true)
+              spark.sparkContext.cancelJobGroup(group)
+            }
           }, timeoutSec.toLong, java.util.concurrent.TimeUnit.SECONDS)
           // Cancellation surfaces in version-dependent shapes: a
           // SparkException mentioning "cancelled", or (with
@@ -607,7 +618,7 @@ object Serve {
             case e => causedByInterrupt(e)
           }
           try (200, render(df, intParam(p, "limit", 100)))
-          catch { case e: Exception if isCancellation(e) =>
+          catch { case e: Exception if fired.get() && isCancellation(e) =>
             (408, s"""{"error":"query exceeded ${timeoutSec}s and was cancelled"}""")
           } finally {
             cancel.cancel(false)

@@ -216,9 +216,13 @@ object CrawlPoller {
     // few entities feeds actually emit are unescaped. Not a sanitizer —
     // a DISPLAY normalization; the raw payload stays in the landing file.
     def stripHtml(s0: String): String =
+      // &amp; unescapes LAST: doing it first would turn double-escaped
+      // markup (&amp;lt;a&amp;gt;) into live tags AFTER the tag-strip
+      // already ran, landing raw HTML in the shaped desc
       s0.replaceAll("<[^>]*>", " ")
-        .replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">")
+        .replace("&lt;", "<").replace("&gt;", ">")
         .replace("&quot;", "\"").replace("&#39;", "'").replace("&nbsp;", " ")
+        .replace("&amp;", "&")
         .replaceAll("\\s+", " ").trim
 
     // Feed dates: RSS uses RFC-1123 pubDate, Atom ISO-8601

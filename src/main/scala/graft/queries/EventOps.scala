@@ -138,7 +138,11 @@ object EventOps {
     * group spine and asserts the verdicts literally TRUE. The sketch
     * returns an ACTUAL sample near the target rank (the exact form
     * interpolates), which is why the tolerance is a rank band and not
-    * an epsilon. Deterministic sketch ⇒ stable gate, not a flake. */
+    * an epsilon. Deterministic sketch ⇒ stable gate, not a flake.
+    * NOTE the exact percentile aggregates exist for the verification
+    * encoding only — the entry pays full-multiset state at gate SFs to
+    * make the sketch's rank bound hash-checkable; the production form
+    * at 100 TB runs percentile_approx alone (bounded state). */
   def approxPercentiles(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(spark, dir, "events")
     ev.groupBy(col("event_type"))

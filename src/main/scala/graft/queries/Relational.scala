@@ -591,9 +591,9 @@ object Relational {
       |      WINDOW w AS (PARTITION BY p_brand))
       |WHERE p_retailprice > brand_avg * 1.03""".stripMargin
 
-  /** HLL++ approximate distinct per group — the sketch path for A6 when
-    * exact distinct is too expensive at scale (one pass, fixed-size
-    * state, no expand). HLL estimates are implementation-specific, so
+  /** HLL++ approximate distinct per group — the sketch path for A6
+    * (fixed-size mergeable state; the production form at scale runs the
+    * two approx aggregates ALONE). HLL estimates are implementation-specific, so
     * the sketch VALUE can't hash-compare cross-engine; instead the
     * entry emits the exact counts (oracle-checkable) plus a
     * `within_5pct` accuracy verdict per sketch, computed Spark-side
@@ -601,7 +601,11 @@ object Relational {
     * the exact side and asserts the verdicts literally TRUE — so an
     * HLL drift beyond the declared 5% error bound turns the row red
     * rather than invisible. Deterministic: HLL++ on the same data is
-    * reproducible, so this is a stable gate, not a flake. */
+    * reproducible, so this is a stable gate, not a flake. NOTE the
+    * exact countDistincts exist for the VERIFICATION encoding only —
+    * this catalog entry deliberately pays the exact expand at gate SFs
+    * to make the sketch's error bound hash-checkable; a 100 TB caller
+    * drops them and keeps the sketch half. */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(spark, dir, "lineitem")
     import spark.implicits._

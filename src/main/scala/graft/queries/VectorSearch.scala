@@ -434,7 +434,10 @@ object VectorSearch {
       .groupBy(col("q_id"), col("vec_id"))
       .agg(sum(col("qd2i")).as("adi"))
       .withColumn("crank", row_number().over(wCand))
-      .filter(col("crank") <= 100)
+      // candidate pool must cover the ask: rerank can never emit more
+      // rows than ADC passes through, so a k above the default 100-deep
+      // pool widens it rather than silently truncating the result
+      .filter(col("crank") <= math.max(100, k))
       .select(col("q_id"), col("vec_id"))
     // Exact rerank of the candidates only.
     val qv = emb.filter(col("vec_id").isin(ids: _*))

@@ -34,6 +34,10 @@ object ExchangeCount {
               case _: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => broadcasts += 1
               case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
                 walk(a.executedPlan)
+              // keep in lockstep with PlanInvariantSpec's walker: a
+              // materialized adaptive plan nests stages here
+              case st: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+                walk(st.plan)
               case _ =>
             }
             q.children.foreach(walk)

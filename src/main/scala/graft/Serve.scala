@@ -636,6 +636,17 @@ object Serve {
     // uses. The asset itself carries zero data, so it is served without
     // auth; a token-protected instance takes the secret in the page's
     // token field, which rides as the Bearer header on every API fetch.
+    // the dashboard half of the rendering layer (see [[ServeDash]]) —
+    // same no-auth static-asset stance as /ui: the page carries no
+    // data; its /query fetches pass through the normal handler
+    server.createContext("/dashboard", (ex: HttpExchange) => {
+      val bytes = ServeDash.Html.getBytes(UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+
     server.createContext("/ui", (ex: HttpExchange) => {
       val bytes = UiHtml.getBytes(UTF_8)
       ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")

@@ -197,6 +197,21 @@ class ServeSpec extends SparkSpec {
     } finally tok.stop(0)
   }
 
+  test("/dashboard serves the chart page wired to the catalog endpoints") {
+    val (code, body) = get("/dashboard")
+    assert(code === 200)
+    assert(body.contains("<!doctype html>") && body.contains("graft overview"))
+    // the page draws from the serving API, not its own data path
+    for (q <- Seq("rel_histogram_dense", "evt_active_users", "rel_dim_join_agg"))
+      assert(body.contains(q), s"dashboard lost its $q source")
+    // untrusted values never ride innerHTML; identity text wears text
+    // tokens, marks carry the series color
+    assert(!body.contains("innerHTML"))
+    assert(body.contains("--series-1") && body.contains("prefers-color-scheme"))
+    // table view ships (the relief obligation for the light aqua slot)
+    assert(body.contains("Data table"))
+  }
+
   test("--bind-all refuses to start without a shared secret") {
     val e = intercept[IllegalArgumentException] {
       Serve.start(spark, sf0001, port = 0, bindAll = true)

@@ -129,6 +129,13 @@ private[graft] object ServeDash {
       |  <div id="c3"></div>
       |  <details><summary>Data table</summary><div id="t3"></div></details>
       |</div>
+      |<div class="card">
+      |  <h2>Customer balance by geo cell</h2>
+      |  <div class="note">account balance summed per geohash cell — darker is more</div>
+      |  <div id="c4"></div>
+      |  <div class="legend" id="legend4"></div>
+      |  <details><summary>Data table</summary><div id="t4"></div></details>
+      |</div>
       |<div class="tip" id="tip"></div>
       |<script>
       |"use strict";
@@ -177,7 +184,7 @@ private[graft] object ServeDash {
       |  if (!r.ok) throw new Error(name + ": HTTP " + r.status);
       |  return (await r.json()).rows;
       |}
-      |let HIST = [], ACT = [], NAT = [];
+      |let HIST = [], ACT = [], NAT = [], GEO = [];
       |
       |// ---- charts (re-entrant renders; window select slices client-side) ----
       |const W = 900, H = 240, M = {l:52, r:46, t:10, b:24};
@@ -335,7 +342,69 @@ private[graft] object ServeDash {
       |  table($("t3"), ["n_name", "r_name", "n_customers", "avg_acctbal"], rows);
       |}
       |
-      |function renderAll(){ if (HIST.length){ lineChart(); areaChart(); barChart(); } }
+      |// geohash -> [latMin, latMax, lonMin, lonMax] (standard base32,
+      |// bits interleaved lon-first)
+      |const GH32 = "0123456789bcdefghjkmnpqrstuvwxyz";
+      |function ghBox(gh){
+      |  let lat = [-90, 90], lon = [-180, 180], even = true;
+      |  for (const ch of gh){
+      |    const cd = GH32.indexOf(ch);
+      |    for (let b = 4; b >= 0; b--){
+      |      const bit = (cd >> b) & 1, r = even ? lon : lat;
+      |      const mid = (r[0] + r[1]) / 2;
+      |      if (bit) r[0] = mid; else r[1] = mid;
+      |      even = !even;
+      |    }
+      |  }
+      |  return [lat[0], lat[1], lon[0], lon[1]];
+      |}
+      |// the validated sequential blue ramp (100..700), light->dark = more
+      |const SEQ = ["#cde2fb","#9ec5f4","#6da7ec","#3987e5","#256abf","#1c5cab","#104281","#0d366b"];
+      |function mapChart(){
+      |  const maxV = Math.max(...GEO.map(r => r.sum_bal));
+      |  const MW = 900, MH = 450; // equirectangular: 2:1
+      |  const px = lon => (lon + 180) / 360 * MW;
+      |  const py = lat => (90 - lat) / 180 * MH;
+      |  const svg = el("svg", {viewBox: `0 0 ${MW} ${MH}`, width: "100%"});
+      |  // recessive graticule every 30 degrees
+      |  for (let lon = -150; lon <= 150; lon += 30)
+      |    el("line", {x1: px(lon), x2: px(lon), y1: 0, y2: MH, stroke: css("--grid"), "stroke-width": 1}, svg);
+      |  for (let lat = -60; lat <= 60; lat += 30)
+      |    el("line", {x1: 0, x2: MW, y1: py(lat), y2: py(lat), stroke: css("--grid"), "stroke-width": 1}, svg);
+      |  for (const r of GEO){
+      |    const [la0, la1, lo0, lo1] = ghBox(r.cell);
+      |    const step = SEQ[Math.min(SEQ.length - 1,
+      |      Math.floor(r.sum_bal / maxV * (SEQ.length - 1) + 0.5))];
+      |    const rect = el("rect", {x: px(lo0), y: py(la1),
+      |      width: Math.max(2, px(lo1) - px(lo0)), height: Math.max(2, py(la0) - py(la1)),
+      |      fill: step}, svg);
+      |    rect.addEventListener("pointermove", ev => {
+      |      rect.setAttribute("opacity", ".75");
+      |      showTip(ev.clientX, ev.clientY, into => {
+      |        const h = document.createElement("div"); h.className = "s";
+      |        h.textContent = "cell " + r.cell; into.appendChild(h);
+      |        tipRow(into, step, "balance", "$" + fmt(r.sum_bal));
+      |        tipRow(into, null, "customers", String(r.n));
+      |      });
+      |    });
+      |    rect.addEventListener("pointerleave", () => { rect.removeAttribute("opacity"); hideTip(); });
+      |  }
+      |  $("c4").replaceChildren(svg);
+      |  // scale legend: the ramp with its endpoints labeled
+      |  const lg = $("legend4"); lg.replaceChildren();
+      |  const lo = document.createElement("span"); lo.textContent = "$0";
+      |  lg.appendChild(lo);
+      |  for (const c of SEQ){
+      |    const sw = document.createElement("span");
+      |    sw.style.cssText = "display:inline-block;width:18px;height:10px;background:" + c;
+      |    lg.appendChild(sw);
+      |  }
+      |  const hi = document.createElement("span"); hi.textContent = "$" + fmt(maxV);
+      |  lg.appendChild(hi);
+      |  table($("t4"), ["cell", "n", "sum_bal"],
+      |    [...GEO].sort((a, b) => b.sum_bal - a.sum_bal).slice(0, 25));
+      |}
+      |function renderAll(){ if (HIST.length){ lineChart(); areaChart(); barChart(); mapChart(); } }
       |$("win").addEventListener("input", renderAll);
       |$("theme").addEventListener("click", () => {
       |  const r = document.documentElement;
@@ -345,8 +414,9 @@ private[graft] object ServeDash {
       |});
       |(async () => {
       |  try {
-      |    [HIST, ACT, NAT] = await Promise.all([
-      |      q("rel_histogram_dense", 600), q("evt_active_users", 600), q("rel_dim_join_agg", 100)]);
+      |    [HIST, ACT, NAT, GEO] = await Promise.all([
+      |      q("rel_histogram_dense", 600), q("evt_active_users", 600),
+      |      q("rel_dim_join_agg", 100), q("geo_cell_agg", 9000)]);
       |    ACT.sort((a, b) => a.day < b.day ? -1 : 1);
       |    renderAll();
       |  } catch (e) {

@@ -317,6 +317,7 @@ object Serve {
       |#meta{color:#999;font-size:.85rem}
       |</style></head><body>
       |<h1>graft search</h1>
+      |<div style="color:#666;font-size:.85rem;margin-bottom:.8rem"><a href="/dashboard">dashboard</a></div>
       |<div class="bar">
       |  <input id="q" placeholder="Search COVID-related news" autofocus/>
       |  <select id="index"><option value="">documents</option><option value="news">news</option></select>

@@ -110,10 +110,23 @@ class ServeSoakSpec extends SparkSpec {
       val lat = all.map(_._3).sorted
       val p50 = lat(lat.size / 2)
       val p95 = lat((lat.size * 95) / 100 min (lat.size - 1))
-      val bound = math.max(5000L, 12L * baseline)
-      info(f"latency ms: baseline $baseline p50 $p50 p95 $p95 max ${lat.last} (bound $bound)")
+      // the baseline is re-sampled AFTER the storm and the bound takes
+      // the worse of the two: box-wide contention arriving mid-test
+      // (the r16 full-suite run saw exactly this, under a parallel
+      // bench) inflates the storm's p95 but not a pre-storm baseline —
+      // a one-sided baseline turns external load into a false failure.
+      // The real defect this gate exists for (requests serializing
+      // behind one another) blows EVERY baseline by ~workers x tick
+      // wall, so the symmetric bound still catches it.
+      val post = Seq(searchPath, sqlPath).map { p =>
+        val t0 = System.nanoTime()
+        get(srv, p)
+        (System.nanoTime() - t0) / 1000000L
+      }.max
+      val bound = math.max(5000L, 12L * math.max(baseline, post))
+      info(f"latency ms: baseline $baseline post $post p50 $p50 p95 $p95 max ${lat.last} (bound $bound)")
       assert(p95 <= bound, s"p95 ${p95}ms blew the soak bound ${bound}ms " +
-        s"(12x warm baseline ${baseline}ms); latencies tail: ${lat.takeRight(5)}")
+        s"(12x warm baseline ${math.max(baseline, post)}ms); latencies tail: ${lat.takeRight(5)}")
     } finally srv.stop(0)
   }
 }

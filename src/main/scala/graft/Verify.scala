@@ -15,8 +15,17 @@ object Verify {
     val loadStart = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Master resolution order: explicit env override, then whatever
+    // spark-submit injected (system property), then local[cpus]. The
+    // first two exist so the gate can be re-run under
+    // local-cluster[2,8,3072] — separate executor PROCESSES — to prove
+    // no query depends on shared-JVM state (driver-side locks, object
+    // vals) that local[N] would mask.
+    val master = sys.env.get("SPARK_GRAFT_MASTER")
+      .orElse(sys.props.get("spark.master"))
+      .getOrElse(s"local[$cpus]")
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -108,6 +108,16 @@ object LakeCommit {
       val w = df.write.mode("overwrite")
       (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
         .parquet(data.toString)
+      // Rows-landed for the cadence run history (/flows): counted from
+      // the freshly-written parquet FOOTERS (driver-side metadata reads,
+      // no Spark job, no data pages) and only while a recorded tick is
+      // collecting — the commit calls made by tests and catalog queries
+      // skip this entirely. Reporting must never fail a commit.
+      if (Schedule.FlowRuns.active) {
+        try Schedule.FlowRuns.add(footerRowCount(fs, data,
+          spark.sparkContext.hadoopConfiguration))
+        catch { case _: Exception => () }
+      }
       fs.mkdirs(commits)
       // the commit point: one empty-file create; `false` = never
       // clobber (a duplicate version number must fail loudly, not
@@ -116,6 +126,24 @@ object LakeCommit {
       gc(fs, root, next, keepVersions)
       data.toString
     }
+  }
+
+  /** Sum of row counts in `dir`'s parquet footers (recursive, so
+    * partitioned layouts count too). Footer-only: milliseconds per file
+    * locally, and at scale it runs once per cadence tick, not per query. */
+  private def footerRowCount(fs: FileSystem, dir: Path,
+      conf: org.apache.hadoop.conf.Configuration): Long = {
+    val it = fs.listFiles(dir, true)
+    var n = 0L
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.getPath.getName.endsWith(".parquet")) {
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+        try n += r.getRecordCount finally r.close()
+      }
+    }
+    n
   }
 
   private def gc(fs: FileSystem, root: Path, current: Long, keep: Int): Unit = {

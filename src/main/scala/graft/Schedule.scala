@@ -48,6 +48,61 @@ object Schedule {
     * isolated failure. */
   final case class TickReport(tick: Long, outcomes: Seq[(String, Option[String])])
 
+  /** One completed flow firing as retained by [[FlowHistory]]: start
+    * wall-clock, duration, the isolated error (None = ok), and rows
+    * landed when the flow's landing path reported them via
+    * [[FlowRuns.add]] (None = landed through a path that doesn't count,
+    * or landed nothing this tick). */
+  final case class RunRecord(flow: String, tick: Long, startEpochMs: Long,
+      durationMs: Long, error: Option[String], rows: Option[Long])
+
+  /** Bounded per-flow run history — the engine-side analog of the flow-run
+    * listing the reference gets from its Prefect server UI
+    * (docker-compose.yml:9-130; README.md:121-127 "Access Prefect UI"):
+    * the last `keep` firings of each flow, oldest evicted first.
+    * Thread-safe: the cadence daemon appends while `/flows` snapshots. */
+  final class FlowHistory(val keep: Int = 20) {
+    require(keep >= 1, s"keep must be >= 1 (got $keep)")
+    private val runs = scala.collection.mutable.LinkedHashMap[
+      String, scala.collection.mutable.ArrayDeque[RunRecord]]()
+    def record(r: RunRecord): Unit = synchronized {
+      val q = runs.getOrElseUpdate(r.flow,
+        scala.collection.mutable.ArrayDeque.empty)
+      q.append(r)
+      while (q.length > keep) { q.removeHead(); () }
+    }
+    /** Per-flow records oldest→newest, flows in first-seen order. */
+    def snapshot: Seq[(String, Seq[RunRecord])] = synchronized {
+      runs.toSeq.map { case (k, v) => (k, v.toSeq) }
+    }
+  }
+
+  /** Per-thread rows-landed channel between a firing flow body and the
+    * recording [[runTick]]. Collection is ACTIVE only while a recorded
+    * tick is running a flow — so the hundreds of [[LakeCommit.commit]]
+    * calls made by tests and catalog queries pay zero counting cost;
+    * landing paths call [[add]] unconditionally and it no-ops when
+    * inactive. ThreadLocal because ticks run flows sequentially on the
+    * daemon thread while query threads must stay unaffected. */
+  object FlowRuns {
+    private final class Cell { var sum: Long = -1L } // -1 = none reported
+    private val cell = new ThreadLocal[Cell]()
+    private[graft] def begin(): Unit = cell.set(new Cell)
+    private[graft] def end(): Option[Long] = {
+      val c = cell.get(); cell.remove()
+      Option(c).map(_.sum).filter(_ >= 0L)
+    }
+    /** Is a recorded tick collecting on this thread? Landing paths use
+      * this to skip row-count work entirely outside the cadence. */
+    def active: Boolean = cell.get() != null
+    /** Report `n` rows landed by the current flow (summed across one
+      * flow's multiple landings); no-op outside a recorded tick. */
+    def add(n: Long): Unit = {
+      val c = cell.get()
+      if (c != null && n >= 0L) { if (c.sum < 0L) c.sum = 0L; c.sum += n }
+    }
+  }
+
   /** Raw scraped-tweet landing schema (crawl_tweets.py:71-84 fields). */
   val tweetRawSchema: StructType = StructType(Seq(
     StructField("user", StringType),
@@ -168,13 +223,23 @@ object Schedule {
         }
     })
 
-  /** Fire every flow once, in registration order, isolating failures. */
-  def runTick(flows: Seq[Flow], tick: Long): TickReport =
+  /** Fire every flow once, in registration order, isolating failures.
+    * With a `history`, each firing is timed and recorded (plus whatever
+    * rows the flow's landing paths reported through [[FlowRuns]]). */
+  def runTick(flows: Seq[Flow], tick: Long,
+      history: Option[FlowHistory] = None): TickReport =
     TickReport(tick, flows.map { f =>
-      f.name -> (try { f.run(tick); None }
+      val startMs = System.currentTimeMillis()
+      val t0 = System.nanoTime()
+      if (history.isDefined) FlowRuns.begin()
+      val err = try { f.run(tick); None }
       catch { case e: Exception =>
         Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
-      })
+      }
+      val rows = if (history.isDefined) FlowRuns.end() else None
+      history.foreach(_.record(RunRecord(f.name, tick, startMs,
+        (System.nanoTime() - t0) / 1000000L, err, rows)))
+      f.name -> err
     })
 
   /** The daemon loop: `maxTicks` bounds it for tests (production passes
@@ -182,12 +247,13 @@ object Schedule {
   def loop(flows: Seq[Flow], intervalMs: Long,
       maxTicks: Long = Long.MaxValue,
       sleep: Long => Unit = Thread.sleep,
-      onTick: TickReport => Unit = r => println(summary(r))): Unit = {
+      onTick: TickReport => Unit = r => println(summary(r)),
+      history: Option[FlowHistory] = None): Unit = {
     require(intervalMs > 0, s"interval must be positive (got $intervalMs ms)")
     var tick = 0L
     while (tick < maxTicks) {
       val t0 = System.nanoTime()
-      onTick(runTick(flows, tick))
+      onTick(runTick(flows, tick, history))
       tick += 1
       if (tick < maxTicks) {
         val elapsedMs = (System.nanoTime() - t0) / 1000000L

@@ -432,7 +432,8 @@ object Serve {
   def start(spark: SparkSession, dir: String, port: Int,
       bindAll: Boolean = false, token: Option[String] = None,
       lakeDir: Option[String] = None, tls: Option[Tls] = None,
-      insecureHttp: Boolean = false): HttpServer = {
+      insecureHttp: Boolean = false,
+      flowHistory: Option[Schedule.FlowHistory] = None): HttpServer = {
     require(!bindAll || token.exists(_.nonEmpty),
       "--bind-all exposes the SQL endpoint beyond localhost and requires --token=<secret>")
     require(!bindAll || tls.isDefined || insecureHttp,
@@ -559,6 +560,33 @@ object Serve {
         sb.append(s"${jstr(e.getKey)}:${e.getValue.json}"): Unit
       }
       (200, f"""{"uptime_sec":$ups%.1f,"endpoints":{$sb}}""")
+    })
+
+    // Flow-run history — the reference's Prefect-server-UI listing
+    // (per-flow run states/durations, README.md:121-127) as a bounded
+    // JSON surface: last `keep` firings per flow with start, duration,
+    // ok/error, and rows landed. 404 (not an empty 200) without a
+    // cadence daemon, so "no daemon" and "daemon hasn't ticked yet"
+    // are distinguishable to an operator.
+    server.createContext("/flows", (ex: HttpExchange) => handle(ex) {
+      flowHistory match {
+        case None => (404,
+          """{"error":"no cadence daemon on this server (start with --lake=<dir> --refresh-hours=<h>)"}""")
+        case Some(h) =>
+          val flows = h.snapshot.map { case (name, rs) =>
+            val runs = rs.map { r =>
+              s"""{"tick":${r.tick},"start_epoch_ms":${r.startEpochMs}""" +
+                s""","duration_ms":${r.durationMs},"ok":${r.error.isEmpty}""" +
+                s""","error":${r.error.fold("null")(jstr)}""" +
+                s""","rows":${r.rows.fold("null")(_.toString)}}"""
+            }.mkString("[", ",", "]")
+            val lastErr = rs.reverseIterator.collectFirst {
+              case rr if rr.error.isDefined => rr.error.get }
+            s"""{"flow":${jstr(name)},"runs":$runs""" +
+              s""","last_error":${lastErr.fold("null")(jstr)}}"""
+          }
+          (200, s"""{"keep":${h.keep},"flows":[${flows.mkString(",")}]}""")
+      }
     })
 
     server.createContext("/tables", (ex: HttpExchange) => handle(ex) {
@@ -940,7 +968,9 @@ object Serve {
     // Bind the server BEFORE the refresh daemon starts: the daemon's
     // tick-0 writes would otherwise race start()'s initial registerLake
     // against half-written directories during boot.
-    val server = start(spark, dir, port, bindAll, token, lake, tls, insecureHttp)
+    val flowHistory = refreshHours.map(_ => new Schedule.FlowHistory())
+    val server = start(spark, dir, port, bindAll, token, lake, tls,
+      insecureHttp, flowHistory)
     // --news-endpoint / --tweets-endpoint add the reference's crawl
     // fan-out (GoogleNews lang×tag grid / synthesized tweet query) to
     // the refresh cadence, landing through the shaped fan-out stream
@@ -973,7 +1003,8 @@ object Serve {
             catch { case e: Exception =>
               println(s"registerLake failed, views stale until next tick: $e")
             }
-          }), "graft-schedule")
+          },
+          history = flowHistory), "graft-schedule")
       t.setDaemon(true)
       t.start()
     }

@@ -89,7 +89,16 @@ object NewsStream {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      reportSinkRows(q)
     }
+
+  /** Rows-landed for the cadence run history (/flows): the sum of sink
+    * output rows across this run's micro-batches, from the progress the
+    * query already tracks (no extra job). No-op outside a recorded tick. */
+  private def reportSinkRows(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    if (graft.Schedule.FlowRuns.active)
+      graft.Schedule.FlowRuns.add(
+        q.recentProgress.toSeq.map(p => math.max(0L, p.sink.numOutputRows)).sum)
 
   /** Run the landing → sink pipeline to completion (AvailableNow). The
     * whole lifecycle builds on a conf-isolated streaming session
@@ -112,6 +121,7 @@ object NewsStream {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      reportSinkRows(q)
     }
 
   /** T2 as an INCREMENTAL upsert (foreachBatch merge-by-key) instead of

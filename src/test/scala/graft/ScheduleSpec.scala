@@ -99,6 +99,44 @@ class ScheduleSpec extends SparkSpec {
     assert(sleeps.size === 2 && sleeps.forall(_ >= 0))
   }
 
+  test("run history records firings across ticks: timing, errors, rows landed, eviction") {
+    import spark.implicits._
+    val lake = Fixtures.scratchDir("sched_hist") + "/lake"
+    val hist = new Schedule.FlowHistory(keep = 2)
+    val flows = Seq(
+      // lands through LakeCommit → rows counted from the written footers
+      Schedule.Flow("lander", t =>
+        LakeCommit.commit((0 to t.toInt).map(i => (t, i)).toDF("t", "i"), lake): Unit),
+      // fails on tick 1 only — the error must be visible in THAT record
+      Schedule.Flow("flaky", t =>
+        if (t == 1L) throw new IllegalStateException("synthetic tick-1") else ()),
+      // succeeds but lands nothing countable → rows must be None, not 0
+      Schedule.Flow("silent", _ => ()))
+    Schedule.loop(flows, intervalMs = 1, maxTicks = 3, sleep = _ => (),
+      onTick = _ => (), history = Some(hist))
+
+    val snap = hist.snapshot.toMap
+    assert(hist.snapshot.map(_._1) === Seq("lander", "flaky", "silent"),
+      "flows must list in registration order")
+    // keep=2 evicts tick 0: only ticks 1 and 2 survive, oldest first
+    assert(snap("lander").map(_.tick) === Seq(1L, 2L))
+    // rows landed = the committed row count of that tick (tick t lands t+1 rows)
+    assert(snap("lander").map(_.rows) === Seq(Some(2L), Some(3L)))
+    assert(snap("lander").forall(_.error.isEmpty))
+    val flaky = snap("flaky")
+    assert(flaky.map(_.tick) === Seq(1L, 2L))
+    assert(flaky.head.error.exists(_.contains("IllegalStateException")))
+    assert(flaky.last.error.isEmpty, "tick-2 success must not inherit tick-1's error")
+    assert(snap("silent").map(_.rows) === Seq(None, None),
+      "a flow that lands nothing countable reports rows=None, not 0")
+    assert(snap("silent").forall(r => r.durationMs >= 0 && r.startEpochMs > 0))
+    // collection is tick-scoped: a commit OUTSIDE the recorded tick must
+    // not count rows (the no-overhead contract for tests and queries)
+    assert(!Schedule.FlowRuns.active)
+    LakeCommit.commit(Seq((9, 9)).toDF("t", "i"), lake): Unit
+    assert(hist.snapshot.toMap.apply("lander").map(_.rows) === Seq(Some(2L), Some(3L)))
+  }
+
   test("concurrent same-lake refreshes serialize: the final lake is one whole dataset") {
     // Without LakeCommit's per-path lock, overlapping refreshes race
     // version allocation (two writers picking the same v<N>) — the lake

@@ -22,6 +22,46 @@ class ServeSpec extends SparkSpec {
   }
   private def get(path: String): (Int, String) = getFrom(server, path)
 
+  test("/flows without a cadence daemon is a 404, not an empty listing") {
+    val (code, body) = get("/flows")
+    assert(code === 404)
+    assert(body.contains("no cadence daemon"))
+  }
+
+  test("/flows serves the bounded per-flow run history, auth-gated") {
+    val hist = new Schedule.FlowHistory(keep = 3)
+    // two recorded ticks: one landing flow (rows via commit footers),
+    // one flow that fails on tick 0 and recovers on tick 1
+    import spark.implicits._
+    val lake = Fixtures.scratchDir("serve_flows") + "/lake"
+    val flows = Seq(
+      Schedule.Flow("lander", _ =>
+        LakeCommit.commit(Seq((1, "a"), (2, "b")).toDF("k", "v"), lake): Unit),
+      Schedule.Flow("flaky", t =>
+        if (t == 0L) throw new IllegalStateException("boot hiccup") else ()))
+    (0L to 1L).foreach(t => Schedule.runTick(flows, t, Some(hist)))
+
+    val srv = Serve.start(spark, sf0001, port = 0, token = Some("flowsecret"),
+      flowHistory = Some(hist))
+    try {
+      // the history is operational surface — same bearer gate as the rest
+      assert(getFrom(srv, "/flows")._1 === 401)
+      val (code, body) = getFrom(srv, "/flows",
+        Map("Authorization" -> "Bearer flowsecret"))
+      assert(code === 200)
+      assert(body.contains("\"keep\":3"))
+      assert(body.contains("\"flow\":\"lander\"") && body.contains("\"flow\":\"flaky\""))
+      // the lander's records carry rows landed and ok=true
+      assert(body.contains("\"rows\":2"))
+      // flaky: tick-0 error string retained, surfaced as last_error too
+      assert(body.contains("IllegalStateException"))
+      assert(body.contains("\"last_error\":\"IllegalStateException"))
+      // both ticks visible for both flows
+      assert(body.contains("\"tick\":0") && body.contains("\"tick\":1"))
+      assert(body.contains("\"ok\":false") && body.contains("\"ok\":true"))
+    } finally srv.stop(0)
+  }
+
   test("/tables lists the registered lake tables") {
     val (code, body) = get("/tables")
     assert(code === 200)

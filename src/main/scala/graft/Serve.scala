@@ -887,9 +887,26 @@ object Serve {
 
     server.createContext("/query/", (ex: HttpExchange) => handle(ex) {
       val name = ex.getRequestURI.getPath.stripPrefix("/query/")
-      SparkEntry.queries.get(name) match {
-        case Some(fn) =>
-          (200, render(fn(spark, dir), intParam(params(ex), "limit", 100)))
+      val p = params(ex)
+      // ?from=yyyy-MM-dd&to=yyyy-MM-dd — the Kibana time-range slice,
+      // applied ENGINE-side for the entries that declare a time column:
+      // the bounds hit the raw scan column below the aggregate (pushed
+      // parquet filters / partition pruning), not the rendered rows.
+      // A malformed date surfaces as the shaped 400 via handle()'s catch.
+      val from = p.get("from").map(java.time.LocalDate.parse)
+      val to = p.get("to").map(java.time.LocalDate.parse)
+      val limit = intParam(p, "limit", 100)
+      if (from.isDefined || to.isDefined) {
+        timeSliced.get(name) match {
+          case Some(fn) => (200, render(fn(spark, dir, from, to), limit))
+          case None if SparkEntry.queries.contains(name) =>
+            // silently ignoring the range would hand the dashboard an
+            // UNSLICED panel labeled as sliced — refuse loudly
+            (400, s"""{"error":"query ${name.take(100)} is not time-sliceable; supported: ${timeSliced.keys.toSeq.sorted.mkString(", ")}"}""")
+          case None => (404, s"""{"error":"unknown query ${name.take(100)}"}""")
+        }
+      } else SparkEntry.queries.get(name) match {
+        case Some(fn) => (200, render(fn(spark, dir), limit))
         case None => (404, s"""{"error":"unknown query ${name.take(100)}"}""")
       }
     })
@@ -912,6 +929,18 @@ object Serve {
     server.start()
     server
   }
+
+  /** Catalog entries accepting a server-side `[from, to]` day slice —
+    * the time-parameterized forms filter their raw time column BELOW the
+    * aggregate (scan pushdown, asserted in EsAggsSpec/EventOpsSpec), so
+    * a dashboard range never pays a full-extent scan. */
+  private val timeSliced: Map[String,
+      (SparkSession, String, Option[java.time.LocalDate],
+        Option[java.time.LocalDate]) => DataFrame] = Map(
+    "rel_histogram_dense" ->
+      ((s, d, f, t) => graft.queries.EsAggs.histogramDense(s, d, f, t)),
+    "evt_active_users" ->
+      ((s, d, f, t) => graft.queries.EventOps.activeUsers7d(s, d, f, t)))
 
   private def jstr(s: String): String =
     "\"" + s.flatMap {

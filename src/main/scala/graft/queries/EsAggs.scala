@@ -89,8 +89,25 @@ object EsAggs {
     * both joins below it broadcast. Status 'P' exists for only ~1 of
     * the 7 order years, so the fill is exercised (non-vacuous) at
     * every SF. */
-  def histogramDense(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.load(spark, dir, "orders").select(
+  def histogramDense(spark: SparkSession, dir: String): DataFrame =
+    histogramDense(spark, dir, None, None)
+
+  /** [[histogramDense]] over a server-chosen `[from, to]` day slice —
+    * the Kibana "last 7 days" range applied ENGINE-side: the bounds
+    * land on the raw `o_orderdate` scan column BEFORE the aggregate, so
+    * they reach the parquet reader as PushedFilters (row groups outside
+    * the range are never decoded; on a date-partitioned 100 TB lake this
+    * is partition pruning). The month spine recomputes from the SLICED
+    * extent, so the dense fill stays within the requested window. */
+  def histogramDense(spark: SparkSession, dir: String,
+      from: Option[java.time.LocalDate],
+      to: Option[java.time.LocalDate]): DataFrame = {
+    val base = Tables.load(spark, dir, "orders")
+    val sliced = Seq(
+      from.map(d => col("o_orderdate") >= lit(java.sql.Date.valueOf(d))),
+      to.map(d => col("o_orderdate") <= lit(java.sql.Date.valueOf(d))))
+      .flatten.foldLeft(base)(_.filter(_))
+    val o = sliced.select(
       col("o_orderstatus").as("st"),
       // String buckets per the catalog's date-output convention
       // (Relational.dateHistogram): parquet DATE vs DuckDB datetime64

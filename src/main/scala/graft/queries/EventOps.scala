@@ -295,8 +295,25 @@ object EventOps {
     * Day exported as a yyyy-MM-dd string (the rel_date_histogram
     * convention). The DuckDB oracle runs the naive BETWEEN join,
     * proving the exploded plan equivalent. */
-  def activeUsers7d(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.load(spark, dir, "events")
+  def activeUsers7d(spark: SparkSession, dir: String): DataFrame =
+    activeUsers7d(spark, dir, None, None)
+
+  /** [[activeUsers7d]] over a server-chosen `[from, to]` day slice
+    * (inclusive): the bounds land on the raw `ts` scan column before
+    * anything else, so they reach the parquet reader as PushedFilters.
+    * Window semantics are slice-relative (the Kibana range behavior): a
+    * day near `from` counts only users active within the slice, not
+    * activity before it. */
+  def activeUsers7d(spark: SparkSession, dir: String,
+      from: Option[java.time.LocalDate],
+      to: Option[java.time.LocalDate]): DataFrame = {
+    val base = Tables.load(spark, dir, "events")
+    val ev = Seq(
+      from.map(d => col("ts") >=
+        lit(java.sql.Timestamp.valueOf(d.atStartOfDay))),
+      to.map(d => col("ts") <
+        lit(java.sql.Timestamp.valueOf(d.plusDays(1).atStartOfDay))))
+      .flatten.foldLeft(base)(_.filter(_))
     val ud = ev.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
     ud.select(col("user_id"), col("day"),
         explode(expr("sequence(0, 6)")).as("off"))

@@ -101,6 +101,30 @@ class EsAggsSpec extends SparkSpec {
       s"keyset predicate not pushed: $pushed")
   }
 
+  test("ranged rel_histogram_dense: bounds reach the parquet scan and slice the months") {
+    val from = Some(java.time.LocalDate.parse("1995-01-01"))
+    val to = Some(java.time.LocalDate.parse("1996-12-31"))
+    val df = EsAggs.histogramDense(spark, sf0001, from, to)
+    // the Kibana-range predicate must land BELOW the aggregate+spine:
+    // pushed o_orderdate bounds on the scan, not a filter on rendered rows
+    val scans = PlanTestUtil.deepCollect(df.queryExecution.executedPlan) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    val pushed = scans.flatMap(_.metadata.get("PushedFilters"))
+    assert(pushed.exists(p => p.contains("o_orderdate")
+        && p.contains("GreaterThanOrEqual") && p.contains("LessThanOrEqual")),
+      s"range not pushed to scan: $pushed")
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, mon, _) => mon >= "1995-01" && mon <= "1996-12" })
+    // in-window cells equal the unranged histogram's same cells — the
+    // slice changed cost and extent, never the per-cell numbers
+    val full = EsAggs.histogramDense(spark, sf0001).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    rows.foreach { case (st, mon, n) =>
+      assert(full((st, mon)) === n, s"cell ($st,$mon) diverges from unranged") }
+  }
+
   test("evt_percentile_ranks: ranks are monotone in the threshold and bounded") {
     val out = EsAggs.percentileRanks(spark, sf0001).collect()
     assert(out.nonEmpty)

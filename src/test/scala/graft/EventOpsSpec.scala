@@ -133,6 +133,39 @@ class EventOpsSpec extends SparkSpec {
     assert(got === expect && got.nonEmpty)
   }
 
+  test("ranged active users: ts bounds reach the parquet scan; slice-relative windows") {
+    import spark.implicits._
+    // pick a [from, to] straddling the middle of the data extent
+    val ext = Tables.load(spark, sf0001, "events")
+      .agg(to_date(org.apache.spark.sql.functions.min($"ts")),
+        to_date(org.apache.spark.sql.functions.max($"ts"))).head
+    val (lo, hi) = (ext.getDate(0).toLocalDate, ext.getDate(1).toLocalDate)
+    val from = Some(lo.plusDays(3)); val to = Some(hi.minusDays(3))
+    val df = graft.queries.EventOps.activeUsers7d(spark, sf0001, from, to)
+    val scans = PlanTestUtil.deepCollect(df.queryExecution.executedPlan) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    val pushed = scans.flatMap(_.metadata.get("PushedFilters"))
+    assert(pushed.exists(p => p.contains("ts")
+        && p.contains("GreaterThanOrEqual") && p.contains("LessThan")),
+      s"ts range not pushed to scan: $pushed")
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty)
+    assert(got.keys.forall(d => d >= from.get.toString && d <= to.get.toString))
+    // slice-relative recompute: brute force over only in-slice (user, day)
+    val ud = Tables.load(spark, sf0001, "events")
+      .filter($"ts" >= java.sql.Timestamp.valueOf(from.get.atStartOfDay)
+        && $"ts" < java.sql.Timestamp.valueOf(to.get.plusDays(1).atStartOfDay))
+      .select($"user_id", to_date($"ts").as("day")).distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val expect = ud.map(_._2).distinct.map { d =>
+      d.toString -> ud.filter { case (_, ad) =>
+        !ad.isAfter(d) && !ad.isBefore(d.minusDays(6))
+      }.map(_._1).distinct.length.toLong
+    }.toMap
+    assert(got === expect)
+  }
+
   test("cohort LTV: curves are monotone and cohorts match the retention cohort set") {
     val out = graft.queries.EventOps.cohortLtv(spark, sf0001).collect()
     assert(out.nonEmpty)

@@ -62,6 +62,26 @@ class ServeSpec extends SparkSpec {
     } finally srv.stop(0)
   }
 
+  test("/query time slice: ?from=&to= serves the ranged form; non-sliceable 400s") {
+    val (code, body) =
+      get("/query/rel_histogram_dense?from=1995-01-01&to=1996-12-31&limit=600")
+    assert(code === 200)
+    // every month in the payload sits inside the requested window
+    val months = "\"mon\":\"(\\d{4}-\\d{2})\"".r
+      .findAllMatchIn(body).map(_.group(1)).toSeq
+    assert(months.nonEmpty)
+    assert(months.forall(m => m >= "1995-01" && m <= "1996-12"), s"out-of-range month in $months")
+    // a range on a query with no declared time column must refuse, not
+    // silently serve the unsliced result labeled as sliced
+    val (badCode, badBody) = get("/query/rel_topk_orders?from=1995-01-01")
+    assert(badCode === 400)
+    assert(badBody.contains("not time-sliceable"))
+    // malformed dates surface as the shaped 400
+    assert(get("/query/rel_histogram_dense?from=not-a-date")._1 === 400)
+    // unknown names stay 404 even with a range
+    assert(get("/query/nope?from=1995-01-01")._1 === 404)
+  }
+
   test("/tables lists the registered lake tables") {
     val (code, body) = get("/tables")
     assert(code === 200)

@@ -1,0 +1,162 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.{Bench, Fixtures, Tables}
+import graft.streaming.{NewsStream, Sessionize, SessEvent, StateStores}
+
+/** Streaming THROUGHPUT replay: drives the two RocksDB-backed pipelines
+  * (news watermark+dedup, gap sessionization) through N consecutive
+  * AvailableNow micro-batches over one long-lived checkpoint — the
+  * production cadence shape — with a doubling batch-size ladder, and
+  * prints per-fire wall, rows, and rows/sec plus a least-squares
+  * `wall = fixed + rows/rate` decomposition.
+  *
+  * Purpose (VERDICT r16 item 4): the per-query stream_* bench entries
+  * carry ~1.5–3 s of FIXED lifecycle cost (query start/stop, state-store
+  * open, sink commit log); this tool turns "that fixed cost amortizes at
+  * scale" into a measured curve. Methodology notes:
+  *   - every fire is a complete lifecycle (start → drain → stop), the
+  *     same thing one cadence tick pays;
+  *   - the checkpoint and sink PERSIST across fires, so state carries
+  *     over exactly as in production (fire 1 is the cold start);
+  *   - news batches are synthesized (unique links, event time advancing
+  *     one day per fire) so dedup state genuinely grows; sessionize
+  *     batches are TIME-ordered slices of the real events table, the
+  *     replay order a file-source cadence would deliver.
+  *
+  * Usage: `SPARK_GRAFT_SF_DIR=… runMain graft.tools.StreamBench
+  * [news|sess|all]` — prints one human line per fire and one JSON
+  * summary line per pipeline.
+  */
+object StreamBench {
+
+  private def load: Double = java.lang.management.ManagementFactory
+    .getOperatingSystemMXBean.getSystemLoadAverage
+
+  /** (fires: Seq[(rows, wallSec)]) → (fixedSec, rowsPerSec) least squares. */
+  private def fit(fires: Seq[(Long, Double)]): (Double, Double) = {
+    val n = fires.size.toDouble
+    val (xs, ys) = (fires.map(_._1.toDouble), fires.map(_._2))
+    val (mx, my) = (xs.sum / n, ys.sum / n)
+    val b = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
+      xs.map(x => (x - mx) * (x - mx)).sum
+    val a = my - b * mx
+    (a, if (b > 0) 1.0 / b else Double.PositiveInfinity)
+  }
+
+  private def report(name: String, fires: Seq[(Long, Double)]): Unit = {
+    // fire 1 pays JVM/codegen warm-up on top of the lifecycle cost —
+    // fit the steady-state fires, report fire 1 as the cold start
+    val warm = if (fires.size > 2) fires.drop(1) else fires
+    val (fixed, rate) = fit(warm)
+    val totalRows = fires.map(_._1).sum
+    val totalWall = fires.map(_._2).sum
+    val rateStr =
+      if (rate.isInfinite || rate < 0) "unmeasurable (wall flat across the ladder)"
+      else f"${rate}%.0f rows/s marginal"
+    println(f"[streambench] $name: total ${totalRows} rows / $totalWall%.2f s " +
+      f"= ${totalRows / totalWall}%.0f rows/s amortized; warm-fire fit: " +
+      f"fixed $fixed%.2f s/fire + $rateStr (cold fire 1: ${fires.head._2}%.2f s)")
+    val fireJson = fires.map { case (r, w) =>
+      f"""{"rows":$r,"wall_sec":$w%.3f}""" }.mkString("[", ",", "]")
+    val rateJson =
+      if (rate.isInfinite || rate.isNaN || rate < 0) "null" else f"${rate}%.0f"
+    println(f"""{"tool":"streambench","pipeline":"$name","fires":$fireJson,""" +
+      f""""amortized_rows_per_sec":${totalRows / totalWall}%.0f,""" +
+      f""""fixed_sec_per_fire":$fixed%.3f,"marginal_rows_per_sec":$rateJson}""")
+  }
+
+  /** News dedup ladder: synthesized landing JSON (the NewsStream schema),
+    * unique links, dates advancing one day per fire. */
+  def newsLadder(spark: SparkSession, sizes: Seq[Long]): Seq[(Long, Double)] = {
+    val root = Fixtures.reusedScratchDir("streambench_news")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val in = s"$root/in"; val sink = s"$root/sink"; val ckpt = s"$root/ckpt"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    var offset = 0L
+    sizes.zipWithIndex.map { case (n, i) =>
+      // stage fire i's landing files: event time inside day i (so the
+      // 7-day watermark holds a growing multi-day state window)
+      val day0 = 1614556800L // 2021-03-01 UTC
+      spark.range(offset, offset + n).select(
+          concat(lit("headline "), col("id")).as("title"),
+          concat(lit("body text for "), col("id")).as("desc"),
+          date_format(timestamp_seconds(lit(day0) + lit(i * 86400L) +
+            pmod(col("id"), lit(86400L))), "yyyy-MM-dd HH:mm:ss").as("date"),
+          concat(lit("https://news.example/"), col("id")).as("link"),
+          lit(null).cast("string").as("img"),
+          lit("en").as("lang"),
+          struct(lit("graft").as("crawler"),
+            lit("news.example").as("website"),
+            lit(null).cast("string").as("author"),
+            concat(lit("https://news.example/"), col("id")).as("url"),
+            struct(lit(null).cast("string").as("id")).as("tweet")).as("source"))
+        .repartition(4)
+        .write.mode("append").json(in)
+      offset += n
+      val t0 = System.nanoTime()
+      NewsStream.runOnce(spark, in, sink, ckpt)
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"[streambench] news fire ${i + 1}: $n rows, $wall%.3f s " +
+        f"(${n / wall}%.0f rows/s, loadavg $load%.2f)")
+      (n, wall)
+    }
+  }
+
+  /** Sessionize ladder: time-ordered slices of the real events table fed
+    * through the file source, one fire per slice. */
+  def sessLadder(spark: SparkSession, sfDir: String,
+      fractions: Seq[Double]): Seq[(Long, Double)] = {
+    import spark.implicits._
+    val root = Fixtures.reusedScratchDir("streambench_sess")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val in = s"$root/in"; val sink = s"$root/sink"; val ckpt = s"$root/ckpt"
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("ts")).where(col("user_id") =!= -1L)
+      .withColumn("eu", unix_micros(col("ts")))
+    // time boundaries at the cumulative fractions → doubling-ish slices
+    val bounds = ev.stat.approxQuantile("eu", fractions.toArray, 0.001)
+    var loEu = Long.MinValue
+    bounds.zipWithIndex.map { case (hi, i) =>
+      val hiEu = if (i == bounds.length - 1) Long.MaxValue else hi.toLong
+      val slice = ev.where(col("eu") > loEu && col("eu") <= hiEu)
+        .select(col("user_id"), col("ts"))
+      val n = slice.count()
+      slice.write.mode("append").parquet(in)
+      loEu = hiEu
+      val t0 = System.nanoTime()
+      StateStores.streamingSession(spark) { s =>
+        val src = s.readStream.schema("user_id BIGINT, ts TIMESTAMP").parquet(in)
+        val q = Sessionize.sessions(src.as[SessEvent], "1 minute").writeStream
+          .format("parquet").option("path", sink)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"[streambench] sess fire ${i + 1}: $n rows, $wall%.3f s " +
+        f"(${n / wall}%.0f rows/s, loadavg $load%.2f)")
+      (n, wall)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val which = args.headOption.getOrElse("all")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = Bench.session("graft-streambench")
+    spark.sparkContext.setLogLevel("WARN")
+    if (which == "news" || which == "all")
+      report("news_dedup", newsLadder(spark,
+        Seq(10000L, 20000L, 40000L, 80000L, 160000L)))
+    if (which == "sess" || which == "all")
+      report("sessionize", sessLadder(spark, sfDir,
+        Seq(1.0 / 15, 3.0 / 15, 7.0 / 15, 1.0)))
+    spark.stop()
+  }
+}

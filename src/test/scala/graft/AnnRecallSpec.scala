@@ -80,6 +80,54 @@ class AnnRecallSpec extends SparkSpec {
       q -> ann.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size
     }
 
+  /** The planted corpus under the ScaleSynth 10× embeddings treatment
+    * (same construction as tools/ScaleSynth.scala: every vector cloned
+    * 10× as EXACT copies with distinct ids, originals preserved) — the
+    * adversarial density case for bucketed ANN: every LSH bucket, IVF
+    * cell, and PQ code bucket gets 10× density, and distance ties are
+    * maximal (a query's 9 exact clones all sit at cosine 1). Recall
+    * here gates tie-break determinism under stress, which the 1× spec
+    * cannot see. */
+  private lazy val planted10xDir: String = {
+    import org.apache.spark.sql.functions.{col, explode, expr}
+    val src = spark.read.parquet(s"$plantedDir/embeddings.parquet")
+    val n = src.count()
+    val out = Fixtures.scratchDir("ann_recall_10x")
+    src.select(col("*"), explode(expr("sequence(0, 9)")).as("copy"))
+      .select((col("vec_id") + col("copy") * n).as("vec_id"),
+        col("embedding"), col("label"))
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    out
+  }
+
+  private def gate10x(mode: String, ids: Seq[Long],
+      ann: (Seq[Long], Int) => org.apache.spark.sql.DataFrame): Unit =
+    for (k <- Seq(5, 10)) {
+      val exact = topSets(VectorSearch.annSearch(spark, planted10xDir, ids, k))
+      val got = topSets(ann(ids, k))
+      val rec = recallAt(got, exact)
+      val mean = rec.values.sum / rec.size
+      info(s"10x $mode recall@$k per query: ${rec.toSeq.sortBy(_._1)}; mean $mean")
+      assert(rec.size === ids.size)
+      assert(mean >= 0.9, s"10x $mode mean recall@$k $mean < 0.9: $rec")
+    }
+
+  test("10x cloned corpus: LSH recall@5/@10 hold under maximal density and ties") {
+    gate10x("LSH", 100L until 105L,
+      (ids, k) => VectorSearch.lshBucketTopk(spark, planted10xDir, ids, k))
+  }
+
+  test("10x cloned corpus: IVF recall@5/@10 hold under maximal density and ties") {
+    gate10x("IVF", 200L until 205L,
+      (ids, k) => VectorSearch.ivfTopk(spark, planted10xDir, ids, k))
+  }
+
+  test("10x cloned corpus: PQ recall@5/@10 hold under maximal density and ties") {
+    gate10x("PQ", 200L until 205L,
+      (ids, k) => VectorSearch.pqTopk(spark, planted10xDir, ids, k))
+  }
+
   test("planted clusters separate: exact top-5 of each query is all in-cluster") {
     val exact = topSets(VectorSearch.annSearch(spark, plantedDir, 100L until 105L, 5))
     exact.foreach { case (q, ns) =>

@@ -185,6 +185,15 @@ object CrawlPoller {
     * title, desc, date (ISO-8601), link, img, site, author. DOM parse
     * via the JDK with DTDs and external entities OFF (a crawled feed is
     * untrusted input; XXE through a news payload must be impossible). */
+  /** Hostile-feed output bounds: a crawled feed is untrusted, so no
+    * single field may land megabytes into a record (a 100 MB CDATA
+    * title must not become a 100 MB lake row) and no feed may fan out
+    * an unbounded item count in one poll. Truncation, not rejection:
+    * the first `MaxFieldChars` of a pathological title still identify
+    * the story; the raw payload stays in the staging file regardless. */
+  private[graft] val MaxFieldChars = 65536
+  private[graft] val MaxFeedItems = 10000
+
   private[graft] def parseFeedXml(raw: String): Seq[JsonNode] = {
     val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
     dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
@@ -245,18 +254,21 @@ object CrawlPoller {
 
     def record(title: String, desc: String, date: String, link: String,
         img: String, site: String, author: String): JsonNode = {
+      def cap(s: String): String =
+        if (s.length > MaxFieldChars) s.substring(0, MaxFieldChars) else s
       val o = mapper.createObjectNode()
-      o.put("title", title); o.put("desc", desc); o.put("date", date)
-      o.put("link", link); o.put("img", img); o.put("site", site)
-      o.put("author", author)
+      o.put("title", cap(title)); o.put("desc", cap(desc))
+      o.put("date", cap(date)); o.put("link", cap(link))
+      o.put("img", cap(img)); o.put("site", cap(site))
+      o.put("author", cap(author))
       o
     }
 
     val root = doc.getDocumentElement
-    root.getLocalName match {
+    val all = root.getLocalName match {
       case "rss" =>
         children(root, "channel").flatMap { ch =>
-          children(ch, "item").map { it =>
+          children(ch, "item").take(MaxFeedItems).map { it =>
             // media:content/enclosure carry the thumbnail as a url attr
             val img = (children(it, "content") ++ children(it, "thumbnail") ++
               children(it, "enclosure"))
@@ -274,7 +286,7 @@ object CrawlPoller {
         }
       case "feed" => // Atom: site defaults to the feed's own title
         val feedTitle = text(root, "title")
-        children(root, "entry").map { en =>
+        children(root, "entry").take(MaxFeedItems).map { en =>
           val link = children(en, "link")
             .sortBy(e => if (e.getAttribute("rel") == "" ||
               e.getAttribute("rel") == "alternate") 0 else 1)
@@ -292,5 +304,8 @@ object CrawlPoller {
       case other =>
         throw new IllegalArgumentException(s"unsupported feed root <$other>")
     }
+    // item-count bound, applied to the assembled list: a hostile feed
+    // fanning out millions of <item>s lands at most MaxFeedItems records
+    if (all.length > MaxFeedItems) all.take(MaxFeedItems) else all
   }
 }

@@ -36,14 +36,15 @@ class PlanInvariantSpec extends SparkSpec {
   }
 
   test("shuffle budgets: the most expensive queries never grow a new Exchange") {
-    // Per-query MAX ShuffleExchange counts for the costliest lazily-
+    // Per-query EXACT ShuffleExchange counts for the costliest lazily-
     // planned catalog entries (top of BENCH_DETAIL by wall time),
-    // pinned at the audited r16 plans — a plan regression that adds a
-    // shuffle fails here in seconds instead of surfacing as bench
-    // archeology a round later. Counts include subquery plans. Going
-    // UNDER budget is progress (tighten the pin); going over means a
-    // join stopped broadcasting, an exchange stopped being reused, or a
-    // partial aggregate split — all scale-killers at 100 TB.
+    // pinned at the audited plans and swept to measured actuals in r17
+    // (tools/ExchangeCount: every pin == actual). Counts include
+    // subquery plans. The assert is EQUALITY, both directions
+    // deliberate: +1 means a join stopped broadcasting, an exchange
+    // stopped being reused, or a partial aggregate split — all
+    // scale-killers at 100 TB; -1 means the plan improved and the pin
+    // must be updated so the gain is recorded and can't silently erode.
     val budgets = Map(
       "llm_bloom_dedup" -> 3, "llm_shingle_jaccard" -> 3,
       "llm_minhash_neardup" -> 1, "llm_embed_ann_pq" -> 3,
@@ -77,9 +78,12 @@ class PlanInvariantSpec extends SparkSpec {
     budgets.toSeq.sortBy(_._1).foreach { case (name, budget) =>
       val df = SparkEntry.queries(name)(spark, sf0001)
       val got = shuffles(df.queryExecution.executedPlan)
-      assert(got <= budget,
-        s"$name grew to $got shuffles (budget $budget):\n" +
-          df.queryExecution.executedPlan)
+      assert(got === budget,
+        (if (got > budget) s"$name GREW to $got shuffles (pinned $budget) — a " +
+          "broadcast/reuse/partial-agg regression"
+        else s"$name IMPROVED to $got shuffles (pinned $budget) — update the " +
+          "pin to record the gain") +
+          s":\n${df.queryExecution.executedPlan}")
     }
   }
 

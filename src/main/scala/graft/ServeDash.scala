@@ -108,6 +108,7 @@ private[graft] object ServeDash {
       |    <option value="12">Last 12 months</option>
       |  </select>
       |  <button id="theme" type="button">Toggle theme</button>
+      |  <input id="token" placeholder="token (if required)" size="12"/>
       |</div>
       |<div class="kpis" id="kpis"></div>
       |<div class="card">
@@ -179,8 +180,16 @@ private[graft] object ServeDash {
       |}
       |
       |// ---- data ----
+      |// token rides as a Bearer header on every /query fetch (the /ui
+      |// pattern) and persists in localStorage, so a token-protected
+      |// instance renders instead of four permanent 401 panels
+      |$("token").value = localStorage.getItem("graft_token") || "";
+      |function headers(){
+      |  const t = $("token").value.trim();
+      |  return t ? {"Authorization": "Bearer " + t} : {};
+      |}
       |async function q(name, limit){
-      |  const r = await fetch("/query/" + name + "?limit=" + limit);
+      |  const r = await fetch("/query/" + name + "?limit=" + limit, {headers: headers()});
       |  if (!r.ok) throw new Error(name + ": HTTP " + r.status);
       |  return (await r.json()).rows;
       |}
@@ -404,7 +413,15 @@ private[graft] object ServeDash {
       |  table($("t4"), ["cell", "n", "sum_bal"],
       |    [...GEO].sort((a, b) => b.sum_bal - a.sum_bal).slice(0, 25));
       |}
-      |function renderAll(){ if (HIST.length){ lineChart(); areaChart(); barChart(); mapChart(); } }
+      |// each chart guards on ITS dataset: one empty panel must not
+      |// blank the other three (an empty ACT dereferencing its last row
+      |// previously threw and killed bar+map too)
+      |function renderAll(){
+      |  if (HIST.length) lineChart();
+      |  if (ACT.length) areaChart();
+      |  if (NAT.length) barChart();
+      |  if (GEO.length) mapChart();
+      |}
       |$("win").addEventListener("input", renderAll);
       |$("theme").addEventListener("click", () => {
       |  const r = document.documentElement;
@@ -412,7 +429,7 @@ private[graft] object ServeDash {
       |  r.setAttribute("data-theme", dark ? "light" : "dark");
       |  renderAll(); // re-read the CSS custom props for the new mode
       |});
-      |(async () => {
+      |async function loadAll(){
       |  try {
       |    [HIST, ACT, NAT, GEO] = await Promise.all([
       |      q("rel_histogram_dense", 600), q("evt_active_users", 600),
@@ -423,6 +440,11 @@ private[graft] object ServeDash {
       |    const d = document.createElement("div"); d.className = "sub";
       |    d.textContent = "failed to load: " + e; $("kpis").replaceChildren(d);
       |  }
-      |})();
+      |}
+      |$("token").addEventListener("change", () => {
+      |  localStorage.setItem("graft_token", $("token").value.trim());
+      |  loadAll(); // re-fetch with the new credential
+      |});
+      |loadAll();
       |</script></div></body></html>""".stripMargin
 }

@@ -38,7 +38,8 @@ object SparkEntry {
       graft.queries.Pii.queries ++
       graft.queries.TextClean.queries ++
       graft.queries.EsAggs.queries ++
-      graft.queries.TextIndex.queries
+      graft.queries.TextIndex.queries ++
+      graft.queries.TrainingMix.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -60,5 +61,6 @@ object SparkEntry {
       graft.queries.Pii.oracles ++
       graft.queries.TextClean.oracles ++
       graft.queries.EsAggs.oracles ++
-      graft.queries.TextIndex.oracles
+      graft.queries.TextIndex.oracles ++
+      graft.queries.TrainingMix.oracles
 }

@@ -584,7 +584,50 @@ object VectorSearch {
        |FROM asgf LEFT JOIN d ON asgf.vec_id = d.vec_id""".stripMargin
   }
 
+  /** Hard-negative mining for contrastive training (the DPR/Contriever
+    * recipe): for each probe vector (vec_id < 5), the top-5 most-similar
+    * vectors whose LABEL DIFFERS from the probe's — maximally confusing
+    * non-matches, the negatives a retriever is trained against. Same
+    * scale shape as [[bruteTopk]]: probe side broadcast-tiny, corpus
+    * side one narrow pass, per-probe window top-k with the shared
+    * (score desc, vec_id asc) tie-break. At production scale the
+    * candidate stream swaps to the [[ivfTopk]]/[[lshBucketTopk]] keyed
+    * generators — the label-mismatch predicate and ranking are
+    * unchanged. */
+  def hardNegatives(spark: SparkSession, dir: String,
+      queryIds: Seq[Long] = 0L until 5L, k: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    val q = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("v").as("qv"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    emb.crossJoin(broadcast(q))
+      .filter(col("label") =!= col("q_label"))
+      .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
+        cosine(col("qv"), col("v")).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("q_label").cast("long").as("q_label"),
+        col("vec_id").as("neighbor_id"), col("label").cast("long").as("neg_label"),
+        col("score"), col("rank"))
+  }
+
+  val hardNegativesSql: String =
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv FROM e WHERE vec_id < 5),
+       |s AS (SELECT q_id, q_label, vec_id, label, ${sqlCos("qv", "v")} AS score
+       |      FROM e CROSS JOIN q WHERE label <> q_label),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |        ORDER BY score DESC, vec_id ASC) AS rank FROM s)
+       |SELECT q_id, CAST(q_label AS BIGINT) AS q_label, vec_id AS neighbor_id,
+       |  CAST(label AS BIGINT) AS neg_label, score, CAST(rank AS BIGINT) AS rank
+       |FROM r WHERE rank <= 5""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_hard_negatives" -> ((s: SparkSession, d: String) => hardNegatives(s, d)),
     "llm_centroid_classify" -> (centroidClassify _),
     "llm_embed_ann_pq" -> ((s: SparkSession, d: String) => pqTopk(s, d)),
     "llm_embed_topk" -> (bruteTopk _),
@@ -595,6 +638,7 @@ object VectorSearch {
     "llm_semdedup_kmeans" -> ((s: SparkSession, d: String) => semDedupKmeans(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "llm_hard_negatives" -> hardNegativesSql,
     "llm_centroid_classify" -> centroidClassifySql,
     "llm_embed_ann_pq" -> pqTopkSql,
     "llm_embed_topk" -> bruteTopkSql,

@@ -57,7 +57,9 @@ class PlanInvariantSpec extends SparkSpec {
       "evt_cohort_ltv" -> 5, "llm_para_dedup" -> 2,
       "llm_semdedup" -> 6, "rel_factfact_join" -> 2,
       "evt_transitions" -> 5, "rel_dim_join_agg" -> 1,
-      "llm_perplexity_filter" -> 7)
+      "llm_perplexity_filter" -> 7,
+      "llm_dsir_weights" -> 5, "llm_curriculum" -> 2,
+      "llm_hard_negatives" -> 1)
     def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
       var n = 0
       def walk(q: org.apache.spark.sql.execution.SparkPlan): Unit = {

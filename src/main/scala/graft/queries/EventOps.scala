@@ -138,7 +138,11 @@ object EventOps {
     * group spine and asserts the verdicts literally TRUE. The sketch
     * returns an ACTUAL sample near the target rank (the exact form
     * interpolates), which is why the tolerance is a rank band and not
-    * an epsilon. Deterministic sketch ⇒ stable gate, not a flake.
+    * an epsilon. Unlike HLL's rsd, this IS a guaranteed bound: at
+    * accuracy=10000 the sketch's worst-case rank error is N/10000
+    * (0.01% of ranks), so the ±2-percentage-point band holds on ANY
+    * fixture or SF, with ~200x margin — no re-audit needed when gate
+    * fixtures change. Deterministic sketch ⇒ stable gate, not a flake.
     * NOTE the exact percentile aggregates exist for the verification
     * encoding only — the entry pays full-multiset state at gate SFs to
     * make the sketch's rank bound hash-checkable; the production form

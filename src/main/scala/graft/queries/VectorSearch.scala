@@ -626,7 +626,79 @@ object VectorSearch {
        |  CAST(label AS BIGINT) AS neg_label, score, CAST(rank AS BIGINT) AS rank
        |FROM r WHERE rank <= 5""".stripMargin
 
+  /** Embedding outlier detection — the "quarantine corrupted vectors"
+    * curation gate that runs BEFORE SemDeDup/classification trusts the
+    * embedding column (truncated texts, encoder failures and mixed-in
+    * foreign-domain docs all land far from their domain prototype).
+    * Mechanism: per-label centroid (same DECIMAL(28,12)-folded mean as
+    * [[centroidClassify]], trained on all rows), per-vector cosine to
+    * its OWN label's centroid, then a per-label z-score of that
+    * similarity; `is_outlier` flags z < −2 (the low-similarity tail).
+    * std is floored at 0 via greatest() so a degenerate one-point label
+    * yields z = 0, not NaN.
+    *
+    * Cross-engine determinism: sims are rounded to 6 before the moment
+    * fold, both moment sums pass through DECIMAL(28,12) (order-free),
+    * mean/std are then single pinned double ops, and z is rounded to 6
+    * before the −2 comparison — identical bits in both engines.
+    *
+    * 100 TB: centroid fold is map-side partial (|labels|×64 cells →
+    * broadcast ~5 KB), the similarity pass is map-only against the
+    * broadcast centroids, the moment fold collapses map-side to
+    * |labels| rows (broadcast back), and the verdict pass is map-only —
+    * the embedding column is never shuffled. */
+  def embedOutliers(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    val cent = emb
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("x").cast("decimal(28,12)")).as("sx"), count(lit(1)).as("n"))
+      .select(col("label"), col("pos"),
+        (col("sx").cast("double") / col("n").cast("double")).as("m"))
+      .groupBy(col("label"))
+      .agg(collect_list(struct(col("pos"), col("m"))).as("pm"))
+      .select(col("label"),
+        transform(array_sort(col("pm")), p => p.getField("m")).as("cv"))
+    val sims = emb.join(broadcast(cent), "label")
+      .select(col("vec_id"), col("label"), cosine(col("v"), col("cv")).as("sim"))
+    val mom = sims.groupBy(col("label")).agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("sim").cast("decimal(28,12)")).cast("double").as("s1"),
+      sum((col("sim") * col("sim")).cast("decimal(28,12)")).cast("double").as("s2"))
+    val mean = col("s1") / col("n")
+    val std = sqrt(greatest(col("s2") / col("n") - mean * mean, lit(0.0)))
+    val z = when(std <= 0.0, lit(0.0))
+      .otherwise(round((col("sim") - mean) / std, 6))
+    sims.join(broadcast(mom), "label")
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("sim"), z.as("z"), (z < -2.0).as("is_outlier"))
+  }
+
+  val embedOutliersSql: String =
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |cent0 AS (SELECT label, i,
+       |    CAST(SUM(CAST(v[i] AS DECIMAL(28,12))) AS DOUBLE)
+       |      / CAST(COUNT(*) AS DOUBLE) AS m
+       |  FROM e CROSS JOIN range(1, 65) t(i) GROUP BY 1, 2),
+       |cvec AS (SELECT label, list(m ORDER BY i) AS cv FROM cent0 GROUP BY 1),
+       |s AS (SELECT e.vec_id, e.label, ${sqlCos("e.v", "cvec.cv")} AS sim
+       |      FROM e JOIN cvec USING (label)),
+       |mom AS (SELECT label, CAST(COUNT(*) AS DOUBLE) AS n,
+       |    CAST(SUM(CAST(sim AS DECIMAL(28,12))) AS DOUBLE) AS s1,
+       |    CAST(SUM(CAST(sim*sim AS DECIMAL(28,12))) AS DOUBLE) AS s2
+       |  FROM s GROUP BY 1),
+       |z AS (SELECT vec_id, label, sim,
+       |    CASE WHEN sqrt(greatest(s2/n - (s1/n)*(s1/n), 0)) <= 0 THEN 0.0
+       |         ELSE round((sim - s1/n)
+       |                / sqrt(greatest(s2/n - (s1/n)*(s1/n), 0)), 6) END AS z
+       |  FROM s JOIN mom USING (label))
+       |SELECT vec_id, CAST(label AS BIGINT) AS label, sim, z,
+       |  z < -2.0 AS is_outlier FROM z""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_embed_outliers" -> (embedOutliers _),
     "llm_hard_negatives" -> ((s: SparkSession, d: String) => hardNegatives(s, d)),
     "llm_centroid_classify" -> (centroidClassify _),
     "llm_embed_ann_pq" -> ((s: SparkSession, d: String) => pqTopk(s, d)),
@@ -638,6 +710,7 @@ object VectorSearch {
     "llm_semdedup_kmeans" -> ((s: SparkSession, d: String) => semDedupKmeans(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "llm_embed_outliers" -> embedOutliersSql,
     "llm_hard_negatives" -> hardNegativesSql,
     "llm_centroid_classify" -> centroidClassifySql,
     "llm_embed_ann_pq" -> pqTopkSql,

@@ -182,13 +182,105 @@ object Geo {
        |GROUP BY 1""".stripMargin
   }
 
+  /** Grid-density clustering — DBSCAN's grid-cell approximation (the
+    * "hotspot detection" map analytic the reference's Kibana heat map
+    * eyeballs, README.md:22-28, made a first-class operator): bucket
+    * points into 10° cells, call a cell dense when it holds ≥ 2× the
+    * mean occupied-cell population, then merge 8-neighbor-adjacent
+    * dense cells into clusters via the SAME pointer-doubling
+    * connected-components loop the dedup family runs
+    * ([[LlmDedup.connectedComponents]]). Output: one row per cluster
+    * (id = min cell key in the component) with its cell and point mass.
+    *
+    * Point synthesis (testdata has no geo columns): two planted 20°×20°
+    * hotspots each holding a third of the keys, over a uniform
+    * background third — so the operator provably separates multiple
+    * components from noise at every SF, instead of degenerating to one
+    * blob on a uniform lattice. All arithmetic is integer mod plus one
+    * exact /10.0 — bit-identical cross-engine, so no boundary margin is
+    * needed (unlike geohash, both engines run the SAME formula).
+    *
+    * 100 TB: the corpus-sized work is ONE map-side-partial count into
+    * ≤ 648 grid cells; density threshold, adjacency (explode 8 neighbor
+    * keys + equi-join — never an all-pairs distance), and the CC loop
+    * all run on the grid-bounded cell set, independent of row count. */
+  def geoDbscanGrid(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+    val k = col("c_custkey")
+    val lat = when(k % 3 === 0, lit(-60.0) + (k * 37 % 200) / lit(10.0))
+      .when(k % 3 === 1, lit(30.0) + (k * 37 % 200) / lit(10.0))
+      .otherwise(lit(-85.0) + (k * 37 % 1700) / lit(10.0))
+    val lon = when(k % 3 === 0, lit(-100.0) + (k * 73 % 200) / lit(10.0))
+      .when(k % 3 === 1, lit(60.0) + (k * 73 % 200) / lit(10.0))
+      .otherwise(lit(-175.0) + (k * 73 % 3500) / lit(10.0))
+    val cells = cust
+      .select(floor(lat / 10.0).cast("long").as("cx"),
+        floor(lon / 10.0).cast("long").as("cy"))
+      .groupBy(col("cx"), col("cy")).agg(count(lit(1)).as("n"))
+    val mean = cells.agg(
+      (sum(col("n")).cast("double") / count(lit(1)).cast("double")).as("mean_n"))
+    val dense = cells.crossJoin(broadcast(mean))
+      .filter(col("n").cast("double") >= lit(2.0) * col("mean_n"))
+      .select(col("cx"), col("cy"), col("n"),
+        ((col("cx") + 9L) * 64L + (col("cy") + 18L)).as("cid"))
+    val offsets = for { dx <- -1 to 1; dy <- -1 to 1; if dx != 0 || dy != 0 }
+      yield struct((col("cx") + dx).as("nx"), (col("cy") + dy).as("ny"))
+    val nb = dense
+      .select(col("cid").as("x_id"), explode(array(offsets: _*)).as("nb"))
+      .select(col("x_id"), col("nb.nx").as("cx"), col("nb.ny").as("cy"))
+    val edges = nb
+      .join(broadcast(dense.select(col("cx"), col("cy"), col("cid").as("y_id"))),
+        Seq("cx", "cy"))
+      .filter(col("x_id") < col("y_id"))
+      .select(col("x_id"), col("y_id"))
+    // isolated dense cells never appear in an edge — register every
+    // dense cell as a vertex via a self-pair so it survives as a
+    // singleton cluster
+    val selfPairs = dense.select(col("cid").as("x_id"), col("cid").as("y_id"))
+    val labels = LlmDedup.connectedComponents(edges.unionByName(selfPairs))
+    labels.join(broadcast(dense), labels("doc_id") === dense("cid"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("n")).cast("long").as("n_points"))
+  }
+
+  val geoDbscanGridSql: String =
+    """WITH RECURSIVE pts AS (SELECT
+      |    CASE c_custkey % 3
+      |      WHEN 0 THEN -60.0 + (c_custkey * 37 % 200) / 10.0
+      |      WHEN 1 THEN 30.0 + (c_custkey * 37 % 200) / 10.0
+      |      ELSE -85.0 + (c_custkey * 37 % 1700) / 10.0 END AS lat,
+      |    CASE c_custkey % 3
+      |      WHEN 0 THEN -100.0 + (c_custkey * 73 % 200) / 10.0
+      |      WHEN 1 THEN 60.0 + (c_custkey * 73 % 200) / 10.0
+      |      ELSE -175.0 + (c_custkey * 73 % 3500) / 10.0 END AS lon
+      |  FROM customer),
+      |cells AS (SELECT CAST(FLOOR(lat / 10.0) AS BIGINT) AS cx,
+      |    CAST(FLOOR(lon / 10.0) AS BIGINT) AS cy, COUNT(*) AS n
+      |  FROM pts GROUP BY 1, 2),
+      |m AS (SELECT CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_n
+      |  FROM cells),
+      |dense AS (SELECT cx, cy, n, (cx + 9) * 64 + (cy + 18) AS cid
+      |  FROM cells, m WHERE CAST(n AS DOUBLE) >= 2.0 * mean_n),
+      |edges AS (SELECT a.cid AS src, b.cid AS dst FROM dense a JOIN dense b
+      |  ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+      |  AND a.cid <> b.cid),
+      |reach AS (SELECT cid, cid AS lab FROM dense
+      |  UNION
+      |  SELECT e.dst AS cid, r.lab FROM reach r JOIN edges e ON e.src = r.cid),
+      |comp AS (SELECT cid, MIN(lab) AS cluster_id FROM reach GROUP BY cid)
+      |SELECT cluster_id, COUNT(*) AS n_cells,
+      |  CAST(SUM(n) AS BIGINT) AS n_points
+      |FROM comp JOIN dense USING (cid) GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "geo_cell_agg" -> (geoCellAgg _),
     "geo_radius_join" -> (geoRadiusJoin _),
-    "geo_polygon_filter" -> (geoPolygonFilter _))
+    "geo_polygon_filter" -> (geoPolygonFilter _),
+    "geo_dbscan_grid" -> (geoDbscanGrid _))
 
   val oracles: Map[String, String] = Map(
     "geo_cell_agg" -> geoCellAggSql,
     "geo_radius_join" -> geoRadiusJoinSql,
-    "geo_polygon_filter" -> geoPolygonFilterSql)
+    "geo_polygon_filter" -> geoPolygonFilterSql,
+    "geo_dbscan_grid" -> geoDbscanGridSql)
 }

@@ -59,7 +59,12 @@ class PlanInvariantSpec extends SparkSpec {
       "evt_transitions" -> 5, "rel_dim_join_agg" -> 1,
       "llm_perplexity_filter" -> 7,
       "llm_dsir_weights" -> 5, "llm_curriculum" -> 2,
-      "llm_hard_negatives" -> 1)
+      "llm_hard_negatives" -> 1,
+      // 5 = the centroid fold's 2 aggs counted under BOTH consumers of
+      // the sims subtree (moments + final verdict; map-only after the
+      // broadcast centroid join, so the double-count is two cheap scans,
+      // not two shuffled passes) + the |labels|-row moment agg
+      "llm_embed_outliers" -> 5)
     def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
       var n = 0
       def walk(q: org.apache.spark.sql.execution.SparkPlan): Unit = {

@@ -513,7 +513,70 @@ object EventOps {
       |  CAST(cum_value AS DOUBLE) / CAST(n_users AS DOUBLE) AS ltv_per_user
       |FROM cum JOIN sizes USING (cohort)""".stripMargin
 
+  /** Small-cell suppression release — the statistical-disclosure-control
+    * gate a public-health dashboard applies before publishing aggregates
+    * (the reference's domain is exactly this data: per-location case
+    * counts, README.md:22-28 — real releases suppress cells too small
+    * to be safely published). Cells = (event_type, cohort); a cell is
+    * suppressed when its count falls under half the mean occupied-cell
+    * count (a relative-threshold member of the SDC rule family), and
+    * suppressed mass is NOT dropped: it collapses into one residual row
+    * per event_type (cohort = −1), so published totals still reconcile
+    * exactly — the property CellSuppressionSpec gates.
+    *
+    * The cohort key deliberately sqrt-buckets a hashed user id: the
+    * synthetic fixture is uniform in every raw column, and uniform
+    * cells make any threshold rule vacuous at the larger gate SFs —
+    * sqrt-bucketing gives cell masses spanning ~200× (width of bucket
+    * b ∝ 2b+1) with the SAME relative shape at every SF, so both the
+    * released and the suppressed branch stay non-empty at sf0.001/0.01/
+    * 0.1 (validated: 2/71/106 suppressed cells respectively).
+    *
+    * 100 TB: the only corpus-sized work is the one map-side-partial
+    * cell aggregation; the threshold is one broadcast row, and the
+    * released/residual split + residual fold run on the cell frame
+    * (≤ |types|×100 rows) regardless of event volume. */
+  def cellSuppression(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val cohort = floor(sqrt((col("user_id") * 37 % 9973).cast("double")))
+      .cast("long")
+    val cells = ev.select(col("event_type"), cohort.as("cohort"), col("value"))
+      .groupBy(col("event_type"), col("cohort"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,12)")).as("sv"))
+    val thresh = cells.agg((sum(col("n")).cast("double") /
+      count(lit(1)).cast("double") * 0.5).as("thr"))
+    val cellsT = cells.crossJoin(broadcast(thresh))
+    val released = cellsT.filter(col("n").cast("double") >= col("thr"))
+      .select(col("event_type"), col("cohort"), col("n"),
+        round(col("sv").cast("double"), 6).as("sum_value"))
+    val residual = cellsT.filter(col("n").cast("double") < col("thr"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).cast("long").as("n"), sum(col("sv")).as("sv"))
+      .select(col("event_type"), lit(-1L).as("cohort"), col("n"),
+        round(col("sv").cast("double"), 6).as("sum_value"))
+    released.unionByName(residual)
+  }
+
+  val cellSuppressionSql: String =
+    """WITH cells AS (SELECT event_type,
+      |    CAST(FLOOR(SQRT(CAST(user_id * 37 % 9973 AS DOUBLE))) AS BIGINT)
+      |      AS cohort,
+      |    COUNT(*) AS n, SUM(CAST(value AS DECIMAL(28,12))) AS sv
+      |  FROM events GROUP BY 1, 2),
+      |t AS (SELECT CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 0.5
+      |    AS thr FROM cells),
+      |rel AS (SELECT event_type, cohort, n,
+      |    round(CAST(sv AS DOUBLE), 6) AS sum_value
+      |  FROM cells, t WHERE CAST(n AS DOUBLE) >= thr),
+      |res AS (SELECT event_type, CAST(-1 AS BIGINT) AS cohort,
+      |    CAST(SUM(n) AS BIGINT) AS n,
+      |    round(CAST(SUM(sv) AS DOUBLE), 6) AS sum_value
+      |  FROM cells, t WHERE CAST(n AS DOUBLE) < thr GROUP BY 1)
+      |SELECT * FROM rel UNION ALL SELECT * FROM res""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_cell_suppression" -> (cellSuppression _),
     "evt_cohort_ltv" -> (cohortLtv _),
     "evt_transitions" -> (transitions _),
     "evt_hopping_window" -> (hoppingWindow _),
@@ -528,6 +591,7 @@ object EventOps {
     "evt_active_users" -> (activeUsers7d _))
 
   val oracles: Map[String, String] = Map(
+    "evt_cell_suppression" -> cellSuppressionSql,
     "evt_approx_percentiles" -> approxPercentilesSql,
     "evt_cohort_ltv" -> cohortLtvSql,
     "evt_transitions" -> transitionsSql,

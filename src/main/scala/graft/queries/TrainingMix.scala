@@ -189,11 +189,93 @@ object TrainingMix {
        |        / CAST(COUNT(*) AS DOUBLE), 6) AS avg_score
        |FROM b GROUP BY band, lang""".stripMargin
 
+  /** Supervised quality classifier — the fastText-recipe filter the
+    * GPT-3/LLaMA pipelines run between cleaning and mixing: train a
+    * classifier to separate a "curated" reference class from the raw
+    * crawl, then keep documents the classifier scores curated-like.
+    * The model here is multinomial Naive Bayes over the same 256
+    * hashed-unigram buckets as [[dsirWeights]] (add-one smoothing),
+    * which keeps the whole train+score pipeline closed-form and
+    * hash-checkable — unlike SGD classifiers, every parameter is an
+    * exact count ratio, so DuckDB replays training symbolically.
+    * Label proxy on this fixture: sources src0..src9 = curated class
+    * (the fixture's text is label-independent noise, so separation is
+    * chance — [[centroidClassify]]'s documented stance: the oracle pins
+    * the MECHANISM; both verdict branches stay non-vacuous at every
+    * gate SF). Per doc: `log_odds = ln(P_hi/P_lo) + Σ_b c_b·(ln
+    * p_hi(b) − ln p_lo(b))`, `quality_pass = log_odds > 0`.
+    *
+    * Plan (the DSIR shape): ONE corpus-sized shuffle (the per-(doc,
+    * bucket) collapse), both class models in one 256-key aggregate
+    * broadcast back, scalar priors/normalizers in a one-row broadcast,
+    * scoring a map-side fold over collapsed counts. */
+  def nbQuality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val isHi = substring(col("source"), 4, 10).cast("int") < 10
+    val tok = docs.select(col("doc_id"), isHi.as("hi"),
+      explode(toks(col("text"))).as("w"))
+    val db = tok
+      .select(col("doc_id"), col("hi"), substring(md5(col("w")), 1, 2).as("b"))
+      .groupBy(col("doc_id"), col("hi"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val model = db.groupBy(col("b")).agg(
+      sum(when(col("hi"), col("cnt")).otherwise(0L)).as("ch"),
+      sum(when(!col("hi"), col("cnt")).otherwise(0L)).as("cl"))
+    val scal = docs.agg(
+      sum(when(isHi, size(toks(col("text")))).otherwise(0)).cast("double").as("nh"),
+      sum(when(!isHi, size(toks(col("text")))).otherwise(0)).cast("double").as("nl"),
+      sum(when(isHi, 1L).otherwise(0L)).cast("double").as("dh"),
+      sum(when(!isHi, 1L).otherwise(0L)).cast("double").as("dl"))
+    val term = (col("cnt").cast("double") *
+      (log((col("ch").cast("double") + 1.0) / (col("nh") + NumBuckets)) -
+        log((col("cl").cast("double") + 1.0) / (col("nl") + NumBuckets))))
+      .cast("decimal(28,12)")
+    db.join(broadcast(model), Seq("b"))
+      .crossJoin(broadcast(scal))
+      .groupBy(col("doc_id"), col("hi"))
+      .agg(sum(col("cnt")).cast("long").as("n_toks"),
+        round(first(log(col("dh") / col("dl"))) +
+          sum(term).cast("double"), 6).as("log_odds"))
+      .select(col("doc_id"), col("hi").as("is_curated_source"), col("n_toks"),
+        col("log_odds"), (col("log_odds") > 0.0).as("quality_pass"))
+  }
+
+  val nbQualitySql: String =
+    s"""WITH d AS (SELECT doc_id,
+       |    CAST(substr(source, 4) AS INT) < 10 AS hi, $toksSql AS t
+       |  FROM documents),
+       |db AS (SELECT doc_id, hi, substr(md5(w),1,2) AS b, count(*) AS cnt
+       |       FROM (SELECT doc_id, hi, unnest(t) AS w FROM d)
+       |       GROUP BY doc_id, hi, b),
+       |m AS (SELECT b,
+       |        SUM(CASE WHEN hi THEN cnt ELSE 0 END) AS ch,
+       |        SUM(CASE WHEN hi THEN 0 ELSE cnt END) AS cl
+       |      FROM db GROUP BY b),
+       |scal AS (SELECT
+       |    CAST(SUM(CASE WHEN hi THEN len(t) ELSE 0 END) AS DOUBLE) AS nh,
+       |    CAST(SUM(CASE WHEN hi THEN 0 ELSE len(t) END) AS DOUBLE) AS nl,
+       |    CAST(SUM(CASE WHEN hi THEN 1 ELSE 0 END) AS DOUBLE) AS dh,
+       |    CAST(SUM(CASE WHEN hi THEN 0 ELSE 1 END) AS DOUBLE) AS dl
+       |  FROM d),
+       |w AS (SELECT doc_id, hi,
+       |        CAST(SUM(cnt) AS BIGINT) AS n_toks,
+       |        round(ln(dh / dl) + CAST(SUM(CAST(CAST(cnt AS DOUBLE) *
+       |              (ln((ch + 1) / (nh + $NumBuckets))
+       |               - ln((cl + 1) / (nl + $NumBuckets)))
+       |            AS DECIMAL(28,12))) AS DOUBLE), 6) AS log_odds
+       |      FROM db JOIN m USING (b), scal
+       |      GROUP BY doc_id, hi, dh, dl)
+       |SELECT doc_id, hi AS is_curated_source, n_toks, log_odds,
+       |  log_odds > 0.0 AS quality_pass
+       |FROM w""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_dsir_weights" -> (dsirWeights _),
-    "llm_curriculum" -> (curriculumBands _))
+    "llm_curriculum" -> (curriculumBands _),
+    "llm_nb_quality" -> (nbQuality _))
 
   val oracles: Map[String, String] = Map(
     "llm_dsir_weights" -> dsirWeightsSql,
-    "llm_curriculum" -> curriculumBandsSql)
+    "llm_curriculum" -> curriculumBandsSql,
+    "llm_nb_quality" -> nbQualitySql)
 }

@@ -64,7 +64,10 @@ class PlanInvariantSpec extends SparkSpec {
       // the sims subtree (moments + final verdict; map-only after the
       // broadcast centroid join, so the double-count is two cheap scans,
       // not two shuffled passes) + the |labels|-row moment agg
-      "llm_embed_outliers" -> 5)
+      "llm_embed_outliers" -> 5,
+      // the DSIR plan shape: one corpus-sized (doc,bucket) collapse, the
+      // rest are the 256-key model agg + scalar agg + final per-doc fold
+      "llm_nb_quality" -> 5)
     def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
       var n = 0
       def walk(q: org.apache.spark.sql.execution.SparkPlan): Unit = {

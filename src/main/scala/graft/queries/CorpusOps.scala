@@ -439,7 +439,75 @@ object CorpusOps {
        |  CAST(SUM(('0x' || substr(md5(text), 1, 8))::BIGINT) AS BIGINT) AS text_sig
        |FROM documents CROSS JOIN b GROUP BY 1""".stripMargin
 
+  /** Corpus datasheet — the "dataset card" table published WITH a
+    * training corpus (Datasheets for Datasets; every serious release
+    * ships one): per language plus an `__all__` rollup row — doc and
+    * token mass, corpus share, exact-duplicate rate, length p50/p95,
+    * mean lexical diversity. One operator so the release artifact is a
+    * query result, not a hand-maintained document that drifts.
+    *
+    * Shapes: ONE per-doc pass (tokenize + md5 + ttr, map-only), then a
+    * single rollup aggregate — |langs|+1 output rows at any corpus
+    * size. The exact `percentile`/`countDistinct` here are the gate-SF
+    * encodings; at 100 TB the caller swaps in `percentile_approx` and
+    * HLL exactly as the evt_percentiles / rel_approx_distinct split
+    * documents (bounded sketch state, same output shape). */
+  def corpusCard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val t = split(LlmDedup.normText(col("text")), " ")
+    val perDoc = docs.select(
+      col("lang"), col("n_chars").cast("double").as("nc"),
+      size(t).cast("long").as("toks"),
+      (size(array_distinct(t)).cast("double") / size(t).cast("double"))
+        .as("ttr"),
+      md5(col("text")).as("h"))
+    val total = perDoc.agg(count(lit(1)).cast("double").as("all_docs"))
+    perDoc.rollup(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("toks")).cast("long").as("n_tokens"),
+        countDistinct(col("h")).as("n_unique"),
+        round(percentile(col("nc"), lit(0.5)), 6).as("p50_chars"),
+        round(percentile(col("nc"), lit(0.95)), 6).as("p95_chars"),
+        round(sum(col("ttr").cast("decimal(28,12)")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_ttr"))
+      .crossJoin(broadcast(total))
+      .select(
+        coalesce(col("lang"), lit("__all__")).as("lang"),
+        col("n_docs"), col("n_tokens"),
+        round(col("n_docs").cast("double") / col("all_docs"), 6).as("pct_docs"),
+        round(lit(1.0) - col("n_unique").cast("double") /
+          col("n_docs").cast("double"), 6).as("dup_rate"),
+        col("p50_chars"), col("p95_chars"), col("mean_ttr"))
+  }
+
+  val corpusCardSql: String =
+    s"""WITH d AS (SELECT lang, CAST(n_chars AS DOUBLE) AS nc,
+       |    string_split(${LlmDedup.normTextSql()}, ' ') AS t,
+       |    md5(text) AS h
+       |  FROM documents),
+       |p AS (SELECT lang, nc, CAST(len(t) AS BIGINT) AS toks,
+       |    CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE)
+       |      AS ttr, h
+       |  FROM d),
+       |tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS all_docs FROM p),
+       |card AS (SELECT lang, COUNT(*) AS n_docs,
+       |    CAST(SUM(toks) AS BIGINT) AS n_tokens,
+       |    COUNT(DISTINCT h) AS n_unique,
+       |    round(quantile_cont(nc, 0.5), 6) AS p50_chars,
+       |    round(quantile_cont(nc, 0.95), 6) AS p95_chars,
+       |    round(CAST(SUM(CAST(ttr AS DECIMAL(28,12))) AS DOUBLE)
+       |          / CAST(COUNT(*) AS DOUBLE), 6) AS mean_ttr
+       |  FROM p GROUP BY ROLLUP(lang))
+       |SELECT COALESCE(lang, '__all__') AS lang, n_docs, n_tokens,
+       |  round(CAST(n_docs AS DOUBLE) / all_docs, 6) AS pct_docs,
+       |  round(1.0 - CAST(n_unique AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+       |    AS dup_rate,
+       |  p50_chars, p95_chars, mean_ttr
+       |FROM card, tot""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_corpus_card" -> (corpusCard _),
     "llm_export_sorted" -> (exportSorted _),
     "llm_decontaminate" -> (decontaminate _),
     "txt_repetition" -> (repetition _),
@@ -449,6 +517,7 @@ object CorpusOps {
     "llm_export_sized" -> (exportJsonlSized _))
 
   val oracles: Map[String, String] = Map(
+    "llm_corpus_card" -> corpusCardSql,
     "llm_export_sorted" -> exportSortedSql,
     "llm_decontaminate" -> decontaminateSql,
     "txt_repetition" -> repetitionSql,

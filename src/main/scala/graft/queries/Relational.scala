@@ -783,8 +783,61 @@ object Relational {
     s"WITH a AS (SELECT COUNT(*) AS n_rows,\n  $aggs\nFROM orders)\n$arms"
   }
 
+  /** Fuzzy join at edit distance ≤ 1 — the entity-resolution join
+    * (match records whose keys differ by one typo) that is NAIVELY an
+    * all-pairs levenshtein: quadratic, the classic scale-killer. The
+    * engine form is the FastSS deletion-neighborhood keyed join, which
+    * is EXACT for distance ≤ 1 (no verify pass needed):
+    *
+    *   keys(s) = (s, −1) ∪ { (delete s[i], i) : i < |s| }
+    *   ed(s,t) ≤ 1  ⟺  a shared variant exists with
+    *     p_a = p_b  (same-position deletion ⟹ substitution or equal)
+    *     or p_a = −1 / p_b = −1 (one side IS the other's deletion
+    *     ⟹ single insert/delete)
+    *
+    * — so the join is an equi-join on the variant string with a cheap
+    * residual position filter: O(L) keys per row shuffled instead of
+    * O(N²) comparisons, the same inverted-candidate-key shape as the
+    * shingle/minhash family. The DuckDB oracle runs the brute-force
+    * quadratic levenshtein join, so the keyed rewrite is checked
+    * against the definition it replaces. Probe side here is a keyed
+    * 2.5% slice (not broadcast-tiny: the FastSS shape is what scales
+    * when BOTH sides are large). */
+  def fuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"))
+    val variantArr = expr(
+      """concat(
+        |  array(named_struct('v', c_name, 'p', -1)),
+        |  transform(sequence(0, length(c_name) - 1),
+        |    i -> named_struct(
+        |      'v', concat(substring(c_name, 1, i), substring(c_name, i + 2, 1000000)),
+        |      'p', i)))""".stripMargin)
+    def keyed(df: DataFrame, k: String, n: String, p: String): DataFrame =
+      df.select(col("c_custkey").as(k), col("c_name").as(n),
+          explode(variantArr).as("kv"))
+        .select(col(k), col(n), col("kv.v").as("v"), col("kv.p").as(p))
+    val a = keyed(cust.filter(col("c_custkey") % 40 === 1), "a_key", "a_name", "pa")
+    val b = keyed(cust, "b_key", "b_name", "pb")
+    a.join(b, Seq("v"))
+      .filter(col("a_key") =!= col("b_key") &&
+        (col("pa") === col("pb") || col("pa") === -1 || col("pb") === -1))
+      .select(col("a_key"), col("a_name"), col("b_key"), col("b_name"))
+      .distinct()
+      .withColumn("ed", levenshtein(col("a_name"), col("b_name")).cast("long"))
+  }
+
+  val fuzzyJoinSql: String =
+    """SELECT a.c_custkey AS a_key, a.c_name AS a_name,
+      |  b.c_custkey AS b_key, b.c_name AS b_name,
+      |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS ed
+      |FROM customer a, customer b
+      |WHERE a.c_custkey % 40 = 1 AND a.c_custkey <> b.c_custkey
+      |  AND levenshtein(a.c_name, b.c_name) <= 1""".stripMargin
+
   /** All (name -> impl) pairs in this module. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_fuzzy_join" -> (fuzzyJoin _),
     "rel_table_profile" -> (tableProfile _),
     "rel_salted_join" -> (saltedJoinAgg _),
     "rel_range_join" -> (rangeJoin _),
@@ -816,6 +869,7 @@ object Relational {
     "rel_regex_extract" -> (regexExtract _))
 
   val oracles: Map[String, String] = Map(
+    "rel_fuzzy_join" -> fuzzyJoinSql,
     "rel_salted_join" -> saltedJoinAggSql,
     "rel_range_join" -> rangeJoinSql,
     "rel_pricing_summary" -> pricingSummarySql,

@@ -211,13 +211,25 @@ object TrainingMix {
     * scoring a map-side fold over collapsed counts. */
   def nbQuality(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    val isHi = substring(col("source"), 4, 10).cast("int") < 10
-    val tok = docs.select(col("doc_id"), isHi.as("hi"),
+    // try_cast, not cast: a source outside the srcN scheme (real crawls
+    // have arbitrary domains — the 10x synth corpus's mega-domain found
+    // this as an ANSI cast crash) must land in the crawl class, not
+    // fail the job
+    val isHi = coalesce(
+      expr("try_cast(substring(source, 4, 10) AS INT)") < 10, lit(false))
+    // Carry the RAW source column through the explode and derive the
+    // class AFTER the per-(doc,bucket) collapse: an expression in the
+    // same select as explode lands in the Project ABOVE Generate and
+    // re-evaluates per TOKEN (measured 4x the whole query's wall at the
+    // 100x corpus vs dsirWeights' raw-column passthrough); post-collapse
+    // it runs once per cell, ~40x fewer evaluations
+    val tok = docs.select(col("doc_id"), col("source"),
       explode(toks(col("text"))).as("w"))
     val db = tok
-      .select(col("doc_id"), col("hi"), substring(md5(col("w")), 1, 2).as("b"))
-      .groupBy(col("doc_id"), col("hi"), col("b"))
+      .select(col("doc_id"), col("source"), substring(md5(col("w")), 1, 2).as("b"))
+      .groupBy(col("doc_id"), col("source"), col("b"))
       .agg(count(lit(1)).as("cnt"))
+      .withColumn("hi", isHi)
     val model = db.groupBy(col("b")).agg(
       sum(when(col("hi"), col("cnt")).otherwise(0L)).as("ch"),
       sum(when(!col("hi"), col("cnt")).otherwise(0L)).as("cl"))
@@ -242,7 +254,8 @@ object TrainingMix {
 
   val nbQualitySql: String =
     s"""WITH d AS (SELECT doc_id,
-       |    CAST(substr(source, 4) AS INT) < 10 AS hi, $toksSql AS t
+       |    COALESCE(TRY_CAST(substr(source, 4, 10) AS INT) < 10, FALSE)
+       |      AS hi, $toksSql AS t
        |  FROM documents),
        |db AS (SELECT doc_id, hi, substr(md5(w),1,2) AS b, count(*) AS cnt
        |       FROM (SELECT doc_id, hi, unnest(t) AS w FROM d)

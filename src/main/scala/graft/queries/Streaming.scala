@@ -337,7 +337,101 @@ object Streaming {
       |  CAST(SUM(price) AS DOUBLE) AS total
       |FROM cur GROUP BY 1""".stripMargin
 
+  /** Stream-stream LEFT OUTER interval join — the "unconverted
+    * impressions" report [[streamAttribution]] cannot produce: every
+    * view emits exactly once, matched rows as clicks arrive, unmatched
+    * rows with a null click side once the click-side watermark proves
+    * no match can still arrive. The semantics under test is the outer
+    * emission path itself: null-side rows come from STATE EVICTION, so
+    * a bounded replay must carry a watermark heartbeat past the
+    * horizon or the final hour's unmatched views are silently withheld
+    * — the staged inputs append one sentinel row per side 10 days past
+    * the fixture max (a production cadence gets this for free from the
+    * next tick's data; the sentinel key -1 is filtered from the sink).
+    * Both inputs are single-file so AvailableNow takes them in one
+    * batch and the no-data finalization batch evicts deterministically.
+    * The DuckDB oracle is the equivalent batch LEFT JOIN, so withheld
+    * or duplicated outer rows hash-fail. */
+  private val ljLock = new Object
+  private val ljInputs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  def streamLeftJoin(spark: SparkSession, dir: String): DataFrame = ljLock.synchronized {
+    val in = ljInputs.computeIfAbsent(dir, _ => {
+      val d = graft.Fixtures.scratchDir("slj_in")
+      val ev = graft.Tables.load(spark, dir, "events")
+      val sentinelTs = new java.sql.Timestamp(
+        ev.agg(max(col("ts"))).collect()(0).getTimestamp(0).getTime +
+          10L * 24 * 3600 * 1000)
+      import spark.implicits._
+      ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("imp_time"), col("event_id").as("imp_id"))
+        .unionByName(Seq((-1L, sentinelTs, -1L)).toDF("user_id", "imp_time", "imp_id"))
+        .coalesce(1).write.parquet(s"$d/imps")
+      ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("click_user"), col("ts").as("click_time"),
+          col("event_id").as("click_id"))
+        .unionByName(Seq((-1L, sentinelTs, -1L)).toDF("click_user", "click_time", "click_id"))
+        .coalesce(1).write.parquet(s"$d/clicks")
+      d
+    })
+    val scratch = graft.Fixtures.reusedScratchDir("slj_rt")
+    val sink = s"$scratch/sink"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    Seq(sink, s"$scratch/ckpt").foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    graft.streaming.StateStores.streamingSession(spark) { s =>
+      def fire(): Unit = {
+        val imps = s.readStream
+          .schema("user_id BIGINT, imp_time TIMESTAMP, imp_id BIGINT")
+          .parquet(s"$in/imps")
+        val clicks = s.readStream
+          .schema("click_user BIGINT, click_time TIMESTAMP, click_id BIGINT")
+          .parquet(s"$in/clicks")
+        // NO sentinel filter inside the streaming query: a
+        // deterministic predicate on the imp side gets PUSHED BELOW the
+        // EventTimeWatermark node, silently dropping the heartbeat row
+        // before the watermark operator sees it (found live: the
+        // watermark stayed at real-max − 1h and withheld the final
+        // hour's outer rows). The sentinel pair instead joins with
+        // itself, lands in the sink, and is filtered on read-back.
+        val q = graft.streaming.StreamJoin
+          .attributeOuter(imps, clicks, impKey = "user_id", clickKey = "click_user")
+          .select(col("imp_id"), col("click_id"),
+            date_format(col("imp_time"), "yyyy-MM-dd HH:mm:ss").as("imp_t"),
+            (col("click_id").isNotNull).as("converted"))
+          .writeStream.format("parquet")
+          .option("path", sink)
+          .option("checkpointLocation", s"$scratch/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      // two fires over ONE checkpoint — the cadence-tick shape: fire 1
+      // ingests everything (watermark advances past the sentinel only
+      // in its LAST batch, after eviction already ran for that batch);
+      // fire 2 restarts from the checkpointed watermark and its
+      // finalization batch evicts the remaining unmatched state. A
+      // single AvailableNow run stops without that trailing batch and
+      // silently withholds the final hour's outer rows — the exact
+      // bounded-replay trap the Scaladoc above documents.
+      fire(); fire()
+    }
+    spark.read.parquet(sink).filter(col("imp_id") >= 0)
+  }
+
+  val streamLeftJoinSql: String =
+    """SELECT i.event_id AS imp_id, c.event_id AS click_id,
+      |  strftime(i.ts, '%Y-%m-%d %H:%M:%S') AS imp_t,
+      |  c.event_id IS NOT NULL AS converted
+      |FROM (SELECT * FROM events WHERE event_type = 'view') i
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON i.user_id = c.user_id
+      | AND c.ts >= i.ts AND c.ts <= i.ts + INTERVAL 1 HOUR""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_left_join" -> (streamLeftJoin _),
     "stream_cdc_apply" -> (streamCdcApply _),
     "stream_news_dedup" -> (newsDedup _),
     "stream_sessionize" -> (streamSessionize _),
@@ -345,6 +439,7 @@ object Streaming {
     "stream_trending" -> (streamTrending _))
 
   val oracles: Map[String, String] = Map(
+    "stream_left_join" -> streamLeftJoinSql,
     "stream_cdc_apply" -> streamCdcApplySql,
     "stream_news_dedup" -> newsDedupSql,
     "stream_sessionize" -> streamSessionizeSql,

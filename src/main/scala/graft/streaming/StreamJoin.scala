@@ -35,4 +35,26 @@ object StreamJoin {
          |click_time >= imp_time AND
          |click_time <= imp_time + interval 1 hour""".stripMargin))
   }
+
+  /** The LEFT OUTER form of [[attribute]] — the "unconverted
+    * impressions" report: every impression emits exactly once, matched
+    * rows as soon as the click arrives, unmatched rows with a null
+    * click side once the click watermark passes `imp_time + 1 hour`
+    * and Spark can PROVE no match is still possible. That proof is the
+    * hard part of outer streaming joins: the null-side row is emitted
+    * by state eviction, so a finite input whose watermark never passes
+    * the final hour silently withholds its tail — callers feeding
+    * bounded replays must append a watermark heartbeat (sentinel) row
+    * past the horizon, which is exactly what a production cadence gets
+    * for free from the next day's data. */
+  def attributeOuter(impressions: DataFrame, clicks: DataFrame,
+      impKey: String = "imp_id", clickKey: String = "click_imp_id"): DataFrame = {
+    val i = impressions.withWatermark("imp_time", "1 hour")
+    val c = clicks.withWatermark("click_time", "2 hours")
+    i.join(c, expr(
+      s"""$impKey = $clickKey AND
+         |click_time >= imp_time AND
+         |click_time <= imp_time + interval 1 hour""".stripMargin),
+      "leftOuter")
+  }
 }

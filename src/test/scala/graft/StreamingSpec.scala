@@ -363,6 +363,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join: outer rows emit on watermark eviction, not before") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Long, Timestamp, Long)]
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val joined = graft.streaming.StreamJoin.attributeOuter(
+      imps.toDF().toDF("user_id", "imp_time", "imp_id"),
+      clicks.toDF().toDF("click_user", "click_time", "click_id"),
+      impKey = "user_id", clickKey = "click_user")
+    val q = joined.writeStream
+      .format("memory").queryName("attrib_outer_mem")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // user 1's click lands in-window; user 2 never clicks.
+      imps.addData((1L, ts("2021-03-01 10:00:00"), 101L),
+        (2L, ts("2021-03-01 10:05:00"), 102L))
+      clicks.addData((1L, ts("2021-03-01 10:30:00"), 201L))
+      q.processAllAvailable()
+      // The matched row emits promptly; the unmatched imp 102 must NOT
+      // have emitted yet — its null side needs watermark PROOF that no
+      // click can still arrive, and the watermark hasn't passed
+      // imp_time + 1h.
+      assert(spark.table("attrib_outer_mem").collect()
+        .map(_.getAs[Long]("imp_id")).toSet === Set(101L),
+        "outer row emitted before the watermark could prove no-match")
+      // Heartbeats on BOTH inputs (global watermark = min over inputs)
+      // a day past the horizon; the no-data finalization batch then
+      // evicts imp 102 as an outer row.
+      imps.addData((-1L, ts("2021-03-02 12:00:00"), -1L))
+      clicks.addData((-9L, ts("2021-03-02 12:00:00"), -2L))
+      q.processAllAvailable()
+      val rows = spark.table("attrib_outer_mem").collect()
+        .filter(_.getAs[Long]("imp_id") > 0L)
+        .map(r => (r.getAs[Long]("imp_id"),
+          if (r.isNullAt(r.fieldIndex("click_id"))) -1L
+          else r.getAs[Long]("click_id")))
+        .sorted
+      assert(rows.toSeq === Seq((101L, 201L), (102L, -1L)),
+        "matched row must emit once; evicted row must carry a null click side")
+    } finally q.stop()
+  }
+
   test("CDC apply: delete/upsert verbs land; checkpoint replay commits nothing new") {
     import org.apache.spark.sql.functions._
     // First full run (deletes scratch, streams the feed, merges).

@@ -115,11 +115,13 @@ object ImageCodec {
     out
   }
 
-  /** Decode binary PPM: parse the three whitespace-separated header
-    * ints (width, height, maxval) then read the raster verbatim. */
-  def decodePpm(bytes: Array[Byte]): Decoded = {
-    require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6', "not a P6 PPM")
-    var i = 2
+  /** Decode one P6 frame starting at `start`; returns the frame plus
+    * the offset of the byte after its raster (where the next frame of a
+    * concatenated-P6 video stream begins). */
+  private def decodePpmAt(bytes: Array[Byte], start: Int): (Decoded, Int) = {
+    require(bytes.length >= start + 2 && bytes(start) == 'P' && bytes(start + 1) == '6',
+      "not a P6 PPM")
+    var i = start + 2
     def nextInt(): Int = {
       while (i < bytes.length && bytes(i).toChar.isWhitespace) i += 1
       var v = 0
@@ -133,7 +135,26 @@ object ImageCodec {
     require(maxval == 255, s"unsupported PPM maxval $maxval")
     i += 1 // single whitespace after maxval, then raster
     require(bytes.length >= i + 3 * w * h, "truncated PPM raster")
-    Decoded("ppm", w, h, java.util.Arrays.copyOfRange(bytes, i, i + 3 * w * h))
+    (Decoded("ppm", w, h, java.util.Arrays.copyOfRange(bytes, i, i + 3 * w * h)),
+      i + 3 * w * h)
+  }
+
+  /** Decode binary PPM: parse the three whitespace-separated header
+    * ints (width, height, maxval) then read the raster verbatim. */
+  def decodePpm(bytes: Array[Byte]): Decoded = decodePpmAt(bytes, 0)._1
+
+  /** Decode a concatenated-P6 video stream (the raw-video convention:
+    * frames back-to-back, each with its own header) into its frames, in
+    * stream order. */
+  def decodePpmStream(bytes: Array[Byte]): Seq[Decoded] = {
+    val frames = Seq.newBuilder[Decoded]
+    var off = 0
+    while (off < bytes.length) {
+      val (frame, next) = decodePpmAt(bytes, off)
+      frames += frame
+      off = next
+    }
+    frames.result()
   }
 
   // ---- WAV (RIFF, PCM, 1 channel, 8-bit unsigned) ----

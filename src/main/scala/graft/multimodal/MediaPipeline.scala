@@ -144,4 +144,98 @@ object MediaPipeline {
     import ds.sparkSession.implicits._
     ds.mapPartitions(_.grouped(BatchSize).flatMap(_.map(resizeMedia)))
   }
+
+  // ---- Video frame sampling ----
+
+  /** A multi-frame video: `payload` is a concatenated-P6 stream
+    * (`n_frames` frames of `width`×`height`), the raw-video convention
+    * real pipelines get from `ffmpeg -c:v ppm`. */
+  case class VideoRecord(media_id: Long, n_frames: Long,
+      payload: Array[Byte], width: Int, height: Int)
+
+  /** Frame-sample output: container size plus the fold over the KEPT
+    * frames only, weighted by GLOBAL raster position (frame·P + j + 1)
+    * so sampling the wrong frames — not just decoding them wrong — is
+    * order-sensitive too. */
+  case class SampledFrames(media_id: Long, n_frames: Long,
+      total_bytes: Long, n_sampled: Long, sampled_check: Long)
+
+  /** Keep every 2nd frame (0, 2, 4, …) — the `ffmpeg -vf fps=` shape. */
+  val FrameStride = 2
+
+  /** Video source rows: the `documents` rows the media table types as
+    * video, with a deterministic 2–6 frame count so the oracle can
+    * predict the stream layout. */
+  def videoTable(spark: SparkSession, dir: String): Dataset[VideoRecord] = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % 3 === 2)
+      .select(
+        col("doc_id").as("media_id"),
+        (lit(2) + col("doc_id") % 5).as("n_frames"),
+        col("text").cast("binary").as("payload"),
+        (lit(8) + col("doc_id") % 24).cast("int").as("width"),
+        (lit(8) + col("doc_id") % 16).cast("int").as("height"))
+      .as[VideoRecord]
+  }
+
+  /** Render the text bytes into a real multi-frame stream: global
+    * raster byte g = text[g mod len] runs CONTINUOUSLY across frames
+    * (frame f covers g ∈ [f·P, (f+1)·P), P = 3wh), each frame encoded
+    * as its own P6 container back-to-back. */
+  def encodeVideo(r: VideoRecord): VideoRecord = {
+    val p = 3 * r.width * r.height
+    val src = r.payload
+    val out = new java.io.ByteArrayOutputStream()
+    var f = 0
+    while (f < r.n_frames) {
+      val px = new Array[Byte](p)
+      var j = 0
+      while (j < p) {
+        val g = f * p + j
+        px(j) = if (src.length > 0) src(g % src.length) else 0
+        j += 1
+      }
+      out.write(ImageCodec.encodePpm(r.width, r.height, px))
+      f += 1
+    }
+    r.copy(payload = out.toByteArray)
+  }
+
+  def encodedVideo(ds: Dataset[VideoRecord]): Dataset[VideoRecord] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.grouped(BatchSize).flatMap(_.map(encodeVideo)))
+  }
+
+  /** REAL frame sampling: walk the concatenated-P6 stream
+    * ([[ImageCodec.decodePpmStream]]), keep frames f ≡ 0 (mod
+    * [[FrameStride]]), fold Σ (f·P + j + 1)·byte over the kept rasters.
+    * A stream walker that mis-advances past a frame boundary, or a
+    * sampler that keeps the wrong frames, shifts the global weights and
+    * hash-fails. */
+  def sampleFrames(r: VideoRecord): SampledFrames = {
+    val frames = ImageCodec.decodePpmStream(r.payload)
+    require(frames.length == r.n_frames,
+      s"stream decoded ${frames.length} frames, expected ${r.n_frames}")
+    var check = 0L
+    var kept = 0L
+    frames.zipWithIndex.foreach { case (d, f) =>
+      if (f % FrameStride == 0) {
+        kept += 1
+        val base = f.toLong * d.data.length
+        var j = 0
+        while (j < d.data.length) {
+          check += (base + j + 1) * (d.data(j) & 0xff)
+          j += 1
+        }
+      }
+    }
+    SampledFrames(r.media_id, r.n_frames, r.payload.length.toLong, kept, check)
+  }
+
+  /** Batched frame sampling — same mapInPandas shape, no shuffle. */
+  def frameSample(ds: Dataset[VideoRecord]): Dataset[SampledFrames] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.grouped(BatchSize).flatMap(_.map(sampleFrames)))
+  }
 }

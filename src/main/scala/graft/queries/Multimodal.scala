@@ -130,11 +130,55 @@ object Multimodal {
       |  CAST(SUM(raster_check) AS BIGINT) AS sum_raster_check
       |FROM f GROUP BY media_type""".stripMargin
 
+  /** Video frame sampling verified through the container boundary: the
+    * Spark side encodes a REAL concatenated-P6 multi-frame stream, walks
+    * it back frame-by-frame, keeps every 2nd frame, and folds the kept
+    * rasters with GLOBAL-position weights. The oracle predicts the same
+    * fold from (doc_id, text) and the stream-layout arithmetic — a
+    * mis-advanced frame boundary, an off-by-one frame count, or keeping
+    * the wrong frames all hash-fail. */
+  def frameSampleAgg(spark: SparkSession, dir: String): DataFrame =
+    MediaPipeline.frameSample(
+      MediaPipeline.encodedVideo(MediaPipeline.videoTable(spark, dir)))
+      .groupBy(col("n_frames"))
+      .agg(
+        count(lit(1)).as("n_videos"),
+        sum(col("total_bytes")).as("sum_bytes"),
+        sum(col("n_sampled")).as("sum_sampled"),
+        sum(col("sampled_check")).as("sum_sampled_check"))
+
+  /** Stream layout: frame container = header (9 + digits(w) +
+    * digits(h)) + 3wh raster; total = n_frames of those. Kept frames =
+    * ⌈F/2⌉. Global raster byte g = text[g mod len], weight g+1, summed
+    * over g in the even frames' spans. */
+  val frameSampleSql: String =
+    """WITH v AS (SELECT doc_id, text, len(text) AS tl,
+      |    8 + doc_id % 24 AS w, 8 + doc_id % 16 AS h,
+      |    2 + doc_id % 5 AS nf
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |d AS (SELECT nf, tl, text, 3*w*h AS p,
+      |    nf * (9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + 3*w*h) AS total_bytes,
+      |    (nf + 1) // 2 AS n_sampled
+      |  FROM v),
+      |f AS (SELECT nf, total_bytes, n_sampled,
+      |    CAST(coalesce(list_sum(list_transform(range(0, nf*p), g ->
+      |      CASE WHEN (g // p) % 2 = 0 THEN
+      |        (g + 1) * (CASE WHEN tl > 0 THEN ascii(substr(text, CAST(g % tl AS INT) + 1, 1)) ELSE 0 END)
+      |      ELSE 0 END)), 0) AS BIGINT) AS sampled_check
+      |  FROM d)
+      |SELECT nf AS n_frames, COUNT(*) AS n_videos,
+      |  CAST(SUM(total_bytes) AS BIGINT) AS sum_bytes,
+      |  CAST(SUM(n_sampled) AS BIGINT) AS sum_sampled,
+      |  CAST(SUM(sampled_check) AS BIGINT) AS sum_sampled_check
+      |FROM f GROUP BY nf""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_media_features" -> (mediaFeatures _),
-    "mm_media_resize" -> (mediaResize _))
+    "mm_media_resize" -> (mediaResize _),
+    "mm_frame_sample" -> (frameSampleAgg _))
 
   val oracles: Map[String, String] = Map(
     "mm_media_features" -> mediaFeaturesSql,
-    "mm_media_resize" -> mediaResizeSql)
+    "mm_media_resize" -> mediaResizeSql,
+    "mm_frame_sample" -> frameSampleSql)
 }

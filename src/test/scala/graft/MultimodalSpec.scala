@@ -105,6 +105,41 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("frame sampling keeps exactly the even frames and detects frame swaps") {
+    import MediaPipeline.VideoRecord
+    val text = "framesample".getBytes("UTF-8")
+    val w = 4; val h = 3; val p = 3 * w * h
+    val v = MediaPipeline.encodeVideo(VideoRecord(0L, 5L, text, w, h))
+    // the stream is 5 real back-to-back P6 frames with a CONTINUOUS
+    // global raster: frame f byte j = text[(f*p + j) mod len]
+    val frames = ImageCodec.decodePpmStream(v.payload)
+    assert(frames.length === 5)
+    frames.zipWithIndex.foreach { case (d, f) =>
+      assert(d.width === w && d.height === h)
+      (0 until p).foreach(j => assert(d.data(j) === text((f * p + j) % text.length)))
+    }
+    // sampler keeps f = 0, 2, 4 with global-position weights
+    val s = MediaPipeline.sampleFrames(v)
+    assert(s.n_sampled === 3L && s.total_bytes === v.payload.length.toLong)
+    val expected = (0 until 5).filter(_ % 2 == 0).map { f =>
+      (0 until p).map(j =>
+        (f.toLong * p + j + 1) * (text((f * p + j) % text.length) & 0xff)).sum
+    }.sum
+    assert(s.sampled_check === expected)
+    // the trap the global weighting exists for: swapping two KEPT
+    // frames (0 and 4) preserves the byte multiset but not the fold —
+    // a sampler that reads the right bytes from the wrong frames fails
+    val hdr = s"P6\n$w $h\n255\n".getBytes("US-ASCII").length
+    val flen = hdr + p
+    val swapped = v.payload.clone()
+    (0 until flen).foreach { k =>
+      swapped(k) = v.payload(4 * flen + k)
+      swapped(4 * flen + k) = v.payload(k)
+    }
+    val s2 = MediaPipeline.sampleFrames(VideoRecord(0L, 5L, swapped, w, h))
+    assert(s2.sampled_check !== s.sampled_check)
+  }
+
   test("resize survives the binary boundary: thumbnail re-decodes to 8x8/64") {
     val resized = MediaPipeline.resize(
       MediaPipeline.encoded(MediaPipeline.mediaTable(spark, sf0001)))

@@ -188,11 +188,88 @@ object TextClean {
        |FROM scrubbed JOIN k USING (doc_id) GROUP BY lang""".stripMargin
   }
 
+  // --------------------------------------------- boilerplate line scrub
+
+  /** A paragraph is boilerplate when it appears in at least this many
+    * DISTINCT documents of the same source — the RefinedWeb/CCNet
+    * "repeated across the domain" rule (nav bars, cookie banners,
+    * footers). Fixture-validated non-vacuous at all three SFs. */
+  val BoilerplateDocs = 2
+
+  /** Boilerplate-line removal — the cleaning-family counterpart of
+    * [[LlmDedup.paragraphDedup]]: where para-dedup ELECTS one survivor
+    * per duplicate paragraph corpus-wide, line-scrub REWRITES every
+    * document, deleting paragraphs repeated across ≥[[BoilerplateDocs]]
+    * distinct docs of the same source while preserving the order of
+    * what survives (checked through `cleaned_md5`, an order-sensitive
+    * digest of the rebuilt text).
+    *
+    * Scale design: detection aggregates (source, para-hash, doc)
+    * DISTINCT rows — paragraphs collapse map-side before the shuffle,
+    * and the doc-count agg reuses the same partitioning. The rewrite is
+    * MAP-ONLY: per-source boilerplate hash sets are broadcast and each
+    * doc filters its own paragraph array in place — the corpus text
+    * never shuffles. (If a corpus's boilerplate sets outgrow broadcast,
+    * the fallback is the keyed-join shape the detection side already
+    * uses: explode + left join on (source, hash) + rebuild.) */
+  def lineScrub(spark: SparkSession, dir: String): DataFrame =
+    lineScrubAudit(Tables.load(spark, dir, "documents"))
+
+  def lineScrubAudit(docs: DataFrame): DataFrame = {
+    val P = LlmDedup.ParaTokens
+    val withParas = docs
+      .select(col("doc_id"), col("source"),
+        split(LlmDedup.normText(col("text")), " ").as("t"))
+      .withColumn("paras", transform(
+        expr(s"sequence(0, (size(t) + ${P - 1}) div $P - 1)"),
+        i => concat_ws(" ", slice(col("t"), i * P + 1, lit(P)))))
+    val boilerSets = withParas
+      .select(col("source"), col("doc_id"), explode(col("paras")).as("para"))
+      .select(col("source"), md5(col("para")).as("h"), col("doc_id"))
+      .distinct()
+      .groupBy(col("source"), col("h"))
+      .agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= BoilerplateDocs)
+      .groupBy(col("source"))
+      .agg(collect_set(col("h")).as("bad"))
+    withParas.join(broadcast(boilerSets), Seq("source"), "left")
+      .withColumn("bad", coalesce(col("bad"), typedLit(Seq.empty[String])))
+      .withColumn("kept",
+        filter(col("paras"), p => !array_contains(col("bad"), md5(p))))
+      .withColumn("cleaned", concat_ws(" ", col("kept")))
+      .select(
+        col("doc_id"),
+        size(col("paras")).cast("long").as("n_paras"),
+        (size(col("paras")) - size(col("kept"))).cast("long").as("n_removed"),
+        length(col("cleaned")).cast("long").as("cleaned_chars"),
+        md5(col("cleaned")).as("cleaned_md5"))
+  }
+
+  val lineScrubSql: String = {
+    val P = LlmDedup.ParaTokens
+    s"""WITH toks AS (SELECT doc_id, source,
+       |    string_split(${LlmDedup.normTextSql()}, ' ') AS t FROM documents),
+       |p AS (SELECT doc_id, source, CAST(i AS INT) AS idx,
+       |        array_to_string(t[(CAST(i AS INT)*$P + 1):(CAST(i AS INT)*$P + $P)], ' ') AS para
+       |      FROM toks, unnest(range(0, (len(t) + ${P - 1}) // $P)) AS r(i)),
+       |c AS (SELECT source, md5(para) AS hh FROM p
+       |      GROUP BY 1, 2 HAVING COUNT(DISTINCT doc_id) >= $BoilerplateDocs),
+       |k AS (SELECT p.doc_id, p.idx, p.para, (c.hh IS NOT NULL) AS bp
+       |      FROM p LEFT JOIN c ON p.source = c.source AND md5(p.para) = c.hh)
+       |SELECT doc_id, COUNT(*) AS n_paras,
+       |  CAST(SUM(CASE WHEN bp THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       |  CAST(len(coalesce(array_to_string(list(para ORDER BY idx) FILTER (WHERE NOT bp), ' '), '')) AS BIGINT) AS cleaned_chars,
+       |  md5(coalesce(array_to_string(list(para ORDER BY idx) FILTER (WHERE NOT bp), ' '), '')) AS cleaned_md5
+       |FROM k GROUP BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_html_strip" -> (htmlStrip _),
-    "llm_clean_pipeline" -> (cleanPipeline _))
+    "llm_clean_pipeline" -> (cleanPipeline _),
+    "llm_line_scrub" -> (lineScrub _))
 
   val oracles: Map[String, String] = Map(
     "llm_html_strip" -> htmlStripSql,
-    "llm_clean_pipeline" -> cleanPipelineSql)
+    "llm_clean_pipeline" -> cleanPipelineSql,
+    "llm_line_scrub" -> lineScrubSql)
 }

@@ -63,4 +63,26 @@ class TextCleanSpec extends SparkSpec {
       assert(out(c).getAs[Long]("sum_len_after") < out(c).getAs[Long]("sum_len_html"), c)
     }
   }
+
+  test("line scrub: same-source repeats removed everywhere, cross-source kept, order intact") {
+    // 10-token paragraphs (ParaTokens). B repeats in two docs of srcA →
+    // boilerplate, removed from BOTH. X repeats across srcA and srcB →
+    // NOT boilerplate (the rule is per-source). U/V/W are unique.
+    val b = (1 to 10).map(i => s"b$i").mkString(" ")
+    val x = (1 to 10).map(i => s"x$i").mkString(" ")
+    def uniq(p: String) = (1 to 10).map(i => s"$p$i").mkString(" ")
+    val docs = Seq(
+      (1L, "srcA", s"${uniq("u")} $b $x"),
+      (2L, "srcA", s"$b ${uniq("v")}"),
+      (3L, "srcB", s"$x ${uniq("w")}")).toDF("doc_id", "source", "text")
+    val out = graft.queries.TextClean.lineScrubAudit(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_paras"), r.getAs[Long]("n_removed"),
+          r.getAs[Long]("cleaned_chars"))).toMap
+    assert(out(1L) === ((3L, 1L, (uniq("u") + " " + x).length.toLong)),
+      "doc 1 must lose exactly the same-source boilerplate para, keeping order")
+    assert(out(2L) === ((2L, 1L, uniq("v").length.toLong)))
+    assert(out(3L) === ((2L, 0L, (x + " " + uniq("w")).length.toLong)),
+      "a paragraph shared only ACROSS sources is not boilerplate")
+  }
 }

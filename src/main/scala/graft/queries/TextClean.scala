@@ -217,14 +217,21 @@ object TextClean {
 
   def lineScrubAudit(docs: DataFrame): DataFrame = {
     val P = LlmDedup.ParaTokens
+    val parasExpr = expr(
+      s"transform(sequence(0, (size(t) + ${P - 1}) div $P - 1), " +
+        s"i -> concat_ws(' ', slice(t, i*$P + 1, $P)))")
     val withParas = docs
       .select(col("doc_id"), col("source"),
         split(LlmDedup.normText(col("text")), " ").as("t"))
-      .withColumn("paras", transform(
-        expr(s"sequence(0, (size(t) + ${P - 1}) div $P - 1)"),
-        i => concat_ws(" ", slice(col("t"), i * P + 1, lit(P)))))
+      .withColumn("paras", parasExpr)
     val boilerSets = withParas
-      .select(col("source"), col("doc_id"), explode(col("paras")).as("para"))
+      // explode the EXPRESSION, not the aliased column:
+      // InferFiltersFromGenerate skips complex generator children but
+      // fires on attributes, and pushdown would inline the whole
+      // paragraph build into a non-codegen pre-Generate Filter (the
+      // r13 explode-alias trap — PlanInvariantSpec caught this query's
+      // first cut doing exactly that)
+      .select(col("source"), col("doc_id"), explode(parasExpr).as("para"))
       .select(col("source"), md5(col("para")).as("h"), col("doc_id"))
       .distinct()
       .groupBy(col("source"), col("h"))

@@ -67,7 +67,11 @@ class PlanInvariantSpec extends SparkSpec {
       "llm_embed_outliers" -> 5,
       // the DSIR plan shape: one corpus-sized (doc,bucket) collapse, the
       // rest are the 256-key model agg + scalar agg + final per-doc fold
-      "llm_nb_quality" -> 5)
+      "llm_nb_quality" -> 5,
+      // detection side only: (source,h,doc) distinct + doc-count agg +
+      // per-source set fold; the corpus-text rewrite is map-only behind
+      // the broadcast, so the text column itself never shuffles
+      "llm_line_scrub" -> 3)
     def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
       var n = 0
       def walk(q: org.apache.spark.sql.execution.SparkPlan): Unit = {

@@ -806,8 +806,9 @@ object Serve {
       // the id exists, so the hot path is exactly one Spark job (the
       // previous unconditional probe doubled per-request table loads).
       // mode selects the search path: exact brute force (default), or
-      // one of the three index shapes — LSH sign buckets, IVF probed
-      // cells, PQ ADC + exact rerank. Same parameterized operators the
+      // one of the four index shapes — LSH sign buckets, IVF probed
+      // cells, PQ ADC + exact rerank, IVF-PQ residual-coded ADC over
+      // probed cells only. Same parameterized operators the
       // catalog oracle-checks; at 100 TB the approximate modes are the
       // ones a latency budget can afford, and serving them from the
       // same endpoint lets a client trade recall for cost per request.
@@ -820,8 +821,9 @@ object Serve {
             case "lsh" => vs.lshBucketTopk(spark, dir, Seq(id), k)
             case "ivf" => vs.ivfTopk(spark, dir, Seq(id), k)
             case "pq" => vs.pqTopk(spark, dir, Seq(id), k)
+            case "ivfpq" => vs.ivfPqTopk(spark, dir, Seq(id), k)
             case other => throw new IllegalArgumentException(
-              s"unknown mode ${other.take(20)} (use exact, lsh, ivf, pq)")
+              s"unknown mode ${other.take(20)} (use exact, lsh, ivf, pq, ivfpq)")
           }
           val rows = collectRows(nbrs, k)
           if (rows.nonEmpty) (200, renderRows(nbrs.columns, rows))

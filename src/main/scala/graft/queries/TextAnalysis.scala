@@ -993,6 +993,83 @@ object TextAnalysis {
        |  CAST(length(regexp_replace(no_email, '$IdPat', '<ID>', 'g')) AS BIGINT) AS n_chars
        |FROM e""".stripMargin
 
+  // ------------------------------------------------------- gopher rules
+
+  /** Gopher-style rule-bundle quality filter (Rae et al. 2021,
+    * arXiv:2112.11446 appendix A1.1 — the standard pre-training document
+    * filter, also the C4 heuristic family): every document is tested
+    * against a bundle of INDEPENDENT structural rules, and the output
+    * reports per source how many documents fail EACH rule plus how many
+    * pass all of them — the per-rule attribution an operator tuning
+    * thresholds on a 100 TB crawl needs (a single pass/fail bit cannot
+    * show which rule is eating the corpus). Complements [[quality]]
+    * (continuous TTR/stop-ratio scores) with the paper's hard gates.
+    *
+    * Rules (thresholds fixture-scaled so each one discriminates on the
+    * synthetic corpus; the paper's production values in parentheses):
+    *  - word count within [25, 90]          (paper: [50, 100k])
+    *  - mean word length within [3, 5]      (paper: [3, 10])
+    *  - at least 2 stop words               (paper: >=2 of 8)
+    *  - unique-word fraction (TTR) >= 0.5   (paper: duplicate-content caps)
+    *  - symbol-to-word ratio <= 0.1 for #/… (paper: 0.1; trivially green
+    *    on the all-alpha fixture — kept for rule-surface parity)
+    *
+    * 100 TB shape: every rule is a narrow per-row expression over the
+    * token array (materialized once per doc), so the operator is ONE
+    * map-only pass followed by a |sources|-key aggregate that collapses
+    * map-side — the text column never shuffles. */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .withColumn("t", toks(col("text")))
+    val t = col("t")
+    val en = array(lexicons.toMap.apply("en").map(lit): _*)
+    val wc = size(t)
+    // sum of word lengths via aggregate (one HOF eval per row)
+    val sumLen = aggregate(t, lit(0), (acc, w) => acc + length(w))
+    val meanLen = sumLen.cast("double") / wc
+    val stops = size(filter(t, w => array_contains(en, w)))
+    val ttr = size(array_distinct(t)).cast("double") / wc
+    val symbols = size(filter(t, w => w.contains("#") || w.contains("...")))
+    val flagged = docs.select(
+      col("source"),
+      (!(wc >= 25 && wc <= 90)).as("f_wordcount"),
+      (!(meanLen >= 3.0 && meanLen <= 5.0)).as("f_meanlen"),
+      (stops < 2).as("f_stopwords"),
+      (ttr < 0.5).as("f_ttr"),
+      (symbols.cast("double") / wc > 0.1).as("f_symbols"))
+    flagged.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("f_wordcount").cast("long")).as("fail_wordcount"),
+      sum(col("f_meanlen").cast("long")).as("fail_meanlen"),
+      sum(col("f_stopwords").cast("long")).as("fail_stopwords"),
+      sum(col("f_ttr").cast("long")).as("fail_ttr"),
+      sum(col("f_symbols").cast("long")).as("fail_symbols"),
+      sum((!col("f_wordcount") && !col("f_meanlen") && !col("f_stopwords") &&
+        !col("f_ttr") && !col("f_symbols")).cast("long")).as("pass_all"))
+  }
+
+  val gopherRulesSql: String =
+    s"""WITH d AS (SELECT source, $toksSql AS t FROM documents),
+       |f AS (SELECT source,
+       |    NOT (len(t) BETWEEN 25 AND 90) AS f_wordcount,
+       |    NOT (CAST(list_sum(list_transform(t, w -> len(w))) AS DOUBLE) / len(t)
+       |         BETWEEN 3.0 AND 5.0) AS f_meanlen,
+       |    len(list_filter(t, w -> list_contains(['the','a','of','to','and'], w))) < 2
+       |      AS f_stopwords,
+       |    CAST(len(list_distinct(t)) AS DOUBLE) / len(t) < 0.5 AS f_ttr,
+       |    CAST(len(list_filter(t, w -> contains(w, '#') OR contains(w, '...')))
+       |         AS DOUBLE) / len(t) > 0.1 AS f_symbols
+       |  FROM d)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CAST(f_wordcount AS BIGINT)) AS BIGINT) AS fail_wordcount,
+       |  CAST(SUM(CAST(f_meanlen AS BIGINT)) AS BIGINT) AS fail_meanlen,
+       |  CAST(SUM(CAST(f_stopwords AS BIGINT)) AS BIGINT) AS fail_stopwords,
+       |  CAST(SUM(CAST(f_ttr AS BIGINT)) AS BIGINT) AS fail_ttr,
+       |  CAST(SUM(CAST(f_symbols AS BIGINT)) AS BIGINT) AS fail_symbols,
+       |  CAST(SUM(CAST(NOT f_wordcount AND NOT f_meanlen AND NOT f_stopwords
+       |       AND NOT f_ttr AND NOT f_symbols AS BIGINT)) AS BIGINT) AS pass_all
+       |FROM f GROUP BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_search_topk" -> (searchTopk _),
     "txt_search_bm25" -> (searchBm25 _),
@@ -1004,6 +1081,7 @@ object TextAnalysis {
     "txt_heavy_hitters" -> (heavyHitters _),
     "txt_lang_id" -> (langId _),
     "txt_quality" -> (quality _),
+    "txt_gopher_rules" -> (gopherRules _),
     "txt_token_stats" -> (tokenStats _),
     "txt_bpe_stats" -> (bpeTokenStats _),
     "txt_bpe_fertility" -> (bpeFertility _),
@@ -1022,6 +1100,7 @@ object TextAnalysis {
     "txt_heavy_hitters" -> heavyHittersSql,
     "txt_lang_id" -> langIdSql,
     "txt_quality" -> qualitySql,
+    "txt_gopher_rules" -> gopherRulesSql,
     "txt_token_stats" -> tokenStatsSql,
     "txt_bpe_stats" -> bpeStatsSql,
     "txt_bpe_fertility" -> bpeFertilitySql,

@@ -484,6 +484,151 @@ object VectorSearch {
        |FROM r WHERE rank <= 10""".stripMargin
   }
 
+  /** IVF-PQ (FAISS IVFADC, Jégou et al. 2011 "Product Quantization for
+    * Nearest Neighbor Search" §IV): the composition of the two scale
+    * paths that production billion-vector indexes actually ship —
+    * [[ivfTopk]]'s coarse Voronoi partition restricts the search to
+    * nprobe cells, and inside those cells candidates are scored by
+    * product-quantized RESIDUALS (v − centroid), not raw vectors. The
+    * residual trick is the paper's key insight: residuals concentrate
+    * around 0, so the same 64-code budget quantizes them far more finely
+    * than raw vectors, and the ADC table must be rebuilt per probed cell
+    * (the query residual differs per cell) — exactly what this plan does.
+    *
+    * Determinism/verifiability: coarse centroids = vectors 0..15,
+    * residual codebooks = residual sub-vectors of vectors 0..63 (the
+    * family's frozen-prefix convention), every distance rounded to 6dp
+    * with id tiebreaks, ADC sums in exact micro-unit longs (fold-order-
+    * free), so the full model is SQL-expressible and hash-checked.
+    * Like [[pqTopk]], ADC is a candidate generator: top-100 per query is
+    * re-scored exactly and only then cut to top-10.
+    *
+    * 100 TB shape: centroids (~8 KB) and codebooks (~32 KB) broadcast;
+    * assignment + residual + encoding are broadcast joins whose aggs
+    * collapse map-side ((vec,m) argmin is a partial-agg min-struct); the
+    * ADC scan touches ONLY probed cells via the keyed (cid,m,code) join
+    * — the float embeddings never shuffle after encoding, candidates
+    * move as integer code sums; rerank touches |queries|×100 rows. */
+  def ivfPqTopk(spark: SparkSession, dir: String,
+      ids: Seq[Long] = 300L until 305L, k: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val cents = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    def d2(a: Column, b: Column): Column =
+      round(dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b), 6)
+    // coarse assignment (L2 argmin, tie -> lower cid) + residual; the
+    // centroid vector rides along so the residual is one zip_with
+    val assign = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("cid"), col("cv"),
+        d2(col("v"), col("cv")).as("cd"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("v")).as("v"),
+        min(struct(col("cd"), col("cid"), col("cv"))).as("best"))
+      .select(col("vec_id"), col("best.cid").as("cid"),
+        zip_with(col("v"), col("best.cv"), (a, b) => a - b).as("r"))
+    val rsub = assign
+      .select(col("vec_id"), col("cid"), explode(expr("sequence(0, 7)")).as("m"),
+        col("r"))
+      .select(col("vec_id"), col("cid"), col("m"), expr("slice(r, m*8+1, 8)").as("sv"))
+    // residual codebooks from the frozen prefix (vec_id < 64)
+    val cb = rsub.filter(col("vec_id") < 64)
+      .select(col("m"), col("vec_id").as("code"), col("sv").as("cbv"))
+    val enc = rsub.join(broadcast(cb), Seq("m"))
+      .select(col("vec_id"), col("cid"), col("m"), col("code"),
+        d2(col("sv"), col("cbv")).as("dist"))
+      .groupBy(col("vec_id"), col("cid"), col("m"))
+      .agg(min(struct(col("dist"), col("code"))).as("best"))
+      .select(col("vec_id"), col("cid"), col("m"), col("best.code").as("code"))
+    // query probes: nprobe=2 nearest cells, then a PER-CELL ADC table
+    // from the query residual w.r.t. that cell's centroid
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("cd").asc, col("cid").asc)
+    val probes = emb.filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .crossJoin(broadcast(cents))
+      .select(col("q_id"), col("qv"), col("cid"), col("cv"),
+        d2(col("qv"), col("cv")).as("cd"))
+      .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= 2)
+      .select(col("q_id"), col("cid"),
+        zip_with(col("qv"), col("cv"), (a, b) => a - b).as("qr"))
+    val qd = probes
+      .select(col("q_id"), col("cid"), explode(expr("sequence(0, 7)")).as("m"),
+        col("qr"))
+      .select(col("q_id"), col("cid"), col("m"), expr("slice(qr, m*8+1, 8)").as("qsv"))
+      .join(broadcast(cb), Seq("m"))
+      .select(col("q_id"), col("cid"), col("m"), col("code"),
+        round(d2(col("qsv"), col("cbv")) * 1e6).cast("long").as("qd2i"))
+    val wCand = Window.partitionBy(col("q_id"))
+      .orderBy(col("adi").asc, col("vec_id").asc)
+    val cands = enc.join(broadcast(qd), Seq("cid", "m", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("qd2i")).as("adi"))
+      .withColumn("crank", row_number().over(wCand))
+      .filter(col("crank") <= math.max(100, k))
+      .select(col("q_id"), col("vec_id"))
+    val qv = emb.filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val wFinal = Window.partitionBy(col("q_id"))
+      .orderBy(col("d2").asc, col("vec_id").asc)
+    cands.join(emb, "vec_id").join(broadcast(qv), "q_id")
+      .select(col("q_id"), col("vec_id"), d2(col("qv"), col("v")).as("d2"))
+      .withColumn("rank", row_number().over(wFinal).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        col("d2"), col("rank"))
+  }
+
+  val ivfPqTopkSql: String = {
+    def d2(a: String, b: String): String =
+      s"round(${sqlDot(a, a)} - 2.0*${sqlDot(a, b)} + ${sqlDot(b, b)}, 6)"
+    val rdiff = "list_transform(range(1, len(v)+1), i -> v[i] - cv[i])"
+    val qdiff = "list_transform(range(1, len(qv)+1), i -> qv[i] - cv[i])"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+       |asg AS (SELECT vec_id, cid, $rdiff AS r FROM (
+       |    SELECT e.vec_id, e.v, c.cid, c.cv,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${d2("e.v", "c.cv")} ASC, c.cid ASC) AS rn
+       |    FROM e CROSS JOIN c) WHERE rn = 1),
+       |sub AS (SELECT vec_id, cid, m, r[m*8+1 : m*8+8] AS sv
+       |        FROM asg CROSS JOIN range(0, 8) t(m)),
+       |cb AS (SELECT m, vec_id AS code, sv AS cbv FROM sub WHERE vec_id < 64),
+       |enc AS (SELECT vec_id, cid, m, code FROM (
+       |    SELECT s.vec_id, s.cid, s.m, cb.code,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY ${d2("s.sv", "cb.cbv")} ASC, cb.code ASC) AS rn
+       |    FROM sub s JOIN cb ON s.m = cb.m) WHERE rn = 1),
+       |pr AS (SELECT q_id, cid, $qdiff AS qr FROM (
+       |    SELECT e.vec_id AS q_id, e.v AS qv, c.cid, c.cv,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${d2("e.v", "c.cv")} ASC, c.cid ASC) AS rn
+       |    FROM e CROSS JOIN c WHERE e.vec_id >= 300 AND e.vec_id <= 304)
+       |  WHERE rn <= 2),
+       |qsub AS (SELECT q_id, cid, m, qr[m*8+1 : m*8+8] AS qsv
+       |         FROM pr CROSS JOIN range(0, 8) t(m)),
+       |qd AS (SELECT q.q_id, q.cid, q.m, cb.code,
+       |    CAST(round(${d2("q.qsv", "cb.cbv")} * 1e6) AS BIGINT) AS qd2i
+       |  FROM qsub q JOIN cb ON q.m = cb.m),
+       |ad AS (SELECT qd.q_id, enc.vec_id, SUM(qd.qd2i) AS adi
+       |  FROM enc JOIN qd ON enc.cid = qd.cid AND enc.m = qd.m
+       |    AND enc.code = qd.code
+       |  WHERE enc.vec_id <> qd.q_id GROUP BY 1, 2),
+       |cand AS (SELECT q_id, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY adi ASC, vec_id ASC) AS crank FROM ad) WHERE crank <= 100),
+       |qv AS (SELECT vec_id AS q_id, v AS qv FROM e
+       |  WHERE vec_id >= 300 AND vec_id <= 304),
+       |ex AS (SELECT cand.q_id, cand.vec_id, ${d2("qv.qv", "e.v")} AS d2
+       |  FROM cand JOIN e ON cand.vec_id = e.vec_id JOIN qv ON cand.q_id = qv.q_id),
+       |r AS (SELECT q_id, vec_id, d2, row_number() OVER (PARTITION BY q_id
+       |        ORDER BY d2 ASC, vec_id ASC) AS rank FROM ex)
+       |SELECT q_id, vec_id AS neighbor_id, d2, CAST(rank AS BIGINT) AS rank
+       |FROM r WHERE rank <= 10""".stripMargin
+  }
+
   /** Nearest-centroid classification — the cheap "label a 100 TB corpus
     * by domain prototype" curation op (the classify half of the CCNet-
     * style bucketing family; train = 80% split by vec_id mod 5, eval =
@@ -697,6 +842,74 @@ object VectorSearch {
        |SELECT vec_id, CAST(label AS BIGINT) AS label, sim, z,
        |  z < -2.0 AS is_outlier FROM z""".stripMargin
 
+  // ----------------------------------------------------- int8 quantize
+
+  /** Int8 symmetric per-vector quantization with a reconstruction-error
+    * report — the standard 4× memory/IO lever for embedding storage and
+    * ANN serving (FAISS `SQ8` / the int8 path every vector DB ships).
+    * Per vector: scale = max|v|/127, q_i = clamp(round(v_i/scale)); the
+    * report aggregates per label how well the quantized form preserves
+    * geometry (cosine(v, dequant(q)), MSE, max abs error) — the numbers
+    * an operator checks before switching a 100 TB corpus to int8.
+    *
+    * Determinism: rounding is `floor(x/scale + 0.5)` IN BOTH ENGINES
+    * (identical on every input, no half-even vs half-up divergence);
+    * per-vector metrics are rounded to 6dp (the family float fence) and
+    * re-aggregated through DECIMAL so group sums are order-free.
+    *
+    * 100 TB shape: quantize + metrics are ONE map-only pass (the
+    * embedding column never shuffles); the per-label fold collapses
+    * map-side into |labels| rows. */
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    val scale = array_max(transform(col("v"), x => abs(x))) / lit(127.0)
+    val withQ = emb
+      .withColumn("scale", scale)
+      .withColumn("deq", when(col("scale") === 0.0,
+          transform(col("v"), _ => lit(0.0)))
+        .otherwise(transform(col("v"), x =>
+          greatest(lit(-127.0), least(lit(127.0),
+            floor(x / col("scale") + lit(0.5)))) * col("scale"))))
+    val err = zip_with(col("v"), col("deq"), (a, b) => a - b)
+    val perVec = withQ.select(
+      col("label"),
+      cosine(col("v"), col("deq")).as("cos_q"),
+      round(aggregate(err, lit(0.0), (acc, e) => acc + e * e) / lit(64.0), 6)
+        .as("mse"),
+      round(array_max(transform(err, e => abs(e))), 6).as("max_err"))
+    val dec = "decimal(28,12)"
+    perVec.groupBy(col("label")).agg(
+      count(lit(1)).as("n_vecs"),
+      (sum(col("cos_q").cast(dec)).cast("double") / count(lit(1))).as("avg_cos"),
+      (sum(col("mse").cast(dec)).cast("double") / count(lit(1))).as("avg_mse"),
+      (sum(col("max_err").cast(dec)).cast("double") / count(lit(1))).as("avg_max_err"))
+      .select(col("label").cast("long").as("label"), col("n_vecs"),
+        col("avg_cos"), col("avg_mse"), col("avg_max_err"))
+  }
+
+  val embedQuantizeSql: String = {
+    val deq = "CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0) ELSE " +
+      "list_transform(v, x -> greatest(-127.0, least(127.0, floor(x/scale + 0.5))) * scale) END"
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |sc AS (SELECT vec_id, label, v,
+       |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+       |dq AS (SELECT vec_id, label, v, $deq AS deq FROM sc),
+       |pv AS (SELECT label,
+       |    ${sqlCos("v", "deq")} AS cos_q,
+       |    round(list_sum(list_transform(range(1, len(v)+1),
+       |      i -> (v[i]-deq[i])*(v[i]-deq[i]))) / 64.0, 6) AS mse,
+       |    round(list_max(list_transform(range(1, len(v)+1),
+       |      i -> abs(v[i]-deq[i]))), 6) AS max_err
+       |  FROM dq)
+       |SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n_vecs,
+       |  CAST(SUM(CAST(cos_q AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS avg_cos,
+       |  CAST(SUM(CAST(mse AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS avg_mse,
+       |  CAST(SUM(CAST(max_err AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS avg_max_err
+       |FROM pv GROUP BY label""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_embed_outliers" -> (embedOutliers _),
     "llm_hard_negatives" -> ((s: SparkSession, d: String) => hardNegatives(s, d)),
@@ -705,6 +918,8 @@ object VectorSearch {
     "llm_embed_topk" -> (bruteTopk _),
     "llm_embed_ann_lsh" -> ((s: SparkSession, d: String) => lshBucketTopk(s, d)),
     "llm_embed_ann_ivf" -> ((s: SparkSession, d: String) => ivfTopk(s, d)),
+    "llm_embed_ann_ivfpq" -> ((s: SparkSession, d: String) => ivfPqTopk(s, d)),
+    "llm_embed_quantize" -> (embedQuantize _),
     "llm_embed_neardup" -> (embedNearDup _),
     "llm_semdedup" -> (semDedup _),
     "llm_semdedup_kmeans" -> ((s: SparkSession, d: String) => semDedupKmeans(s, d)))
@@ -717,6 +932,8 @@ object VectorSearch {
     "llm_embed_topk" -> bruteTopkSql,
     "llm_embed_ann_lsh" -> lshBucketTopkSql,
     "llm_embed_ann_ivf" -> ivfTopkSql,
+    "llm_embed_ann_ivfpq" -> ivfPqTopkSql,
+    "llm_embed_quantize" -> embedQuantizeSql,
     "llm_embed_neardup" -> embedNearDupSql,
     "llm_semdedup" -> semDedupSql,
     "llm_semdedup_kmeans" -> semDedupKmeansSql)

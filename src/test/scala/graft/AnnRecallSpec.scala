@@ -160,6 +160,23 @@ class AnnRecallSpec extends SparkSpec {
     assert(mean >= 0.9, s"mean PQ recall $mean < 0.9: $rec")
   }
 
+  test("IVF-PQ residual-coded search holds recall@5 >= 0.9 on clustered data") {
+    // Unit-norm plant: cosine and L2 rankings coincide (see the PQ test),
+    // so the cosine exact set is the right ground truth for IVFADC too.
+    val exact = topSets(VectorSearch.annSearch(spark, plantedDir, 300L until 305L, 5))
+    val ann = topSets(VectorSearch.ivfPqTopk(spark, plantedDir, 300L until 305L, 5))
+    val rec = recallAt(ann, exact)
+    val mean = rec.values.sum / rec.size
+    info(s"IVF-PQ recall@5 per query: ${rec.toSeq.sortBy(_._1)}; mean $mean")
+    assert(rec.size === 5)
+    assert(mean >= 0.9, s"mean IVF-PQ recall $mean < 0.9: $rec")
+  }
+
+  test("10x cloned corpus: IVF-PQ recall@5/@10 hold under maximal density and ties") {
+    gate10x("IVFPQ", 300L until 305L,
+      (ids, k) => VectorSearch.ivfPqTopk(spark, planted10xDir, ids, k))
+  }
+
   test("centroid classifier reaches accuracy >= 0.95 on planted clusters") {
     // Planted labels ARE the cluster ids, so nearest-centroid should
     // recover them almost perfectly; on the noise fixture the same

@@ -71,7 +71,15 @@ class PlanInvariantSpec extends SparkSpec {
       // detection side only: (source,h,doc) distinct + doc-count agg +
       // per-source set fold; the corpus-text rewrite is map-only behind
       // the broadcast, so the text column itself never shuffles
-      "llm_line_scrub" -> 3)
+      "llm_line_scrub" -> 3,
+      // IVFADC: coarse-assign agg + (vec,m) encode argmin + ADC
+      // candidate agg + candidate/final rank windows; the model sides
+      // (centroids, codebooks, per-cell ADC tables) are all broadcast
+      "llm_embed_ann_ivfpq" -> 5,
+      // both are one map-only pass + a small-key fold that collapses
+      // map-side — the payload column never shuffles
+      "llm_embed_quantize" -> 1,
+      "txt_gopher_rules" -> 1)
     def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
       var n = 0
       def walk(q: org.apache.spark.sql.execution.SparkPlan): Unit = {

@@ -491,12 +491,13 @@ class ServeSpec extends SparkSpec {
     assert(missing === 404 && errM.contains("no embedding"), errM.take(200))
   }
 
-  test("/ann mode= serves the three index paths; unknown mode 400s") {
+  test("/ann mode= serves the four index paths; unknown mode 400s") {
     // each mode matches its parameterized operator for the same (id, k)
     for ((mode, fn) <- Seq[(String, (Long, Int) => org.apache.spark.sql.DataFrame)](
         "lsh" -> ((id, k) => graft.queries.VectorSearch.lshBucketTopk(spark, sf0001, Seq(id), k)),
         "ivf" -> ((id, k) => graft.queries.VectorSearch.ivfTopk(spark, sf0001, Seq(id), k)),
-        "pq" -> ((id, k) => graft.queries.VectorSearch.pqTopk(spark, sf0001, Seq(id), k)))) {
+        "pq" -> ((id, k) => graft.queries.VectorSearch.pqTopk(spark, sf0001, Seq(id), k)),
+        "ivfpq" -> ((id, k) => graft.queries.VectorSearch.ivfPqTopk(spark, sf0001, Seq(id), k)))) {
       val (code, body) = get(s"/ann?id=7&k=3&mode=$mode")
       assert(code === 200, s"$mode: ${body.take(200)}")
       val got = """"neighbor_id":(\d+)""".r

@@ -299,4 +299,66 @@ class TextVectorSpec extends SparkSpec {
     assert(re.map(_.getAs[Long]("rank")).toSeq.sorted ===
       (1L to re.length.toLong).toSeq)
   }
+
+  test("int8 quantize: error bounded by scale/2, cosine preserved, full coverage") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val n = emb.count()
+    val rows = VectorSearch.embedQuantize(spark, sf0001).collect()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum === n)
+    assert(rows.map(_.getAs[Long]("label")).distinct.length === rows.length)
+    // Mathematical bound, not a fixture constant: per construction
+    // |v_i - q_i*scale| <= scale/2 with scale = max|v|/127, so every
+    // per-vector max_err (and hence every per-label average of them) is
+    // bounded by the corpus-worst scale/2 = worstAbs/254.
+    val worstAbs = emb
+      .select(max(expr("array_max(transform(embedding, x -> abs(cast(x as double))))")))
+      .head.getDouble(0)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("avg_cos") >= 0.999,
+        s"label ${r.getAs[Long]("label")}: int8 broke cosine ${r.getAs[Double]("avg_cos")}")
+      assert(r.getAs[Double]("avg_max_err") <= worstAbs / 254.0 + 1e-6,
+        s"label ${r.getAs[Long]("label")}: max_err above the scale/2 bound")
+      assert(r.getAs[Double]("avg_mse") >= 0.0)
+    }
+  }
+
+  test("gopher rules: each planted defect trips exactly its own rule") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val stops = "the a of to and" // 5 stop words, 11 chars
+    def w4(n: Int, p: String) = (1 to n).map(i => f"$p$i%03d").mkString(" ")
+    val docs = Seq(
+      // passes every rule: wc=35, mean len 131/35≈3.74, 5 stops, ttr=1
+      ("clean", s"$stops ${w4(30, "c")}"),
+      // wc=15 < 25 — all other rules still pass
+      ("wc", s"$stops ${w4(10, "w")}"),
+      // 30 distinct 2-char words: mean (60+11)/35≈2.03 < 3
+      ("ml", s"$stops ${(1 to 30).map(i => ('a' + i / 26).toChar.toString + ('a' + i % 26).toChar).mkString(" ")}"),
+      // 35 4-char words, zero stop words
+      ("st", w4(35, "s")),
+      // 30 copies of one word: ttr 6/35≈0.17 < 0.5
+      ("tt", s"$stops ${Seq.fill(30)("word").mkString(" ")}"),
+      // 5 of 35 words carry '#': symbol ratio 0.14 > 0.1
+      ("sy", s"$stops ${w4(25, "p")} ${(1 to 5).map(i => s"x#$i").mkString(" ")}"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(docs.zipWithIndex.map { case ((_, t), i) =>
+        Row(i.toLong, t, "en", "plant", t.length.toLong)
+      }, 1), schema)
+    val dir = Fixtures.scratchDir("gopher")
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.gopherRules(spark, dir).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[String]("source") === "plant")
+    assert(r.getAs[Long]("n_docs") === 6L)
+    Seq("fail_wordcount", "fail_meanlen", "fail_stopwords", "fail_ttr",
+      "fail_symbols").foreach { c =>
+      assert(r.getAs[Long](c) === 1L, s"$c: expected exactly the planted doc")
+    }
+    assert(r.getAs[Long]("pass_all") === 1L)
+  }
 }

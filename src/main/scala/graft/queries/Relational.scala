@@ -835,8 +835,65 @@ object Relational {
       |WHERE a.c_custkey % 40 = 1 AND a.c_custkey <> b.c_custkey
       |  AND levenshtein(a.c_name, b.c_name) <= 1""".stripMargin
 
+  /** Join-key skew profiler — the MEASUREMENT half of the skew-handling
+    * pair ([[graft.operators.Salting]] is the mitigation half): before
+    * salting a 100 TB join you need to know WHICH keys are hot and by
+    * how much. Reports the top-`topK` hottest keys with their corpus
+    * share, skew-vs-average ratio, and a suggested salt factor
+    * (ceil(share × 32 partitions), computed in exact integer arithmetic
+    * so both engines agree without a float fence), plus the global key
+    * stats an operator tunes `spark.sql.shuffle.partitions` against.
+    *
+    * The catalog entry profiles documents.source — near-uniform on the
+    * fixture (the oracle pins the mechanism), and exactly the column
+    * ScaleSynth turns into a half-corpus mega-domain, so the scaling
+    * corpora light it up for real. SkewProfileSpec plants a 60%-hot-key
+    * fixture and checks detection + the salt suggestion.
+    *
+    * Shape: ONE key-count aggregation (map-side partials — the only
+    * corpus-sized shuffle), a one-row global fold broadcast back, and a
+    * rank window over |keys| counts. */
+  def skewProfile(spark: SparkSession, dir: String,
+      table: String = "documents", key: String = "source",
+      topK: Int = 10): DataFrame = {
+    val perKey = Tables.load(spark, dir, table)
+      .groupBy(col(key).cast("string").as("key"))
+      .agg(count(lit(1)).as("n_rows"))
+    val glob = perKey.agg(
+      sum(col("n_rows")).as("total_rows"),
+      count(lit(1)).as("n_keys"))
+    val w = Window.orderBy(col("n_rows").desc, col("key").asc)
+    perKey.crossJoin(broadcast(glob))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("rank"), col("key"), col("n_rows"),
+        round(col("n_rows").cast("double") / col("total_rows"), 6).as("share"),
+        round(col("n_rows") * col("n_keys") / col("total_rows").cast("double"), 6)
+          .as("skew_vs_avg"),
+        // ceil(n*32/total) in integer arithmetic: no float, no rounding
+        // fence (Column./ is double division — `div` keeps it integral)
+        expr("(n_rows * 32 + total_rows - 1) div total_rows")
+          .cast("long").as("suggested_salt"),
+        col("total_rows"), col("n_keys"))
+  }
+
+  val skewProfileSql: String =
+    """WITH c AS (SELECT CAST(source AS VARCHAR) AS key, COUNT(*) AS n_rows
+      |           FROM documents GROUP BY 1),
+      |g AS (SELECT SUM(n_rows) AS total_rows, COUNT(*) AS n_keys FROM c),
+      |r AS (SELECT c.*, g.total_rows, g.n_keys,
+      |        row_number() OVER (ORDER BY c.n_rows DESC, c.key ASC) AS rank
+      |      FROM c CROSS JOIN g)
+      |SELECT CAST(rank AS BIGINT) AS rank, key, n_rows,
+      |  round(CAST(n_rows AS DOUBLE) / total_rows, 6) AS share,
+      |  round(n_rows * n_keys / CAST(total_rows AS DOUBLE), 6) AS skew_vs_avg,
+      |  CAST((n_rows * 32 + total_rows - 1) // total_rows AS BIGINT) AS suggested_salt,
+      |  CAST(total_rows AS BIGINT) AS total_rows, n_keys
+      |FROM r WHERE rank <= 10""".stripMargin
+
   /** All (name -> impl) pairs in this module. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_skew_profile" -> ((s: SparkSession, d: String) => skewProfile(s, d)),
     "rel_fuzzy_join" -> (fuzzyJoin _),
     "rel_table_profile" -> (tableProfile _),
     "rel_salted_join" -> (saltedJoinAgg _),
@@ -898,5 +955,6 @@ object Relational {
     "rel_approx_distinct" -> approxDistinctSql,
     "rel_grid_cells" -> gridCellsSql,
     "rel_regex_extract" -> regexExtractSql,
-    "rel_table_profile" -> tableProfileSql)
+    "rel_table_profile" -> tableProfileSql,
+    "rel_skew_profile" -> skewProfileSql)
 }

@@ -79,7 +79,10 @@ class PlanInvariantSpec extends SparkSpec {
       // both are one map-only pass + a small-key fold that collapses
       // map-side — the payload column never shuffles
       "llm_embed_quantize" -> 1,
-      "txt_gopher_rules" -> 1)
+      "txt_gopher_rules" -> 1,
+      // the only corpus-sized exchange is the key-count agg; the global
+      // fold and the |keys|-row rank window are model-sized
+      "rel_skew_profile" -> 3)
     def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
       var n = 0
       def walk(q: org.apache.spark.sql.execution.SparkPlan): Unit = {

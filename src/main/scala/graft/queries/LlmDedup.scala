@@ -772,9 +772,10 @@ object LlmDedup {
     *     map-side-combined aggregation. Because bit-OR insertion is
     *     IDEMPOTENT, the stream needs no pre-`distinct` — the one
     *     shuffle a hash-set build would require simply disappears.
-    *     Bit positions come from the two 32-bit halves of
-    *     `xxhash64(gram)` (Kirsch–Mitzenmacher double hashing) — one
-    *     codegen'd hash per gram, no cryptographic md5 on the hot path.
+    *     Bit positions come from the two 32-bit halves of the gram's
+    *     md5 (Kirsch–Mitzenmacher double hashing) — the
+    *     [[hashedShingles]] identity, shared with every downstream
+    *     distinct/join here so the gram STRING never shuffles.
     *  2. the finished bitset is `head()`ed to the driver — a BOUNDED
     *     512 KiB collect (the k-centroid precedent), the same move
     *     Spark's own runtime-filter rewrite uses to turn a subquery
@@ -789,9 +790,10 @@ object LlmDedup {
     *     corpus gram stream runs once more against the BROADCAST
     *     candidate set (map-only semi join — still no corpus shuffle),
     *     and the surviving seen-set broadcasts back onto the batch for
-    *     per-doc counting. False positives die here, so the OUTPUT is
-    *     exact — the sketch lives only in the scale path, and the
-    *     DuckDB oracle checks plain exact span membership. */
+    *     per-doc counting. BLOOM false positives die here, so the
+    *     sketch lives only in the scale path; membership itself is by
+    *     the md5-derived 64-bit identity (collision odds ~n²/2^65),
+    *     which the DuckDB oracle recomputes identically. */
   def bloomDedup(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.BloomBits
     val docs = Tables.load(spark, dir, "documents")
@@ -801,10 +803,20 @@ object LlmDedup {
       transform(sequence(lit(1), size(col("t")) - 4),
         p => array_join(slice(col("t"), p, lit(5)), " ")))
       .otherwise(array().cast("array<string>"))
-    def halves(df: DataFrame): DataFrame = df
-      .withColumn("h", xxhash64(col("g")))
-      .withColumn("a", shiftrightunsigned(col("h"), 32))
-      .withColumn("b", col("h").bitwiseAND(lit(0xFFFFFFFFL)))
+    // Gram identity = md5-derived 64-bit (a, b), the [[hashedShingles]]
+    // convention — the gram STRING never shuffles, never sits in an
+    // aggregation buffer, and never broadcasts. The third-decade scale
+    // harness (1000× corpus) caught the previous form OOMing
+    // (AGGREGATE_OUT_OF_MEMORY) in the batch distinct's map-side hash
+    // map, which keyed on full gram strings against the family's own
+    // strings-never-shuffle rule; on (long, long) the same distinct is
+    // ~4× narrower and spill-friendly. Collision odds ~n²/2^65 and the
+    // oracle computes the IDENTICAL identity, so the compare stays exact.
+    def ab(df: DataFrame): DataFrame = df
+      .withColumn("h", md5(col("g")))
+      .select(df.columns.filter(_ != "g").map(col) :+
+        conv(substring(col("h"), 1, 8), 16, 10).cast("long").as("a") :+
+        conv(substring(col("h"), 9, 8), 16, 10).cast("long").as("b"): _*)
     // explode(gramArr) stays an EXPRESSION, never an aliased column:
     // exploding an aliased array attribute trips InferFiltersFromGenerate,
     // whose inferred size(g)>0/isnotnull(g) predicates push below the
@@ -812,21 +824,22 @@ object LlmDedup {
     // 3× into a non-codegen Filter — measured 12× this stage's cost
     // (the rule skips complex generator children, so the direct form is
     // immune; PLANS.md r13 "explode-alias trap").
-    val corpusG = docs.filter(!col("is_batch")).select(explode(gramArr).as("g"))
+    val corpusG = ab(docs.filter(!col("is_batch")).select(explode(gramArr).as("g")))
     // The batch gram set feeds BOTH the probe→confirm chain and the final
     // per-doc count join; without a cut it would re-pay its explode +
     // distinct shuffle once per consumer. Lazy localCheckpoint (the
     // [[dedupClusters]] lifecycle) materializes it once — it is the
     // small side (one ingest batch), so the cut is bounded.
-    val batchG = halves(docs.filter(col("is_batch"))
-      .select(col("doc_id"), explode(gramArr).as("g")).distinct())
+    val batchG = ab(docs.filter(col("is_batch"))
+      .select(col("doc_id"), explode(gramArr).as("g")))
+      .distinct()
       .localCheckpoint(eager = false)
 
     val bloomAgg = udaf(BloomBits,
       org.apache.spark.sql.Encoders.tuple(
         org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.Encoders.scalaLong))
-    val bloomBits: Seq[Long] = halves(corpusG)
+    val bloomBits: Seq[Long] = corpusG
       .agg(bloomAgg(col("a"), col("b")).as("bloom"))
       .head().getAs[scala.collection.Seq[Long]]("bloom").toSeq
     val bloom = typedLit(bloomBits)
@@ -841,10 +854,10 @@ object LlmDedup {
     }
     val might = batchG.withColumn("might", probes.reduce(_ && _))
 
-    val candG = might.filter(col("might")).select(col("g")).distinct()
-    val seen = corpusG.join(broadcast(candG), Seq("g"), "left_semi")
+    val candG = might.filter(col("might")).select(col("a"), col("b")).distinct()
+    val seen = corpusG.join(broadcast(candG), Seq("a", "b"), "left_semi")
       .distinct().withColumn("hit", lit(1))
-    val hits = batchG.join(broadcast(seen), Seq("g"), "left")
+    val hits = batchG.join(broadcast(seen), Seq("a", "b"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_seen"))
     docs.filter(col("is_batch")).select(col("doc_id"))
@@ -857,23 +870,27 @@ object LlmDedup {
           .otherwise(lit(0.0)).as("seen_frac"))
   }
 
-  /** Oracle = plain exact span membership (the Bloom is a prefilter
-    * whose false positives are removed before output, so no sketch
-    * state needs mirroring — unlike [[graft.functions.CmsSketch]]'s
-    * oracle, which must rebuild the sketch because estimates ARE the
-    * output). `seen_frac` is a division of identical exact ints —
-    * bit-identical cross-engine, no rounding fence needed (the
-    * [[substrDupCoverage]] precedent). */
+  /** Oracle = span membership by the identical md5-derived 64-bit
+    * identity (the Bloom is a prefilter whose false positives are
+    * removed before output, so no sketch state needs mirroring —
+    * unlike [[graft.functions.CmsSketch]]'s oracle, which must rebuild
+    * the sketch because estimates ARE the output). `seen_frac` is a
+    * division of identical exact ints — bit-identical cross-engine, no
+    * rounding fence needed (the [[substrDupCoverage]] precedent). */
   val bloomDedupSql: String =
     s"""WITH d AS (SELECT doc_id, string_split(${normTextSql()}, ' ') AS t,
        |            doc_id % $BatchMod = 0 AS is_batch FROM documents),
-       |gr AS (SELECT DISTINCT doc_id, is_batch,
-       |         array_to_string(t[i:i+4], ' ') AS g
+       |g0 AS (SELECT doc_id, is_batch,
+       |         md5(array_to_string(t[i:i+4], ' ')) AS h
        |       FROM d, unnest(range(1, len(t) - 3)) AS r(i)
        |       WHERE len(t) >= 5),
-       |cg AS (SELECT DISTINCT g FROM gr WHERE NOT is_batch),
-       |b AS (SELECT gr.doc_id, COUNT(*) AS n_grams, COUNT(cg.g) AS n_seen
-       |      FROM gr LEFT JOIN cg USING (g) WHERE gr.is_batch GROUP BY 1)
+       |gr AS (SELECT DISTINCT doc_id, is_batch,
+       |         ('0x' || substr(h, 1, 8))::BIGINT AS a,
+       |         ('0x' || substr(h, 9, 8))::BIGINT AS b
+       |       FROM g0),
+       |cg AS (SELECT DISTINCT a, b FROM gr WHERE NOT is_batch),
+       |b AS (SELECT gr.doc_id, COUNT(*) AS n_grams, COUNT(cg.a) AS n_seen
+       |      FROM gr LEFT JOIN cg USING (a, b) WHERE gr.is_batch GROUP BY 1)
        |SELECT d.doc_id AS batch_id,
        |  CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
        |  CAST(COALESCE(n_seen, 0) AS BIGINT) AS n_seen,

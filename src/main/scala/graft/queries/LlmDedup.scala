@@ -699,15 +699,25 @@ object LlmDedup {
     *
     * Scale shape: the gram stream is built narrowly (one projected
     * md5-per-position array per doc, then posexplode — the token array
-    * is never duplicated per position), the dup-gram set is two
-    * map-side-collapsing aggregations (distinct (gram, doc) pairs →
-    * grams in ≥2 docs), the gram⋈dup join is keyed on the 128-bit gram
-    * hash (AQE broadcasts while the dup set is small), and coverage is
-    * a bounded 5× position explode followed by doc-keyed distinct +
-    * count. Nothing is pairwise; cost is linear in corpus tokens plus
-    * the duplicated-span volume. Determinism: counts and positions are
-    * exact integers; `dup_frac` is a division of identical ints —
-    * bit-identical cross-engine with no rounding fence needed. */
+    * is never duplicated per position) and immediately collapses to the
+    * md5-derived 64-bit (a, b) identity (the [[hashedShingles]]
+    * convention — the hash STRING never shuffles); the dup-gram set is
+    * two map-side-collapsing aggregations (distinct (gram, doc) pairs →
+    * grams in ≥2 docs); the gram⋈dup join is keyed on (a, b). Coverage
+    * is then an INTERVAL UNION, not an explode: matched positions are
+    * unique per (doc, p) by construction, so per doc the union of the
+    * [p, p+4] spans is Σ min(5, p − prev_p) over a lag window — one
+    * narrow int-only window instead of the previous 5× position explode
+    * + corpus-sized distinct, which the 1000× harness showed going
+    * superlinear (billions of (doc, pos) rows once the duplicated-span
+    * volume approaches the whole corpus — the only family that timed
+    * out at 1000×; completes at ~252 s warm after this rewrite). The
+    * unchanged explode-form DuckDB oracle independently proves the
+    * interval-union equivalent. Nothing is pairwise; cost is linear in
+    * corpus tokens plus matched-gram volume. Determinism: counts and
+    * positions are exact integers; `dup_frac` is a division of
+    * identical ints — bit-identical cross-engine with no rounding
+    * fence needed. */
   def substrDupCoverage(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
       .withColumn("t", toks(col("text")))
@@ -717,15 +727,22 @@ object LlmDedup {
       .otherwise(array().cast("array<string>"))
     val grams = docs
       .select(col("doc_id"), posexplode(gramArr).as(Seq("p0", "g")))
-      .select(col("doc_id"), (col("p0") + 1).as("p"), col("g"))
-    val dup = grams.select(col("g"), col("doc_id")).distinct()
-      .groupBy(col("g")).agg(count(lit(1)).as("nd"))
+      .select(col("doc_id"), (col("p0") + 1).as("p"),
+        conv(substring(col("g"), 1, 8), 16, 10).cast("long").as("a"),
+        conv(substring(col("g"), 9, 8), 16, 10).cast("long").as("b"))
+    val dup = grams.select(col("a"), col("b"), col("doc_id")).distinct()
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2)
-      .select(col("g"))
-    val covered = grams.join(dup, "g")
-      .select(col("doc_id"), explode(sequence(col("p"), col("p") + 4)).as("pos"))
-      .distinct()
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_pos"))
+      .select(col("a"), col("b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("p"))
+    val covered = grams.join(dup, Seq("a", "b"))
+      .select(col("doc_id"), col("p"))
+      .withColumn("gap", col("p") - lag(col("p"), 1).over(w))
+      .select(col("doc_id"),
+        when(col("gap").isNull, lit(5L))
+          .otherwise(least(lit(5L), col("gap").cast("long"))).as("contrib"))
+      .groupBy(col("doc_id")).agg(sum(col("contrib")).as("n_dup_pos"))
     docs.select(col("doc_id"), size(col("t")).cast("long").as("n_toks"))
       .join(covered, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_toks"),

@@ -48,7 +48,9 @@ class PlanInvariantSpec extends SparkSpec {
     val budgets = Map(
       "llm_bloom_dedup" -> 3, "llm_shingle_jaccard" -> 3,
       "llm_minhash_neardup" -> 1, "llm_embed_ann_pq" -> 3,
-      "llm_substr_dup" -> 4, "llm_clean_pipeline" -> 3,
+      // 3 since the interval-union rewrite (was 4): the 5x position
+      // explode + corpus-sized distinct became a narrow per-doc window
+      "llm_substr_dup" -> 3, "llm_clean_pipeline" -> 3,
       "rel_table_profile" -> 3, "txt_search_hits" -> 2,
       "txt_repetition" -> 2, "llm_export_jsonl" -> 0,
       "llm_export_sorted" -> 0, "llm_export_sized" -> 0,

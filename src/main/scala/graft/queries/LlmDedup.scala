@@ -983,7 +983,132 @@ object LlmDedup {
        |  CAST(SUM(CASE WHEN kept THEN len(para) ELSE 0 END) AS BIGINT) AS kept_chars
        |FROM k GROUP BY doc_id""".stripMargin
 
+  // ------------------------------------------------- simhash hamming join
+
+  /** Bucket cap on the SimHash block index (same rationale as [[DfCap]]):
+    * a (block, value) bucket holding more than this many representatives
+    * would contribute bucket² candidate rows under ONE join key —
+    * quadratic blowup plus catastrophic skew at 100 TB. Recall contract:
+    * pairs whose ONLY equal blocks live in above-cap buckets are not
+    * reported; the oracle applies the identical cap so the comparison
+    * stays exact. */
+  private[graft] val SimBucketCap = 256
+
+  /** Max Hamming distance reported by [[simhashNearDup]]. With 4 blocks,
+    * d <= 3 guarantees >= 1 equal block (pigeonhole), so block-keyed
+    * candidate generation has full recall (up to [[SimBucketCap]]). */
+  private[graft] val SimHamMax = 3
+
+  /** SimHash NEAR-duplicate join (Manku, Jain & Sarma, WWW 2007 "Detecting
+    * near-duplicates for web crawling"): a 64-bit term-frequency SimHash
+    * per exact-dedup representative, split into 4 16-bit blocks; a pair
+    * within Hamming distance <= 3 must agree on at least one whole block
+    * (pigeonhole), so candidates are generated by a keyed self-join on
+    * (block index, block value) — never an all-pairs cartesian — then
+    * verified with an exact popcount over the XOR of the full
+    * fingerprints. Complements [[minhashNearDup]]: MinHash targets
+    * set-Jaccard similarity, SimHash Hamming proximity of the
+    * frequency-weighted profile (it catches token-frequency rebalances
+    * that keep the vocabulary — which Jaccard scores as identical — and
+    * is one shuffle cheaper since there is no per-shingle index).
+    *
+    * Scale shape: 2^16 values per block means a candidate bucket holds
+    * ~n/65536 docs under uniform hashing; the [[SimBucketCap]] window cap
+    * bounds the adversarial case. The 64 per-token bit votes fold
+    * map-side in ONE partial-aggregating pass (same trick as
+    * [[simhash]]: vote sum s_j over n tokens → fingerprint bit =
+    * (2*s_j > n)), and the join keys/verification carry only 5 longs per
+    * side — the text never shuffles past the tokenizer. */
+  def simhashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    // Per-token 64 bit-votes from the first 16 hex digits of md5(token),
+    // parsed once into two 32-bit halves (integer shifts beat 64
+    // substring comparisons — measured ~6x on [[simhash]]).
+    val tok = repDocs(spark, dir)
+      .select(col("doc_id"), explode(split(col("norm"), " ")).as("tok"))
+      .withColumn("h", md5(col("tok")))
+      .select(col("doc_id"),
+        conv(substring(col("h"), 1, 8), 16, 10).cast("long").as("v0"),
+        conv(substring(col("h"), 9, 8), 16, 10).cast("long").as("v1"))
+    val bitSums = (0 until 64).map { j =>
+      val v = if (j < 32) col("v0") else col("v1")
+      sum(shiftright(v, j % 32).bitwiseAND(1)).as(s"s$j")
+    } :+ count(lit(1)).as("n")
+    def blockCol(k: Int): Column =
+      (0 until 16).map { i =>
+        when(col(s"s${16 * k + i}") * 2 > col("n"), lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val fp = tok.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id") +: (0 until 4).map(k => blockCol(k).as(s"b$k")): _*)
+    // One (k, bval) row per block; b0..b3 ride along as plain refs (no
+    // expression above the Generate — the trap [[substrDupCoverage]]
+    // documents does not apply to pre-computed columns).
+    val keyed = fp
+      .select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
+        posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
+      .withColumnRenamed("pos", "k")
+      .withColumnRenamed("col", "bval")
+    // Bucket cap in one pass (window count), leaving the frame
+    // hash-partitioned on the self-join key so the second consumer rides
+    // a ReusedExchange.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("k"), col("bval"))
+    val idx = keyed
+      .withColumn("bucket_n", count(lit(1)).over(w))
+      .filter(col("bucket_n") <= SimBucketCap)
+      .drop("bucket_n")
+      // Both sides of the self-join consume this subtree; Spark does not
+      // deduplicate identical non-exchange subtrees (the [[hashedShingles]]
+      // lesson — measured here: 7 shuffles unpersisted, the 64-sum
+      // fingerprint agg paid twice), so materialize once. The harness
+      // clears the cache between queries.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ham = (0 until 4)
+      .map(k => bit_count(col(s"x.b$k").bitwiseXOR(col(s"y.b$k"))))
+      .reduce(_ + _)
+    idx.as("x")
+      .join(idx.as("y"),
+        col("x.k") === col("y.k") && col("x.bval") === col("y.bval") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        ham.cast("long").as("hamming"))
+      .filter(col("hamming") <= SimHamMax)
+      .distinct() // a pair can agree on several blocks
+  }
+
+  val simhashNearDupSql: String = {
+    val sums = (0 until 64).map { j =>
+      val v = if (j < 32) "v0" else "v1"
+      s"SUM((($v >> ${j % 32}) & 1)) AS s$j"
+    }.mkString(", ")
+    def block(k: Int): String =
+      (0 until 16).map(i => s"CASE WHEN s${16 * k + i} * 2 > n THEN ${1L << i} ELSE 0 END")
+        .mkString(" + ")
+    val ham = (0 until 4).map(k => s"bit_count(xor(x.b$k, y.b$k))").mkString(" + ")
+    s"""WITH rep AS (SELECT MIN(doc_id) AS doc_id, MIN(norm) AS norm
+       |            FROM (SELECT doc_id, ${normTextSql()} AS norm FROM documents)
+       |            GROUP BY md5(norm)),
+       |t AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS tok FROM rep),
+       |hx AS (SELECT doc_id,
+       |         ('0x' || substr(md5(tok), 1, 8))::BIGINT AS v0,
+       |         ('0x' || substr(md5(tok), 9, 8))::BIGINT AS v1 FROM t),
+       |s AS (SELECT doc_id, $sums, COUNT(*) AS n FROM hx GROUP BY doc_id),
+       |fp AS (SELECT doc_id,
+       |         CAST(${block(0)} AS BIGINT) AS b0, CAST(${block(1)} AS BIGINT) AS b1,
+       |         CAST(${block(2)} AS BIGINT) AS b2, CAST(${block(3)} AS BIGINT) AS b3
+       |       FROM s),
+       |kx AS (SELECT doc_id, b0, b1, b2, b3, k,
+       |         CASE k WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS bval
+       |       FROM fp, unnest([0, 1, 2, 3]) AS u(k)),
+       |hot AS (SELECT k, bval FROM kx GROUP BY k, bval HAVING COUNT(*) > $SimBucketCap),
+       |kf AS (SELECT kx.* FROM kx ANTI JOIN hot USING (k, bval))
+       |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |  CAST($ham AS BIGINT) AS hamming
+       |FROM kf x JOIN kf y ON x.k = y.k AND x.bval = y.bval AND x.doc_id < y.doc_id
+       |WHERE $ham <= $SimHamMax""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_simhash_neardup" -> (simhashNearDup _),
     "llm_para_dedup" -> (paragraphDedup _),
     "llm_exact_dedup" -> (exactDedup _),
     "llm_minhash_neardup" -> (minhashNearDup _),
@@ -995,6 +1120,7 @@ object LlmDedup {
     "llm_bloom_dedup" -> (bloomDedup _))
 
   val oracles: Map[String, String] = Map(
+    "llm_simhash_neardup" -> simhashNearDupSql,
     "llm_para_dedup" -> paragraphDedupSql,
     "llm_exact_dedup" -> exactDedupSql,
     "llm_minhash_neardup" -> minhashNearDupSql,

@@ -47,7 +47,10 @@ class PlanInvariantSpec extends SparkSpec {
     // must be updated so the gain is recorded and can't silently erode.
     val budgets = Map(
       "llm_bloom_dedup" -> 3, "llm_shingle_jaccard" -> 3,
-      "llm_minhash_neardup" -> 1, "llm_embed_ann_pq" -> 3,
+      "llm_minhash_neardup" -> 1,
+      // like minhash: the persisted block index hides its build behind
+      // the cache boundary; the only live exchange is the pair distinct
+      "llm_simhash_neardup" -> 1, "llm_embed_ann_pq" -> 3,
       // 3 since the interval-union rewrite (was 4): the 5x position
       // explode + corpus-sized distinct became a narrow per-doc window
       "llm_substr_dup" -> 3, "llm_clean_pipeline" -> 3,

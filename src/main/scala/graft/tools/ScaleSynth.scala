@@ -64,16 +64,41 @@ object ScaleSynth {
       .repartition(8)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
+    // events: 10 copies per event with distinct event_ids (r17 — before
+    // this the events table passed through unscaled, so the evt_* family
+    // had no measured decades). Adversarial twists, mirroring the
+    // documents mega-domain: copies 0-4 collapse into a HOT POOL of 997
+    // users (half the corpus concentrated at ~1000x the per-user average
+    // — the worst realistic case for user-partitioned windows:
+    // sessionize, transitions, funnel, retention), copies 5-9 land in
+    // fresh per-copy user-id space (the user dimension grows with the
+    // corpus, as it would in production). Timestamps shift by copy*13 s
+    // — preserves the daily/session structure while manufacturing
+    // near-tie orderings inside the hot pool.
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    val nEv = ev.count()
+    val maxUser = ev.agg(max(col("user_id"))).head.getLong(0)
+    ev
+      .select(col("*"), explode(expr("sequence(0, 9)")).as("copy"))
+      .select(
+        (col("event_id") + col("copy") * nEv).as("event_id"),
+        expr("timestampadd(SECOND, copy * 13, ts)").as("ts"),
+        when(col("copy") < 5, lit(1L) + pmod(col("event_id"), lit(997L)))
+          .otherwise(col("user_id") + col("copy") * maxUser).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+
     // the remaining tables pass through unchanged so any catalog query
     // resolves against the synth dir
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events")) {
+        "orders", "lineitem")) {
       val p = new java.io.File(s"$src/$t.parquet")
       if (p.exists)
         spark.read.parquet(p.toString)
           .write.mode("overwrite").parquet(s"$out/$t.parquet")
     }
-    println(s"[scalesynth] wrote 10x corpus to $out (docs ${nDocs}x10, vecs ${nVec}x10)")
+    println(s"[scalesynth] wrote 10x corpus to $out (docs ${nDocs}x10, vecs ${nVec}x10, events ${nEv}x10)")
     spark.stop()
   }
 }

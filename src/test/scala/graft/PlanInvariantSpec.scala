@@ -94,7 +94,11 @@ class PlanInvariantSpec extends SparkSpec {
       // corpus-sized work = the (type, day) count agg (map-side
       // collapse); the bounds fold, spine fill, and 14-tap lag window
       // are model-sized (types × days)
-      "evt_ewma" -> 3)
+      "evt_ewma" -> 3,
+      // the unigram-LM scoring family (tf collapse + vocab agg + score
+      // join + per-doc fold) + one per-lang ntile window over doc-level
+      // rows — same class as llm_dsir_weights' 5
+      "llm_ccnet_buckets" -> 5)
     def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
       var n = 0
       def walk(q: org.apache.spark.sql.execution.SparkPlan): Unit = {

@@ -98,7 +98,11 @@ class PlanInvariantSpec extends SparkSpec {
       // the unigram-LM scoring family (tf collapse + vocab agg + score
       // join + per-doc fold) + one per-lang ntile window over doc-level
       // rows — same class as llm_dsir_weights' 5
-      "llm_ccnet_buckets" -> 5)
+      "llm_ccnet_buckets" -> 5,
+      // the prefiltered fact side joins broadcast-dim then folds to
+      // |priorities| keys; the Bloom build is a driver-side head() agg
+      // outside the lazy plan
+      "rel_bloom_join" -> 1)
     def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
       var n = 0
       def walk(q: org.apache.spark.sql.execution.SparkPlan): Unit = {

@@ -145,6 +145,49 @@ object MediaPipeline {
     ds.mapPartitions(_.grouped(BatchSize).flatMap(_.map(resizeMedia)))
   }
 
+  // ---- Perceptual hashing ----
+
+  /** 64-bit average-hash, carried as four 16-bit blocks (b0..b3, the
+    * [[graft.queries.LlmDedup.simhashNearDup]] pigeonhole convention —
+    * non-negative ints, no 64-bit sign traps in either engine). */
+  case class MediaHash(media_id: Long, b0: Long, b1: Long, b2: Long, b3: Long)
+
+  /** aHash (average hash — the classic perceptual image fingerprint):
+    * decode the REAL container, nearest-neighbor 8×8 downsample of the
+    * canonical raster (the [[resizeMedia]] mapping), integer grayscale
+    * (r+g+b)/3 per cell, bit i = cell i brighter than the 64-cell mean.
+    * The mean compare is exact integer arithmetic (gray·64 > Σgray) —
+    * no float anywhere, so the oracle predicts every bit from
+    * (doc_id, text) alone. */
+  def aHashMedia(r: MediaRecord): MediaHash = {
+    val d = ImageCodec.decode(r.payload)
+    val gray = new Array[Long](64)
+    var i = 0
+    while (i < 64) {
+      val sy = (i / 8) * d.height / 8
+      val sx = (i % 8) * d.width / 8
+      val base = (sy * d.width + sx) * 3
+      gray(i) = ((d.data(base) & 0xff) + (d.data(base + 1) & 0xff) +
+        (d.data(base + 2) & 0xff)) / 3
+      i += 1
+    }
+    val s = gray.sum
+    val blocks = new Array[Long](4)
+    i = 0
+    while (i < 64) {
+      if (gray(i) * 64 > s) blocks(i / 16) |= 1L << (i % 16)
+      i += 1
+    }
+    MediaHash(r.media_id, blocks(0), blocks(1), blocks(2), blocks(3))
+  }
+
+  /** Batched perceptual hashing — the same mapInPandas-shaped stage as
+    * [[extractFeatures]]. */
+  def aHashes(ds: Dataset[MediaRecord]): Dataset[MediaHash] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.grouped(BatchSize).flatMap(_.map(aHashMedia)))
+  }
+
   // ---- Video frame sampling ----
 
   /** A multi-frame video: `payload` is a concatenated-P6 stream

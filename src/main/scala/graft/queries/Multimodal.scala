@@ -172,12 +172,125 @@ object Multimodal {
       |  CAST(SUM(sampled_check) AS BIGINT) AS sum_sampled_check
       |FROM f GROUP BY nf""".stripMargin
 
+  // ---- perceptual-hash image dedup ----
+
+  /** Image NEAR-duplicate detection via aHash + Hamming-ball join —
+    * multimodal dedup through the REAL codec boundary: images are
+    * encoded into actual BMP containers, decoded back
+    * ([[graft.multimodal.MediaPipeline.aHashMedia]]), perceptually
+    * hashed (8×8 NN grayscale average-hash — pure integer arithmetic,
+    * so every bit is oracle-predictable), and paired with the SAME 4×16
+    * pigeonhole block join as [[LlmDedup.simhashNearDup]] (d ≤ 3 ⇒ ≥1
+    * equal block; [[LlmDedup.SimBucketCap]] caps adversarial buckets
+    * with the same recall contract, mirrored by the oracle).
+    * Identical fingerprints (d = 0 — exact and near-exact re-encodes)
+    * collapse to a min-id representative BEFORE pairing, the dedup
+    * family's division-of-labor rule, with the clique size reported on
+    * the representative's pairs. */
+  /** Fingerprint census: one row per DISTINCT aHash (representative id +
+    * clique size + the four 16-bit blocks). This is the entry that
+    * hash-verifies every bit of every image's perceptual hash against
+    * the oracle's symbolic prediction — [[phashDedup]]'s pair join can
+    * legitimately be near-empty at small SFs (few images within Hamming
+    * 3), so the census carries the cross-engine proof of the hash
+    * itself. */
+  def phashCensus(spark: SparkSession, dir: String): DataFrame =
+    phashReps(spark, dir)
+
+  private def phashReps(spark: SparkSession, dir: String): DataFrame = {
+    val hashes = MediaPipeline.aHashes(MediaPipeline.encoded(
+      MediaPipeline.mediaTable(spark, dir).filter(_.media_type == "image")))
+      .toDF()
+    hashes.groupBy(col("b0"), col("b1"), col("b2"), col("b3"))
+      .agg(min(col("media_id")).as("media_id"), count(lit(1)).as("n_exact"))
+  }
+
+  def phashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val reps = phashReps(spark, dir)
+    val keyed = reps
+      .select(col("media_id"), col("n_exact"),
+        col("b0"), col("b1"), col("b2"), col("b3"),
+        posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
+      .withColumnRenamed("pos", "k")
+      .withColumnRenamed("col", "bval")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("k"), col("bval"))
+    val idx = keyed
+      .withColumn("bucket_n", count(lit(1)).over(w))
+      .filter(col("bucket_n") <= LlmDedup.SimBucketCap)
+      .drop("bucket_n")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ham = (0 until 4)
+      .map(k => bit_count(col(s"x.b$k").bitwiseXOR(col(s"y.b$k"))))
+      .reduce(_ + _)
+    idx.as("x")
+      .join(idx.as("y"),
+        col("x.k") === col("y.k") && col("x.bval") === col("y.bval") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("media_a"), col("y.media_id").as("media_b"),
+        ham.cast("long").as("hamming"),
+        (col("x.n_exact") + col("y.n_exact")).as("clique_size"))
+      .filter(col("hamming") <= LlmDedup.SimHamMax && col("hamming") > 0)
+      .distinct()
+  }
+
+  /** Every aHash bit re-derived symbolically: gray cell i of image
+    * (doc_id ≡ 0 mod 3) = (byte(base) + byte(base+1) + byte(base+2)) / 3
+    * with base = ((⌊i/8⌋·h/8)·w + (i%8)·w/8)·3 and byte(k) =
+    * text[k mod len]; bit i = gray_i·64 > Σgray. */
+  /** Shared symbolic-fingerprint CTE chain (text → gray cells → bits →
+    * blocks → representative collapse), used by both oracles so the
+    * hash definition cannot diverge between census and pair join. */
+  private val phashRepCte: String = {
+    def block(k: Int): String =
+      s"""CAST(list_sum(list_transform(range(0, 16), i ->
+         |  CASE WHEN gr[CAST(${16 * k} + i AS INT) + 1] * 64 > s
+         |       THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END)) AS BIGINT)""".stripMargin
+    s"""m AS (SELECT doc_id AS media_id, text, len(text) AS tl,
+       |    8 + doc_id % 24 AS w, 8 + doc_id % 16 AS h
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |g AS (SELECT media_id, list_transform(range(0, 64), i ->
+       |    (CASE WHEN tl > 0 THEN ascii(substr(text, CAST(((((i // 8) * h // 8) * w + ((i % 8) * w // 8)) * 3 + 0) % tl AS INT) + 1, 1)) ELSE 0 END
+       |     + CASE WHEN tl > 0 THEN ascii(substr(text, CAST(((((i // 8) * h // 8) * w + ((i % 8) * w // 8)) * 3 + 1) % tl AS INT) + 1, 1)) ELSE 0 END
+       |     + CASE WHEN tl > 0 THEN ascii(substr(text, CAST(((((i // 8) * h // 8) * w + ((i % 8) * w // 8)) * 3 + 2) % tl AS INT) + 1, 1)) ELSE 0 END
+       |    ) // 3) AS gr
+       |  FROM m),
+       |gs AS (SELECT media_id, gr, CAST(list_sum(gr) AS BIGINT) AS s FROM g),
+       |fp AS (SELECT media_id, ${block(0)} AS b0, ${block(1)} AS b1,
+       |         ${block(2)} AS b2, ${block(3)} AS b3 FROM gs),
+       |rep AS (SELECT MIN(media_id) AS media_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+       |          b0, b1, b2, b3 FROM fp GROUP BY b0, b1, b2, b3)""".stripMargin
+  }
+
+  val phashCensusSql: String =
+    s"""WITH $phashRepCte
+       |SELECT media_id, n_exact, b0, b1, b2, b3 FROM rep""".stripMargin
+
+  val phashDedupSql: String = {
+    val ham = (0 until 4).map(k => s"bit_count(xor(x.b$k, y.b$k))").mkString(" + ")
+    s"""WITH $phashRepCte,
+       |kx AS (SELECT media_id, n_exact, b0, b1, b2, b3, k,
+       |         CASE k WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS bval
+       |       FROM rep, unnest([0, 1, 2, 3]) AS u(k)),
+       |hot AS (SELECT k, bval FROM kx GROUP BY k, bval
+       |        HAVING COUNT(*) > ${LlmDedup.SimBucketCap}),
+       |kf AS (SELECT kx.* FROM kx ANTI JOIN hot USING (k, bval))
+       |SELECT DISTINCT x.media_id AS media_a, y.media_id AS media_b,
+       |  CAST($ham AS BIGINT) AS hamming,
+       |  CAST(x.n_exact + y.n_exact AS BIGINT) AS clique_size
+       |FROM kf x JOIN kf y ON x.k = y.k AND x.bval = y.bval AND x.media_id < y.media_id
+       |WHERE $ham BETWEEN 1 AND ${LlmDedup.SimHamMax}""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_phash" -> (phashCensus _),
+    "mm_phash_dedup" -> (phashDedup _),
     "mm_media_features" -> (mediaFeatures _),
     "mm_media_resize" -> (mediaResize _),
     "mm_frame_sample" -> (frameSampleAgg _))
 
   val oracles: Map[String, String] = Map(
+    "mm_phash" -> phashCensusSql,
+    "mm_phash_dedup" -> phashDedupSql,
     "mm_media_features" -> mediaFeaturesSql,
     "mm_media_resize" -> mediaResizeSql,
     "mm_frame_sample" -> frameSampleSql)

@@ -102,7 +102,12 @@ class PlanInvariantSpec extends SparkSpec {
       // the prefiltered fact side joins broadcast-dim then folds to
       // |priorities| keys; the Bloom build is a driver-side head() agg
       // outside the lazy plan
-      "rel_bloom_join" -> 1)
+      "rel_bloom_join" -> 1,
+      // one fingerprint-collapse agg over the batched-hash map stage
+      "mm_phash" -> 1,
+      // persisted block index (the simhash_neardup shape); live exchange
+      // = the pair distinct
+      "mm_phash_dedup" -> 1)
     def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
       var n = 0
       def walk(q: org.apache.spark.sql.execution.SparkPlan): Unit = {

@@ -4,11 +4,13 @@ package graft
   * Bench session config, print per-iteration wall time (cache cleared
   * between iterations, like Bench), and optionally the formatted plan.
   *
-  * Usage: runMain graft.One <queryName> [iters] [explain]
+  * Usage: runMain graft.One <queryName>[,<queryName>...] [iters] [explain]
   */
 object One {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    // Comma-separated names share one JVM/session — a decade probe over a
+    // whole family pays sbt+SparkSession startup once, not per query.
+    val names = args(0).split(',').toSeq.filter(_.nonEmpty)
     // iters and "explain" are both optional and order-insensitive;
     // toIntOption makes the fallback total (empty, unicode digits, or
     // overflow-length strings all fall back to 3).
@@ -17,17 +19,19 @@ object One {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Bench.session("graft-one")
 
-    val fn = SparkEntry.queries(name)
-    if (explain) fn(spark, sfDir).explain("formatted")
-    (1 to iters).foreach { i =>
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      // loadavg with every sample, same rationale as Bench: a timing
-      // quoted from a contended box should carry its own evidence.
-      val load = java.lang.management.ManagementFactory
-        .getOperatingSystemMXBean.getSystemLoadAverage
-      println(f"[one] $name iter $i: ${(System.nanoTime() - t0) / 1e9}%.3f s (loadavg $load%.2f)")
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      if (explain) fn(spark, sfDir).explain("formatted")
+      (1 to iters).foreach { i =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        // loadavg with every sample, same rationale as Bench: a timing
+        // quoted from a contended box should carry its own evidence.
+        val load = java.lang.management.ManagementFactory
+          .getOperatingSystemMXBean.getSystemLoadAverage
+        println(f"[one] $name iter $i: ${(System.nanoTime() - t0) / 1e9}%.3f s (loadavg $load%.2f)")
+      }
     }
     spark.stop()
   }

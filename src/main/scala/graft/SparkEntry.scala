@@ -39,7 +39,8 @@ object SparkEntry {
       graft.queries.TextClean.queries ++
       graft.queries.EsAggs.queries ++
       graft.queries.TextIndex.queries ++
-      graft.queries.TrainingMix.queries
+      graft.queries.TrainingMix.queries ++
+      graft.queries.HybridSearch.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -62,5 +63,6 @@ object SparkEntry {
       graft.queries.TextClean.oracles ++
       graft.queries.EsAggs.oracles ++
       graft.queries.TextIndex.oracles ++
-      graft.queries.TrainingMix.oracles
+      graft.queries.TrainingMix.oracles ++
+      graft.queries.HybridSearch.oracles
 }

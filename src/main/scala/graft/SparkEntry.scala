@@ -40,7 +40,9 @@ object SparkEntry {
       graft.queries.EsAggs.queries ++
       graft.queries.TextIndex.queries ++
       graft.queries.TrainingMix.queries ++
-      graft.queries.HybridSearch.queries
+      graft.queries.HybridSearch.queries ++
+      graft.queries.Graph.queries ++
+      graft.queries.UrlDedup.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -64,5 +66,7 @@ object SparkEntry {
       graft.queries.EsAggs.oracles ++
       graft.queries.TextIndex.oracles ++
       graft.queries.TrainingMix.oracles ++
-      graft.queries.HybridSearch.oracles
+      graft.queries.HybridSearch.oracles ++
+      graft.queries.Graph.oracles ++
+      graft.queries.UrlDedup.oracles
 }

@@ -89,16 +89,54 @@ object ScaleSynth {
       .repartition(8)
       .write.mode("overwrite").parquet(s"$out/events.parquet")
 
+    // lineitem + orders: 10 copies with a consistent orderkey stride so
+    // the fact-fact join key survives scaling (r17 — before this the
+    // relational facts passed through unscaled, so the rel_* family and
+    // the co-supply graph had no measured decades). Adversarial twists,
+    // mirroring the documents/events treatments: in copies 0-4 every
+    // 4th order's lines redirect to HUB supplier 1 — a mega-degree node
+    // in the co-supply graph and a skewed fact join key (the
+    // rel_skew_profile / salted-join input); copies 5-9 shift suppliers
+    // and customers into fresh key space, so both dimensions grow with
+    // the corpus. Dimension tables stay unscaled: copies 5-9's keys
+    // deliberately dangle on dim joins — this is a measurement corpus,
+    // never a correctness input.
+    val ord = spark.read.parquet(s"$src/orders.parquet")
+    val maxOrder = ord.agg(max(col("o_orderkey"))).head.getLong(0)
+    val maxCust = ord.agg(max(col("o_custkey"))).head.getLong(0)
+    ord
+      .select(col("*"), explode(expr("sequence(0, 9)")).as("copy"))
+      .withColumn("o_orderkey", col("o_orderkey") + col("copy") * maxOrder)
+      .withColumn("o_custkey",
+        when(col("copy") < 5, lit(1L) + pmod(col("o_orderkey"), lit(997L)))
+          .otherwise(col("o_custkey") + col("copy") * maxCust))
+      .drop("copy")
+      .repartition(16)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    val maxSupp = li.agg(max(col("l_suppkey"))).head.getLong(0)
+    li
+      .select(col("*"), explode(expr("sequence(0, 9)")).as("copy"))
+      .withColumn("l_orderkey", col("l_orderkey") + col("copy") * maxOrder)
+      .withColumn("l_suppkey",
+        when(col("copy") < 5,
+          when(pmod(col("l_orderkey"), lit(4)) === 0, lit(1L))
+            .otherwise(col("l_suppkey")))
+          .otherwise(col("l_suppkey") + col("copy") * maxSupp))
+      .drop("copy")
+      .repartition(16)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
     // the remaining tables pass through unchanged so any catalog query
     // resolves against the synth dir
-    for (t <- Seq("region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem")) {
+    for (t <- Seq("region", "nation", "customer", "supplier", "part")) {
       val p = new java.io.File(s"$src/$t.parquet")
       if (p.exists)
         spark.read.parquet(p.toString)
           .write.mode("overwrite").parquet(s"$out/$t.parquet")
     }
-    println(s"[scalesynth] wrote 10x corpus to $out (docs ${nDocs}x10, vecs ${nVec}x10, events ${nEv}x10)")
+    println(s"[scalesynth] wrote 10x corpus to $out (docs ${nDocs}x10, vecs ${nVec}x10, events ${nEv}x10, facts x10)")
     spark.stop()
   }
 }

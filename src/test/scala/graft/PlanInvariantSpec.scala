@@ -107,7 +107,18 @@ class PlanInvariantSpec extends SparkSpec {
       "mm_phash" -> 1,
       // persisted block index (the simhash_neardup shape); live exchange
       // = the pair distinct
-      "mm_phash_dedup" -> 1)
+      "mm_phash_dedup" -> 1,
+      // both legs are bounded top-k (BM25 stat fold + rank limit = 2;
+      // dense brute pass + rank limit = 1); fusion joins two ≤10-row
+      // sides + the final ≤20-row rank window
+      "txt_hybrid_rrf" -> 4,
+      // synthesis + canonicalization are map-only string expressions;
+      // 2 = the two-phase hash-keyed group collapse (count_distinct)
+      "llm_url_dedup" -> 2,
+      // the live plan is the LAST Pregel round only (per-round lazy
+      // localCheckpoint truncation — the un-truncated form planned 27);
+      // 1 = the final |nodes|-row ordering window's single partition
+      "rel_pagerank" -> 1)
     def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
       var n = 0
       def walk(q: org.apache.spark.sql.execution.SparkPlan): Unit = {

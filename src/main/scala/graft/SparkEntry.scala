@@ -42,7 +42,8 @@ object SparkEntry {
       graft.queries.TrainingMix.queries ++
       graft.queries.HybridSearch.queries ++
       graft.queries.Graph.queries ++
-      graft.queries.UrlDedup.queries
+      graft.queries.UrlDedup.queries ++
+      graft.queries.AudienceOverlap.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -68,5 +69,6 @@ object SparkEntry {
       graft.queries.TrainingMix.oracles ++
       graft.queries.HybridSearch.oracles ++
       graft.queries.Graph.oracles ++
-      graft.queries.UrlDedup.oracles
+      graft.queries.UrlDedup.oracles ++
+      graft.queries.AudienceOverlap.oracles
 }

@@ -118,7 +118,11 @@ class PlanInvariantSpec extends SparkSpec {
       // the live plan is the LAST Pregel round only (per-round lazy
       // localCheckpoint truncation — the un-truncated form planned 27);
       // 1 = the final |nodes|-row ordering window's single partition
-      "rel_pagerank" -> 1)
+      "rel_pagerank" -> 1,
+      // persisted ud + samples (13 unpersisted); 5 = the (type,user)
+      // distinct, per-type top-K window, pair-union window, and the
+      // exact side's user-keyed join + pair agg
+      "evt_audience_overlap" -> 5)
     def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
       var n = 0
       def walk(q: org.apache.spark.sql.execution.SparkPlan): Unit = {

@@ -24,6 +24,14 @@ object One {
       if (explain) fn(spark, sfDir).explain("formatted")
       (1 to iters).foreach { i =>
         spark.catalog.clearCache()
+        // clearCache() frees persist()ed plans, but localCheckpoint
+        // blocks are reaped by the ContextCleaner only after their RDD
+        // references are GC'd — without a GC nudge, a checkpoint-heavy
+        // query (pagerank, dedup_clusters) accumulates every prior
+        // iteration's blocks and a multi-iter probe at the 1000×
+        // decade exhausts the 8 GiB harness heap on iter 2 even though
+        // each single iteration fits comfortably.
+        System.gc()
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         // loadavg with every sample, same rationale as Bench: a timing

@@ -46,6 +46,22 @@ object Graph {
     val sl = StorageLevel.MEMORY_AND_DISK
     val li = Tables.load(spark, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_suppkey").as("s"))
+    // Edge build = groupBy(order).collect_set + INLINE pair expansion,
+    // not a self-join. The self-join form (distinct (ok,s), a⋈b on ok)
+    // sort-merge-joins two 480M-row sides at the 1000× decade and its
+    // per-thread sort/read-ahead buffers exhausted the 8 GiB
+    // single-JVM harness (found twice: first un-collapsed — 2.4B pair
+    // rows — then again even WITH the distinct collapse). This shape
+    // pays ONE exchange of the raw (ok,s) pairs with map-side partial
+    // collect_set (the hub supplier's repeats per order collapse
+    // before the wire), builds each order's ≤width² pairs from a
+    // bounded in-memory array (order width is schema-bounded: ≤7 in
+    // TPC-H, 16 in the adversarial corpus), and streams them straight
+    // into the distinct's partial aggregate — no 480M-row sorts, no
+    // join buffers, same 1.76B logical pair stream, same edge set.
+    val pairs = expr(
+      "flatten(transform(ss, x -> transform(filter(ss, y -> y != x), " +
+        "y -> struct(x AS src, y AS dst))))")
     // Persist the static sides ALREADY HASH-PARTITIONED on their join
     // keys: every unrolled round then consumes them exchange-free (the
     // cached InMemoryTableScan keeps its child partitioning), and the
@@ -53,9 +69,9 @@ object Graph {
     // (rank table to the edge partitioning, incoming-share fold). The
     // first cut skipped the repartition and paid 27 shuffles — each
     // round re-exchanged the SAME cached edge list.
-    val edges = li.as("a").join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.s") =!= col("b.s"))
-      .select(col("a.s").as("src"), col("b.s").as("dst"))
+    val edges = li.groupBy(col("ok")).agg(collect_set(col("s")).as("ss"))
+      .select(explode(pairs).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct().repartition(col("src")).persist(sl)
     val nodes = li.select(col("s").as("v")).distinct()
       .repartition(col("v")).persist(sl)

@@ -43,7 +43,8 @@ object SparkEntry {
       graft.queries.HybridSearch.queries ++
       graft.queries.Graph.queries ++
       graft.queries.UrlDedup.queries ++
-      graft.queries.AudienceOverlap.queries
+      graft.queries.AudienceOverlap.queries ++
+      graft.queries.Sketches.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -70,5 +71,6 @@ object SparkEntry {
       graft.queries.HybridSearch.oracles ++
       graft.queries.Graph.oracles ++
       graft.queries.UrlDedup.oracles ++
-      graft.queries.AudienceOverlap.oracles
+      graft.queries.AudienceOverlap.oracles ++
+      graft.queries.Sketches.oracles
 }

@@ -122,7 +122,14 @@ class PlanInvariantSpec extends SparkSpec {
       // persisted ud + samples (13 unpersisted); 5 = the (type,user)
       // distinct, per-type top-K window, pair-union window, and the
       // exact side's user-keyed join + pair agg
-      "evt_audience_overlap" -> 5)
+      "evt_audience_overlap" -> 5,
+      // 4 = the day-partial sketch agg + the month merge + the exact
+      // side's two-phase countDistinct; the month join broadcasts
+      "rel_sketch_rollup" -> 4,
+      // 4 = the 4096-cell grid agg (map-side collapse of the ×4
+      // explode), the probe exact agg, the probe min-fold after the
+      // broadcast grid join, and the probe/estimate join alignment
+      "evt_cms_freq" -> 4)
     def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
       var n = 0
       def walk(q: org.apache.spark.sql.execution.SparkPlan): Unit = {

@@ -115,8 +115,13 @@ object CorpusOps {
     // — sum/max/count gated on kind — saving a full shuffle of the gram
     // counts. total5 is null (not 0) for docs with no 5-gram, so the
     // dup5 division nulls out and the inner-semantics filter drops them.
+    // The gram key shuffles as xxhash64, NOT text (the dedup-family
+    // rule): the stats need gram EQUALITY only, and the raw 2+5-gram
+    // stream is ~7× the corpus text — shuffling it super-linearized the
+    // decades (2.4 s at 10× → 29 s at 100×; hashed, the exchange
+    // carries three longs per partially-collapsed gram row).
     grams
-      .groupBy(col("doc_id"), col("kind"), col("gram"))
+      .groupBy(col("doc_id"), col("kind"), xxhash64(col("gram")).as("gh"))
       .agg(count(lit(1)).as("n"))
       .groupBy(col("doc_id"))
       .agg(

@@ -117,9 +117,15 @@ object CorpusOps {
     // dup5 division nulls out and the inner-semantics filter drops them.
     // The gram key shuffles as xxhash64, NOT text (the dedup-family
     // rule): the stats need gram EQUALITY only, and the raw 2+5-gram
-    // stream is ~7× the corpus text — shuffling it super-linearized the
-    // decades (2.4 s at 10× → 29 s at 100×; hashed, the exchange
-    // carries three longs per partially-collapsed gram row).
+    // stream is ~7× the corpus text; hashed, the exchange carries three
+    // longs per partially-collapsed gram row. On CPU-bound local[32]
+    // the wall barely moves (the gram CONSTRUCTION dominates) — the win
+    // is the ~7×-corpus-bytes exchange a real cluster would pay in
+    // network. A zero-shuffle per-row sorted-run-length fold was tried
+    // and REJECTED: interpreted higher-order-function folds ran 25×
+    // slower than this codegen hash aggregation (80 s vs 3 s at 10× —
+    // the char_entropy idiom only wins when the alternative is a
+    // per-distinct-element rescan, not a hash agg).
     grams
       .groupBy(col("doc_id"), col("kind"), xxhash64(col("gram")).as("gh"))
       .agg(count(lit(1)).as("n"))

@@ -63,4 +63,106 @@ class GraphSpec extends SparkSpec {
     // equality with the reference implementation on the planted graph too
     assert(pr === refPagerank(rows))
   }
+
+  /** Brute-force triangle reference: no orientation, no SQL — count
+    * closed node triples directly over the co-supply edge set. */
+  private def refTriangles(pairs: Seq[(Long, Long)]): Map[Long, (Long, Long)] = {
+    val edges = pairs.groupBy(_._1).values
+      .flatMap { s =>
+        val ss = s.map(_._2).distinct
+        for (a <- ss; b <- ss if a < b) yield (a, b)
+      }.toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    def adj(a: Long, b: Long) = edges((math.min(a, b), math.max(a, b)))
+    val triples = for {
+      i <- nodes.indices; j <- i + 1 until nodes.length; k <- j + 1 until nodes.length
+      if adj(nodes(i), nodes(j)) && adj(nodes(j), nodes(k)) && adj(nodes(i), nodes(k))
+    } yield (nodes(i), nodes(j), nodes(k))
+    nodes.map { n =>
+      val deg = edges.count(e => e._1 == n || e._2 == n).toLong
+      val tri = triples.count(t => t._1 == n || t._2 == n || t._3 == n).toLong
+      n -> ((deg, tri))
+    }.toMap
+  }
+
+  test("triangles equal a brute-force closed-triple count on the fixture") {
+    val pairs = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select("l_orderkey", "l_suppkey").collect()
+      .map(row => (row.getLong(0), row.getLong(1))).toSeq
+    val expected = refTriangles(pairs)
+    val got = Graph.triangles(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.nonEmpty && got === expected)
+    // the fixture's co-supply graph must actually close triangles, or
+    // this test is vacuous
+    assert(got.values.map(_._2).sum > 0, "fixture has no triangles")
+  }
+
+  test("planted topology: clique closes fully, star and path close nothing") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("tri_li").toString
+    // One 2-supplier order per planted EDGE: K4 on 1..4 (6 edges), star
+    // center 10 with leaves 11..14, path 20-21-22.
+    val k4 = for (a <- 1L to 4L; b <- a + 1 to 4L) yield (a, b)
+    val star = (11L to 14L).map(l => (10L, l))
+    val path = Seq((20L, 21L), (21L, 22L))
+    val rows = (k4 ++ star ++ path).zipWithIndex.flatMap { case ((a, b), i) =>
+      Seq((i.toLong + 1, a), (i.toLong + 1, b))
+    }
+    rows.toDF("l_orderkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val got = Graph.triangles(spark, tmp).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]))))
+      .toMap
+    // K4: every node deg 3, 3 triangles, clustering exactly 1.0
+    (1L to 4L).foreach(n => assert(got(n) === ((3L, 3L, Some(1.0))), s"$n: ${got(n)}"))
+    // star center: high degree, zero closure — the link-farm signature
+    assert(got(10L) === ((4L, 0L, Some(0.0))))
+    // star leaves / path ends: deg 1 → clustering undefined (null)
+    Seq(11L, 14L, 20L, 22L).foreach(n => assert(got(n) === ((1L, 0L, None))))
+    // path middle: deg 2, no closure
+    assert(got(21L) === ((2L, 0L, Some(0.0))))
+    // brute-force agreement on the planted graph too
+    assert(got.map { case (n, (d, t, _)) => n -> ((d, t)) } === refTriangles(rows))
+  }
+
+  /** Plain-Scala replica of the DOULION md5 edge coin. */
+  private def edgeKept(u: Long, v: Long): Boolean = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${u}_$v".getBytes("UTF-8"))
+    val h = java.lang.Long.parseLong(
+      md.take(8).map("%02x".format(_)).mkString.take(15), 16)
+    h % 16 == 0
+  }
+
+  test("sampled triangles = exact count on the hash-sparsified graph, scaled 4096x") {
+    val pairs = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select("l_orderkey", "l_suppkey").collect()
+      .map(row => (row.getLong(0), row.getLong(1))).toSeq
+    // Independent reference: full edge set in plain Scala, coin applied,
+    // brute-force closed-triple count on the survivors.
+    val fullEdges = pairs.groupBy(_._1).values.flatMap { s =>
+      val ss = s.map(_._2).distinct
+      for (a <- ss; b <- ss if a < b) yield (a, b)
+    }.toSet
+    val kept = fullEdges.filter(e => edgeKept(e._1, e._2))
+    val nodes = fullEdges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val triples = for {
+      i <- nodes.indices; j <- i + 1 until nodes.length; k <- j + 1 until nodes.length
+      if kept((nodes(i), nodes(j))) && kept((nodes(j), nodes(k))) &&
+        kept((nodes(i), nodes(k)))
+    } yield (nodes(i), nodes(j), nodes(k))
+    val expected = nodes.map { n =>
+      val deg = fullEdges.count(e => e._1 == n || e._2 == n).toLong
+      val tri = triples.count(t => t._1 == n || t._2 == n || t._3 == n).toLong
+      n -> ((deg, tri, tri * 4096L))
+    }.toMap
+    val got = Graph.trianglesSampled(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === expected)
+    // the coin must actually drop edges here, or the sampling path is
+    // vacuously the exact path
+    assert(kept.size < fullEdges.size, "fixture sample dropped no edge")
+  }
 }

@@ -129,7 +129,18 @@ class PlanInvariantSpec extends SparkSpec {
       // 4 = the 4096-cell grid agg (map-side collapse of the ×4
       // explode), the probe exact agg, the probe min-fold after the
       // broadcast grid join, and the probe/estimate join alignment
-      "evt_cms_freq" -> 4)
+      "evt_cms_freq" -> 4,
+      // 6 = undirected-edge build (order collect_set + pair distinct),
+      // degree agg, the two node-sized orientation-join alignments, the
+      // per-node triangle fold, and the final deg⋈triangles align; the
+      // wedge and closure joins reuse oriented's persisted (a)
+      // partitioning (subset rule)
+      "rel_triangle_count" -> 6,
+      // the sparsified graph is small enough that the sampled-degree
+      // sides BROADCAST into the orientation (2 of the exact form's
+      // node-sized alignments disappear); live shuffles = the full-deg
+      // agg and the per-node triangle fold
+      "rel_triangle_sample" -> 2)
     def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
       var n = 0
       def walk(q: org.apache.spark.sql.execution.SparkPlan): Unit = {

@@ -430,7 +430,97 @@ object Streaming {
       |  ON i.user_id = c.user_id
       | AND c.ts >= i.ts AND c.ts <= i.ts + INTERVAL 1 HOUR""".stripMargin
 
+  /** Streaming approximate unique users per (event_type, ISO week) —
+    * the sketch family (rel_approx_distinct / rel_sketch_rollup) made
+    * CONTINUOUS, via DataSketches HLL state in `flatMapGroupsWithState`
+    * ([[graft.streaming.ApproxUsers]]). Distinctive vs every other
+    * stream_* entry: their state is exact and watermark-bounded; a
+    * unique-users panel's exact state grows with |users| inside each
+    * bucket, and the sketch caps it at one ~2 KiB HLL per open bucket
+    * whatever the cardinality — THE 100 TB continuous-cardinality
+    * shape. The input deliberately lands as FOUR files read under
+    * maxFilesPerTrigger=1, so the sketches provably accumulate across
+    * four micro-batches (split-invariance is property-tested in
+    * StreamingSpec); a far-future sentinel then kicks the watermark
+    * past every real week so the event-time timeouts close them (the
+    * [[streamSessionize]] pattern — the sentinel's own bucket never
+    * times out and is filtered on read-back).
+    *
+    * Gate encoding (the rel_approx_distinct convention): the sink's
+    * estimates join the batch-exact counts; the output carries the
+    * exact counts plus `within_band` (3.5× sketch rsd) and
+    * `state_bounded` (compact sketch ≤ 4 KiB) verdicts the oracle pins
+    * literally TRUE — an estimator drift OR an unbounded-state
+    * regression turns the row red. LEFT join from the exact side: a
+    * withheld emission nulls the verdicts and hash-fails. */
+  def streamApproxUsers(spark: SparkSession, dir: String): DataFrame = hlluLock.synchronized {
+    import graft.streaming.ApproxUsers
+    val scratch = graft.Fixtures.reusedScratchDir("hllu_rt")
+    val in = s"$scratch/in"
+    val sink = s"$scratch/sink"
+    val ckpt = s"$scratch/ckpt"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    Seq(in, sink, ckpt).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+
+    val ev = graft.Tables.load(spark, dir, "events")
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("event_type"),
+        date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("week"),
+        ((unix_timestamp(date_trunc("week", col("ts"))) + lit(7L * 24 * 3600))
+          * 1000L).as("week_end_ms"),
+        col("user_id"), col("ts"))
+    // The watermark kicker below reserves this event_type as an in-band
+    // sentinel (filtered from results) — refuse loudly if the corpus
+    // ever carries it. One pushdown-friendly probe, not a scan.
+    require(ev.filter(col("event_type") === "zz_sentinel").head(1).isEmpty,
+      "events table contains event_type zz_sentinel, reserved as the watermark sentinel")
+    ev.repartition(4).write.parquet(in) // 4 files = 4 micro-batches below
+
+    def runOnce(): Unit = graft.streaming.StateStores.streamingSession(spark) { s =>
+      import s.implicits._
+      val src = s.readStream
+        .schema("event_type STRING, week STRING, week_end_ms BIGINT, user_id BIGINT, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in)
+      val q = ApproxUsers.approxUsers(src.as[graft.streaming.TypedEvent], "90 days")
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    import spark.implicits._
+    Seq(("zz_sentinel", "2100-01-04", 4102444800000L, -1L,
+      java.sql.Timestamp.valueOf("2100-01-01 00:00:00")))
+      .toDF("event_type", "week", "week_end_ms", "user_id", "ts")
+      .write.mode("append").parquet(in)
+    runOnce()
+
+    val streamed = spark.read.parquet(sink)
+      .filter(col("event_type") =!= "zz_sentinel")
+    val exact = ev.groupBy(col("event_type"), col("week"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    exact.join(streamed, Seq("event_type", "week"), "left")
+      .select(col("event_type"), col("week"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users").cast("double"))
+          <= col("exact_users").cast("double") * ApproxUsers.Band).as("within_band"),
+        (col("sketch_bytes") <= ApproxUsers.MaxSketchBytes).as("state_bounded"))
+  }
+
+  private val hlluLock = new Object
+
+  val streamApproxUsersSql: String =
+    """SELECT event_type, strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+      |  COUNT(DISTINCT user_id) AS exact_users,
+      |  TRUE AS within_band, TRUE AS state_bounded
+      |FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_approx_users" -> (streamApproxUsers _),
     "stream_left_join" -> (streamLeftJoin _),
     "stream_cdc_apply" -> (streamCdcApply _),
     "stream_news_dedup" -> (newsDedup _),
@@ -439,6 +529,7 @@ object Streaming {
     "stream_trending" -> (streamTrending _))
 
   val oracles: Map[String, String] = Map(
+    "stream_approx_users" -> streamApproxUsersSql,
     "stream_left_join" -> streamLeftJoinSql,
     "stream_cdc_apply" -> streamCdcApplySql,
     "stream_news_dedup" -> newsDedupSql,

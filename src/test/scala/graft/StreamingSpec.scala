@@ -435,4 +435,93 @@ class StreamingSpec extends SparkSpec {
     assert(graft.LakeCommit.committedVersions(spark, lake) === versionsAfter,
       "checkpoint replay re-delivered the already-applied feed")
   }
+
+  // ---- streaming HLL approx-distinct (ApproxUsers) ----
+
+  private def hlluEvt(typ: String, weekStr: String, tsStr: String, user: Long) = {
+    val weekStart = ts(s"$weekStr 00:00:00").getTime
+    graft.streaming.TypedEvent(typ, weekStr,
+      weekStart + 7L * 24 * 3600 * 1000, user, ts(tsStr))
+  }
+
+  private def runHllu(name: String, batches: Seq[Seq[graft.streaming.TypedEvent]],
+      delay: String = "1 minute"): Unit = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[graft.streaming.TypedEvent]
+    val q = graft.streaming.ApproxUsers.approxUsers(mem.toDS(), delay)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .start()
+    try batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+    finally q.stop()
+  }
+
+  test("approx users: bucket emits on watermark eviction, not before; small sets exact") {
+    import org.apache.spark.sql.functions.col
+    runHllu("hllu_evict", Seq(
+      // batch 1: week-1 only — its bucket must NOT emit yet (watermark
+      // still inside the week)
+      Seq(hlluEvt("click", "2024-01-01", "2024-01-03 10:00:00", 1L),
+        hlluEvt("click", "2024-01-01", "2024-01-04 11:00:00", 2L),
+        hlluEvt("click", "2024-01-01", "2024-01-04 12:00:00", 2L))))
+    assert(spark.table("hllu_evict").isEmpty,
+      "bucket emitted before the watermark passed its end")
+    // batches 2+3: week-2 data pushes the watermark past week-1's end
+    // (eviction), then a far-future sentinel closes week 2; the
+    // sentinel's own bucket stays open and never reaches the sink.
+    runHllu("hllu_evict2", Seq(
+      Seq(hlluEvt("click", "2024-01-01", "2024-01-03 10:00:00", 1L),
+        hlluEvt("click", "2024-01-01", "2024-01-04 11:00:00", 2L),
+        hlluEvt("click", "2024-01-01", "2024-01-04 12:00:00", 2L)),
+      Seq(hlluEvt("click", "2024-01-08", "2024-01-09 00:00:00", 7L)),
+      Seq(hlluEvt("zz", "2100-01-04", "2100-01-05 00:00:00", -1L))))
+    val rows = spark.table("hllu_evict2")
+      .select(col("event_type"), col("week"), col("approx_users")).collect()
+      .map(r => (r.getString(0), r.getString(1), math.round(r.getDouble(2)))).toSet
+    // LIST-mode sketches are exact at these cardinalities: 2 users in
+    // week 1 (user 2's repeat collapses), 1 in week 2; no sentinel row.
+    assert(rows === Set(("click", "2024-01-01", 2L), ("click", "2024-01-08", 1L)))
+  }
+
+  test("approx users: estimate and sketch size are batch-split-invariant") {
+    import org.apache.spark.sql.functions.col
+    val events = (1 to 900).map(u =>
+      hlluEvt("view", "2024-01-01", "2024-01-02 10:00:00", u.toLong))
+    val flush = Seq(hlluEvt("zz", "2100-01-04", "2100-01-05 00:00:00", -1L))
+    runHllu("hllu_one", Seq(events, flush))
+    runHllu("hllu_split", Seq(
+      events.slice(0, 300), events.slice(300, 600), events.slice(600, 900), flush))
+    def row(t: String) = spark.table(t)
+      .filter(col("event_type") === "view")
+      .select(col("approx_users"), col("sketch_bytes")).collect()
+      .map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    // The sketch state is a pure function of the value SET, so 1-batch
+    // and 3-batch ingestion must produce bit-identical estimates.
+    assert(row("hllu_one").size === 1)
+    assert(row("hllu_one") === row("hllu_split"))
+  }
+
+  test("approx users: state stays bounded and in-band where exact state would be ~400 KiB") {
+    import org.apache.spark.sql.functions.col
+    // 50k distinct users in one bucket: far beyond HLL set mode, so the
+    // sketch is genuinely estimating (non-vacuous: est != exact), its
+    // error sits inside the declared band, and its serialized size
+    // stays under the 4 KiB cap — an exact distinct-set state for the
+    // same bucket would hold 50k longs (~400 KiB) and keep growing.
+    val n = 50000
+    val events = (1 to n).map(u =>
+      hlluEvt("view", "2024-01-01", "2024-01-02 10:00:00", u.toLong))
+    val flush = Seq(hlluEvt("zz", "2100-01-04", "2100-01-05 00:00:00", -1L))
+    runHllu("hllu_big", Seq(events, flush))
+    val r = spark.table("hllu_big").filter(col("event_type") === "view")
+      .select(col("approx_users"), col("sketch_bytes")).collect()
+    assert(r.length === 1)
+    val (est, bytes) = (r(0).getDouble(0), r(0).getLong(1))
+    assert(bytes <= graft.streaming.ApproxUsers.MaxSketchBytes,
+      s"sketch serialized to $bytes bytes")
+    assert(math.abs(est - n) <= n * graft.streaming.ApproxUsers.Band,
+      s"estimate $est outside the band around $n")
+    assert(est !== n.toDouble, "sketch in exact mode at 50k — non-vacuity broken")
+  }
 }

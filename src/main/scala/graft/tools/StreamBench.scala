@@ -146,6 +146,53 @@ object StreamBench {
     }
   }
 
+  /** Approx-users (HLL state) ladder: synthesized events, one WEEK of
+    * event time per fire — so each fire's watermark closes the previous
+    * fire's buckets (the real cadence emission path, no sentinel), while
+    * its own week's sketches stay open in state across the fire
+    * boundary. User ids draw from a 200k space so the larger fires hold
+    * genuinely estimating (post-set-mode) sketches. */
+  def hlluLadder(spark: SparkSession, sizes: Seq[Long]): Seq[(Long, Double)] = {
+    import graft.streaming.{ApproxUsers, TypedEvent}
+    val root = Fixtures.reusedScratchDir("streambench_hllu")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val in = s"$root/in"; val sink = s"$root/sink"; val ckpt = s"$root/ckpt"
+    val day0 = 1704067200L // 2024-01-01 UTC, a Monday
+    var offset = 0L
+    sizes.zipWithIndex.map { case (n, i) =>
+      val weekStart = day0 + i * 7L * 86400L
+      spark.range(offset, offset + n).select(
+          concat(lit("t"), pmod(col("id"), lit(5L))).as("event_type"),
+          date_format(timestamp_seconds(lit(weekStart)), "yyyy-MM-dd").as("week"),
+          lit((weekStart + 7L * 86400L) * 1000L).as("week_end_ms"),
+          pmod(col("id") * 2654435761L, lit(200000L)).as("user_id"),
+          timestamp_seconds(lit(weekStart) +
+            pmod(col("id"), lit(7L * 86400L - 3600L))).as("ts"))
+        .repartition(4)
+        .write.mode("append").parquet(in)
+      offset += n
+      val t0 = System.nanoTime()
+      StateStores.streamingSession(spark) { s =>
+        import s.implicits._
+        val src = s.readStream
+          .schema("event_type STRING, week STRING, week_end_ms BIGINT, user_id BIGINT, ts TIMESTAMP")
+          .parquet(in)
+        val q = ApproxUsers.approxUsers(src.as[TypedEvent], "1 minute")
+          .writeStream.format("parquet").option("path", sink)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"[streambench] hllu fire ${i + 1}: $n rows, $wall%.3f s " +
+        f"(${n / wall}%.0f rows/s, loadavg $load%.2f)")
+      (n, wall)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val which = args.headOption.getOrElse("all")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -157,6 +204,9 @@ object StreamBench {
     if (which == "sess" || which == "all")
       report("sessionize", sessLadder(spark, sfDir,
         Seq(1.0 / 15, 3.0 / 15, 7.0 / 15, 1.0)))
+    if (which == "hllu" || which == "all")
+      report("approx_users", hlluLadder(spark,
+        Seq(10000L, 20000L, 40000L, 80000L, 160000L)))
     spark.stop()
   }
 }

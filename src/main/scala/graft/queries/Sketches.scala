@@ -152,11 +152,149 @@ object Sketches {
        |FROM probes pr JOIN est e USING (user_id)""".stripMargin
   }
 
+  // ----------------------------------------------------- quantile rollup
+
+  /** Bottom-k sample size per (type, grain) bucket, shared with the KMV
+    * convention. Rank-error σ of a sample quantile at q is
+    * √(q(1−q)/K): ±3.5σ rank bands of ±0.11 at p50, ±0.048 at p95. */
+  private val QrK = 256
+
+  /** Mergeable quantile-sketch rollup — the third mergeable-sketch kind
+    * (distinct: [[sketchRollup]] HLL; frequency: [[cmsFreq]] CMS;
+    * quantile: THIS), as per-day partials merged to weekly p50/p95 value
+    * percentiles without rescanning the facts. The sketch is a BOTTOM-K
+    * HASH SAMPLE (Cohen & Kaplan 2007 bottom-k sketches): per
+    * (event_type, day) keep the K=256 rows with the smallest md5-derived
+    * 60-bit hashes of event_id; because the hash is independent of
+    * `value`, the kept rows are a uniform sample, and because the global
+    * bottom-K of a union is a subset of the union of per-part bottom-Ks,
+    * the week merge = union the day samples and RE-TRIM to bottom-K —
+    * the mergeability law, pinned exactly in SketchesSpec. Quantiles are
+    * order statistics of the sample (rank ⌈q·m⌉), a deterministic
+    * integer rule.
+    *
+    * Why not KLL/t-digest: those compact with RANDOM bits, so the
+    * estimate can't be cross-checked by a deterministic oracle; the
+    * bottom-k sample replays bit-identically in SQL, so the oracle
+    * hash-checks the ENTIRE estimator — sample membership, merge, rank
+    * selection, estimates — not a band (the evt_cms_freq convention).
+    * The in-band verdicts ride along as the quality half (computed
+    * Spark-side, pinned TRUE by the oracle): the estimate's POPULATION
+    * rank fraction — integer tie-two-sided counts, no interpolation —
+    * must sit within q ± (3.5σ + 1/m), sampling concentration plus the
+    * ⌈q·m⌉ rule's discretization (fixture-validated at the 3 gate SFs).
+    *
+    * Scale shape: ONE fact pass; the per-(type, day) top-K is a
+    * rank-limit window (WindowGroupLimit — partial top-K collapses
+    * map-side before the exchange), the week re-trim touches
+    * days×K rows per group, and every coarser grain (month, quarter,
+    * arbitrary ranges) re-trims day blobs without a second corpus pass.
+    * The exact rank-count side (one more corpus agg) exists only as
+    * the gate encoding; a 100 TB caller drops it and keeps the
+    * day-blob → rollup half. */
+  def quantileRollup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.load(spark, dir, "events")
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(col("event_type"),
+        date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("week"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        col("value"), col("event_id"),
+        expr("cast(conv(substring(md5(cast(event_id as string)), 1, 15), 16, 10) as bigint)")
+          .as("h"))
+    val dayW = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("h"), col("event_id"))
+    val weekW = Window.partitionBy(col("event_type"), col("week"))
+      .orderBy(col("h"), col("event_id"))
+    val daySample = ev.withColumn("rn", row_number().over(dayW))
+      .filter(col("rn") <= QrK).drop("rn")
+    val weekSample = daySample.withColumn("rn", row_number().over(weekW))
+      .filter(col("rn") <= QrK).drop("rn")
+    val rankW = Window.partitionBy(col("event_type"), col("week"))
+      .orderBy(col("value"), col("h"))
+    val cntW = Window.partitionBy(col("event_type"), col("week"))
+    val ranked = weekSample
+      .withColumn("vr", row_number().over(rankW))
+      .withColumn("m", count(lit(1)).over(cntW))
+    def pick(q: Double) = max(when(
+      col("vr") === greatest(lit(1L), ceil(col("m") * q)), col("value")))
+    val est = ranked.groupBy(col("event_type"), col("week"))
+      .agg(max(col("m")).as("sample_n"),
+        pick(0.5).as("est_p50"), pick(0.95).as("est_p95"))
+    // In-band verdicts on POPULATION RANK, integer arithmetic: the
+    // estimate's rank fraction in the full week must sit within
+    // q ± (3.5σ + 1/m) — sampling concentration plus the ⌈q·m⌉ rule's
+    // discretization, which scales with the SAMPLE size (an
+    // interpolated-percentile band breaks exactly there: at a 2-day
+    // tail week of 11 rows the ceil-rule p95 IS the max, which sits
+    // above the interpolated 0.998 percentile — found at sf0.001).
+    // Ties handled two-sidedly: count(v < est)/n low side must not
+    // overshoot, count(v ≤ est)/n high side must not undershoot.
+    val joined = ev.join(broadcast(est), Seq("event_type", "week"))
+    def rankCnt(e: Column, strict: Boolean) = sum(
+      when(if (strict) col("value") < e else col("value") <= e, 1L)
+        .otherwise(0L))
+    val stats = joined.groupBy(col("event_type"), col("week"),
+        col("sample_n"), col("est_p50"), col("est_p95"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("day")).as("days_merged"),
+        rankCnt(col("est_p50"), strict = true).as("lt50"),
+        rankCnt(col("est_p50"), strict = false).as("le50"),
+        rankCnt(col("est_p95"), strict = true).as("lt95"),
+        rankCnt(col("est_p95"), strict = false).as("le95"))
+    def inBand(q: Double, lt: Column, le: Column): Column = {
+      val delta = lit(3.5 * math.sqrt(q * (1 - q) / QrK)) +
+        lit(1.0) / col("sample_n").cast("double")
+      val n = col("n").cast("double")
+      (lt.cast("double") / n <= lit(q) + delta) &&
+        (le.cast("double") / n >= lit(q) - delta)
+    }
+    stats.select(col("event_type"), col("week"), col("days_merged"), col("n"),
+      col("sample_n"), col("est_p50"), col("est_p95"),
+      inBand(0.5, col("lt50"), col("le50")).as("p50_in_band"),
+      inBand(0.95, col("lt95"), col("le95")).as("p95_in_band"))
+  }
+
+  val quantileRollupSql: String =
+    s"""WITH ev AS (
+       |  SELECT event_type, strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+       |         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       |         value, event_id,
+       |         ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS h
+       |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+       |ds AS (SELECT * FROM (
+       |         SELECT ev.*, row_number() OVER (
+       |           PARTITION BY event_type, day ORDER BY h, event_id) AS rn
+       |         FROM ev) WHERE rn <= $QrK),
+       |ws AS (SELECT * FROM (
+       |         SELECT event_type, week, value, h, event_id, row_number() OVER (
+       |           PARTITION BY event_type, week ORDER BY h, event_id) AS rn
+       |         FROM ds) WHERE rn <= $QrK),
+       |rk AS (SELECT event_type, week, value,
+       |         row_number() OVER (PARTITION BY event_type, week
+       |           ORDER BY value, h) AS vr,
+       |         COUNT(*) OVER (PARTITION BY event_type, week) AS m
+       |       FROM ws),
+       |est AS (SELECT event_type, week, MAX(m) AS sample_n,
+       |         MAX(CASE WHEN vr = GREATEST(1, CAST(ceil(0.5 * m) AS BIGINT))
+       |             THEN value END) AS est_p50,
+       |         MAX(CASE WHEN vr = GREATEST(1, CAST(ceil(0.95 * m) AS BIGINT))
+       |             THEN value END) AS est_p95
+       |       FROM rk GROUP BY 1, 2),
+       |ex AS (SELECT event_type, week, COUNT(*) AS n,
+       |         COUNT(DISTINCT day) AS days_merged
+       |       FROM ev GROUP BY 1, 2)
+       |SELECT ex.event_type, ex.week, ex.days_merged, ex.n, est.sample_n,
+       |  est.est_p50, est.est_p95,
+       |  TRUE AS p50_in_band, TRUE AS p95_in_band
+       |FROM ex JOIN est ON est.event_type = ex.event_type AND est.week = ex.week""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_sketch_rollup" -> (sketchRollup _),
-    "evt_cms_freq" -> (cmsFreq _))
+    "evt_cms_freq" -> (cmsFreq _),
+    "evt_quantile_rollup" -> (quantileRollup _))
 
   val oracles: Map[String, String] = Map(
     "rel_sketch_rollup" -> sketchRollupSql,
-    "evt_cms_freq" -> cmsFreqSql)
+    "evt_cms_freq" -> cmsFreqSql,
+    "evt_quantile_rollup" -> quantileRollupSql)
 }

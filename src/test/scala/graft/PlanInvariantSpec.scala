@@ -130,6 +130,11 @@ class PlanInvariantSpec extends SparkSpec {
       // explode), the probe exact agg, the probe min-fold after the
       // broadcast grid join, and the probe/estimate join alignment
       "evt_cms_freq" -> 4,
+      // 4 = the (type,day) bottom-K window, the (type,week) re-trim
+      // window (the value-rank window and est fold reuse its
+      // partitioning), the rank-count verdict agg after the broadcast
+      // est join, and the final alignment; est broadcasts (≤|weeks| rows)
+      "evt_quantile_rollup" -> 4,
       // 6 = undirected-edge build (order collect_set + pair distinct),
       // degree agg, the two node-sized orientation-join alignments, the
       // per-node triangle fold, and the final deg⋈triangles align; the

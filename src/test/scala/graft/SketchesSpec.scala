@@ -98,4 +98,66 @@ class SketchesSpec extends SparkSpec {
     assert(rows.nonEmpty)
     rows.foreach(r => assert(r.getBoolean(3), s"undercount: $r"))
   }
+
+  // ------------------------------------------------- quantile rollup
+
+  /** Plain-Scala replica of the bottom-k hash (the md5/conv idiom). */
+  private def qh(eventId: Long): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(eventId.toString.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+  }
+
+  test("quantile rollup: merge law holds, sampling is real, planted quantiles recovered") {
+    import spark.implicits._
+    // One type, one week, 7 days × ~714 rows = 5000 events; values are a
+    // deterministic permutation of 1..5000, so the true pXX are known
+    // and every estimate's population rank IS its value.
+    val n = 5000
+    val tmp = java.nio.file.Files.createTempDirectory("qr_events").toString
+    val rows = (0 until n).map { i =>
+      val day = i % 7
+      (i.toLong, Timestamp.valueOf(f"2024-01-0${day + 1} 10:00:00"),
+        i.toLong, "view", ((i * 2654435761L) % n + 1).toDouble, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+
+    val got = Sketches.quantileRollup(spark, tmp).collect()
+    assert(got.length === 1)
+    val r = got.head
+    val (m, p50, p95) = (r.getAs[Long]("sample_n"),
+      r.getAs[Double]("est_p50"), r.getAs[Double]("est_p95"))
+    // Sampling genuinely trimmed: 5000 rows → exactly K kept.
+    assert(m === 256L)
+    assert(r.getAs[Long]("n") === n.toLong)
+    assert(r.getAs[Long]("days_merged") === 7L)
+    assert(r.getBoolean(7) && r.getBoolean(8), s"verdicts red: $r")
+
+    // Plain-Scala re-derivation, BOTH levels: per-day bottom-K → union →
+    // re-trim, and the direct one-level bottom-K over the whole week.
+    // Bottom-k mergeability says the two sample SETS are identical, and
+    // the catalog estimates equal the re-derived order statistics.
+    val byDay = rows.groupBy(_._2).values.toSeq
+    val twoLevel = byDay
+      .flatMap(_.map(t => (qh(t._1), t._1, t._5)).sortBy(x => (x._1, x._2)).take(256))
+      .sortBy(x => (x._1, x._2)).take(256)
+    val oneLevel = rows.map(t => (qh(t._1), t._1, t._5))
+      .sortBy(x => (x._1, x._2)).take(256)
+    assert(twoLevel.toSet === oneLevel.toSet, "bottom-k merge law violated")
+    val vals = twoLevel.map(_._3).sorted
+    assert(p50 === vals(math.ceil(0.5 * 256).toInt - 1))
+    assert(p95 === vals(math.ceil(0.95 * 256).toInt - 1))
+    // Planted accuracy: values are 1..n, so rank fraction = value/n.
+    assert(math.abs(p50 / n - 0.5) <= 3.5 * math.sqrt(0.25 / 256) + 1.0 / 256)
+    assert(math.abs(p95 / n - 0.95) <= 3.5 * math.sqrt(0.0475 / 256) + 1.0 / 256)
+  }
+
+  test("quantile rollup: gate fixture verdicts green, tail weeks included") {
+    val rows = Sketches.quantileRollup(spark, sf0001).collect()
+    assert(rows.length === 25) // 5 types × 5 weeks (incl. the 2-day tail)
+    rows.foreach { r =>
+      assert(r.getBoolean(7) && r.getBoolean(8), s"out of band: $r")
+    }
+  }
 }

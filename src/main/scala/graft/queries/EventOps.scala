@@ -652,7 +652,109 @@ object EventOps {
        |FROM dense WINDOW w AS (PARTITION BY event_type ORDER BY day)""".stripMargin
   }
 
+  /** Micro-unit scale for the Holt fold (1e6 — the catalog's floor-fence
+    * resolution, but held in BIGINT so no float ever appears). */
+  private val HoltScale = 1000000L
+
+  /** Holt's linear-trend double exponential smoothing per event type —
+    * the TREND member of the time-series family ([[ewmaSmooth]] smooths
+    * LEVEL only and a ramp drags it behind; Holt carries an explicit
+    * trend state, the forecasting/trend-break staple behind ES
+    * `moving_fn`-style panels and every ops dashboard's "where is this
+    * heading" line). Over the same dense daily spine as EWMA (gap days
+    * = 0 — a gap is data, not absence, for a counter):
+    *
+    *   l_t = (x_t·S + l_{t−1} + b_{t−1}) div 2          (α = 1/2)
+    *   b_t = (l_t − l_{t−1} + 3·b_{t−1}) div 4          (β = 1/4)
+    *   e_t = x_t·S − (l_{t−1} + b_{t−1})   (one-step-ahead residual)
+    *
+    * with l_1 = x_1·S, b_1 = 0. ALL-BIGINT: counts scale into micro
+    * units, α/β are power-of-two integer divisions, and both engines'
+    * integer division truncates toward zero — so the whole recursion is
+    * bit-identical cross-engine and the oracle replays it as a
+    * recursive CTE (one iteration per day), no fence, no band. The
+    * residual column is the trend-break signal (an impulse or slope
+    * change shows as |e| spiking — EwmaSpec pins it on planted series).
+    *
+    * Scale shape: the only corpus-sized work is the (type, day) count
+    * agg (map-side collapse into |types|×|days| cells); the recursion
+    * folds a calendar-bounded array (≤|days| elements) per type via
+    * `aggregate` — interpreted, but over |types| rows of 30-element
+    * arrays, nothing corpus-sized (the txt_repetition rule: lambda
+    * folds are for model-sized state, and this one is). */
+  def holtTrend(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+    val counts = ev.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val days = ev
+      .agg(expr("min(to_date(day))").as("lo"), expr("max(to_date(day))").as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("d"))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"))
+    val dense = ev.select(col("event_type")).distinct()
+      .crossJoin(broadcast(days))
+      .join(counts, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+    val S = HoltScale
+    // No let-binding in SQL lambdas, so l_t appears inline twice in the
+    // b_t expression; element_at(acc, -1) is the (l, b) of day t−1.
+    val step =
+      s"""(acc, x) -> IF(size(acc) = 0,
+         |  array(named_struct('l', x.n * ${S}L, 'b', 0L, 'e', 0L)),
+         |  concat(acc, array(named_struct(
+         |    'l', (x.n * ${S}L + element_at(acc, -1).l + element_at(acc, -1).b) div 2L,
+         |    'b', ((x.n * ${S}L + element_at(acc, -1).l + element_at(acc, -1).b) div 2L
+         |          - element_at(acc, -1).l + 3L * element_at(acc, -1).b) div 4L,
+         |    'e', x.n * ${S}L - (element_at(acc, -1).l + element_at(acc, -1).b)))))""".stripMargin
+    dense.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"), col("n_events").as("n"))))
+        .as("xs"))
+      .select(col("event_type"),
+        explode(expr(
+          s"""arrays_zip(xs, aggregate(xs,
+             |  cast(array() as array<struct<l: bigint, b: bigint, e: bigint>>),
+             |  $step))""".stripMargin)).as("z"))
+      .select(col("event_type"), col("z.xs.day").as("day"),
+        col("z.xs.n").as("n_events"),
+        col("z.1.l").as("level_micro"), col("z.1.b").as("trend_micro"),
+        col("z.1.e").as("err_micro"),
+        (col("z.1.l") + col("z.1.b")).as("forecast_next_micro"))
+  }
+
+  val holtTrendSql: String = {
+    val S = HoltScale
+    s"""WITH RECURSIVE e AS (
+       |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day FROM events),
+       |c AS (SELECT event_type, day, COUNT(*) AS n FROM e GROUP BY 1, 2),
+       |bn AS (SELECT MIN(CAST(day AS DATE)) AS lo, MAX(CAST(day AS DATE)) AS hi FROM e),
+       |d AS (SELECT strftime(unnest(generate_series(CAST(lo AS TIMESTAMP),
+       |                 CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)), '%Y-%m-%d') AS day
+       |      FROM bn),
+       |ty AS (SELECT DISTINCT event_type FROM e),
+       |idx AS (SELECT ty.event_type, d.day,
+       |          CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events,
+       |          row_number() OVER (PARTITION BY ty.event_type ORDER BY d.day) AS i
+       |        FROM ty CROSS JOIN d
+       |        LEFT JOIN c ON c.event_type = ty.event_type AND c.day = d.day),
+       |hw AS (
+       |  SELECT event_type, i, day, n_events,
+       |    n_events * $S AS l, CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS er
+       |  FROM idx WHERE i = 1
+       |  UNION ALL
+       |  SELECT nx.event_type, nx.i, nx.day, nx.n_events,
+       |    (nx.n_events * $S + hw.l + hw.b) // 2 AS l,
+       |    ((nx.n_events * $S + hw.l + hw.b) // 2 - hw.l + 3 * hw.b) // 4 AS b,
+       |    nx.n_events * $S - (hw.l + hw.b) AS er
+       |  FROM hw JOIN idx nx
+       |    ON nx.event_type = hw.event_type AND nx.i = hw.i + 1)
+       |SELECT event_type, day, n_events, l AS level_micro, b AS trend_micro,
+       |  er AS err_micro, l + b AS forecast_next_micro
+       |FROM hw""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_holt_trend" -> (holtTrend _),
     "evt_ewma" -> (ewmaSmooth _),
     "evt_cell_suppression" -> (cellSuppression _),
     "evt_cohort_ltv" -> (cohortLtv _),
@@ -669,6 +771,7 @@ object EventOps {
     "evt_active_users" -> (activeUsers7d _))
 
   val oracles: Map[String, String] = Map(
+    "evt_holt_trend" -> holtTrendSql,
     "evt_ewma" -> ewmaSmoothSql,
     "evt_cell_suppression" -> cellSuppressionSql,
     "evt_approx_percentiles" -> approxPercentilesSql,

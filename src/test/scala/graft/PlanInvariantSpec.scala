@@ -135,6 +135,9 @@ class PlanInvariantSpec extends SparkSpec {
       // partitioning), the rank-count verdict agg after the broadcast
       // est join, and the final alignment; est broadcasts (≤|weeks| rows)
       "evt_quantile_rollup" -> 4,
+      // 3 = the (type, day) count agg, the distinct-types pass, and the
+      // per-type collect_list fold; days + the day-spine broadcast
+      "evt_holt_trend" -> 3,
       // 6 = undirected-edge build (order collect_set + pair distinct),
       // degree agg, the two node-sized orientation-join alignments, the
       // per-node triangle fold, and the final deg⋈triangles align; the

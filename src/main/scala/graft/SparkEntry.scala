@@ -44,7 +44,8 @@ object SparkEntry {
       graft.queries.Graph.queries ++
       graft.queries.UrlDedup.queries ++
       graft.queries.AudienceOverlap.queries ++
-      graft.queries.Sketches.queries
+      graft.queries.Sketches.queries ++
+      graft.queries.DataContract.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -72,5 +73,6 @@ object SparkEntry {
       graft.queries.Graph.oracles ++
       graft.queries.UrlDedup.oracles ++
       graft.queries.AudienceOverlap.oracles ++
-      graft.queries.Sketches.oracles
+      graft.queries.Sketches.oracles ++
+      graft.queries.DataContract.oracles
 }

@@ -135,6 +135,11 @@ class PlanInvariantSpec extends SparkSpec {
       // partitioning), the rank-count verdict agg after the broadcast
       // est join, and the final alignment; est broadcasts (≤|weeks| rows)
       "evt_quantile_rollup" -> 4,
+      // 3 = the dim-key distinct, the two-phase countDistinct split, and
+      // the final one-row fused-analyzer fold; the RI join broadcasts
+      // (ing_ prefix is lake-writing-eager by convention, but this one
+      // is lazily planned, so it CAN be pinned)
+      "ing_data_contract" -> 3,
       // 3 = the (type, day) count agg, the distinct-types pass, and the
       // per-type collect_list fold; days + the day-spine broadcast
       "evt_holt_trend" -> 3,

@@ -519,7 +519,68 @@ object Streaming {
       |FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
       |GROUP BY 1, 2""".stripMargin
 
+  /** Stream-static enrichment join ([[graft.streaming.Enrich]]) — the
+    * events stream broadcast-probes the customer⋈nation dim per
+    * micro-batch, then daily (nation, type) counts finalize on
+    * watermark passage. The sentinel (user −1, year 2100) advances the
+    * watermark at the SOURCE and is then dropped by the inner join
+    * itself — nation membership is the filter, no sink-side scrub.
+    * The DuckDB oracle is the equivalent batch join+rollup, so a
+    * dropped batch, a stale dim probe, or an unfinalized window all
+    * hash-fail. */
+  def streamEnrich(spark: SparkSession, dir: String): DataFrame = enrichLock.synchronized {
+    val scratch = graft.Fixtures.reusedScratchDir("enrich_rt")
+    val in = s"$scratch/in"
+    val sink = s"$scratch/sink"
+    val ckpt = s"$scratch/ckpt"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    Seq(in, sink, ckpt).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    val ev = graft.Tables.load(spark, dir, "events")
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_type"))
+    require(ev.filter(col("user_id") === -1L).head(1).isEmpty,
+      "events table contains user_id -1, reserved as the enrich watermark sentinel")
+    ev.write.parquet(in)
+
+    def runOnce(): Unit = graft.streaming.StateStores.streamingSession(spark) { s =>
+      val dim = graft.Tables.load(s, dir, "customer")
+        .join(graft.Tables.load(s, dir, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      val src = s.readStream
+        .schema("user_id BIGINT, ts TIMESTAMP, event_type STRING")
+        .parquet(in)
+      val q = graft.streaming.Enrich.dailyByNation(src, dim)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    import spark.implicits._
+    Seq((-1L, java.sql.Timestamp.valueOf("2100-01-01 00:00:00"), "zz"))
+      .toDF("user_id", "ts", "event_type")
+      .write.mode("append").parquet(in)
+    runOnce()
+    spark.read.parquet(sink)
+  }
+
+  private val enrichLock = new Object
+
+  val streamEnrichSql: String =
+    """SELECT strftime(date_trunc('day', e.ts), '%Y-%m-%d') AS day,
+      |  n.n_name, e.event_type, COUNT(*) AS n
+      |FROM events e
+      |JOIN customer c ON c.c_custkey = e.user_id
+      |JOIN nation n ON n.n_nationkey = c.c_nationkey
+      |WHERE e.ts IS NOT NULL AND e.user_id IS NOT NULL
+      |GROUP BY 1, 2, 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_enrich" -> (streamEnrich _),
     "stream_approx_users" -> (streamApproxUsers _),
     "stream_left_join" -> (streamLeftJoin _),
     "stream_cdc_apply" -> (streamCdcApply _),
@@ -529,6 +590,7 @@ object Streaming {
     "stream_trending" -> (streamTrending _))
 
   val oracles: Map[String, String] = Map(
+    "stream_enrich" -> streamEnrichSql,
     "stream_approx_users" -> streamApproxUsersSql,
     "stream_left_join" -> streamLeftJoinSql,
     "stream_cdc_apply" -> streamCdcApplySql,

@@ -436,6 +436,46 @@ class StreamingSpec extends SparkSpec {
       "checkpoint replay re-delivered the already-applied feed")
   }
 
+  // ---- stream-static enrichment join (Enrich) ----
+
+  test("stream-static enrich: dim probed per batch, unknown users dropped, window merges across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val dim = Seq((1L, "FRANCE"), (2L, "JAPAN")).toDF("c_custkey", "n_name")
+    val q = graft.streaming.Enrich.dailyByNation(
+        mem.toDF().toDF("user_id", "ts", "event_type"), dim)
+      .writeStream.format("memory").queryName("enrich_mem")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // batch 1: two FRANCE clicks on day 1 — window still open, no rows
+      mem.addData((1L, ts("2024-01-01 10:00:00"), "click"),
+        (1L, ts("2024-01-01 11:00:00"), "click"))
+      q.processAllAvailable()
+      assert(spark.table("enrich_mem").isEmpty, "window emitted before close")
+      // batch 2: three more FRANCE clicks + a JAPAN view + an UNKNOWN
+      // user (99 — not in the dim, must vanish in the join, not null out)
+      mem.addData((1L, ts("2024-01-01 12:00:00"), "click"),
+        (1L, ts("2024-01-01 13:00:00"), "click"),
+        (1L, ts("2024-01-01 14:00:00"), "click"),
+        (2L, ts("2024-01-01 15:00:00"), "view"),
+        (99L, ts("2024-01-01 16:00:00"), "click"))
+      q.processAllAvailable()
+      // batch 3: far-future sentinel (user -1: watermark advances at the
+      // source, then the join drops the row itself)
+      mem.addData((-1L, ts("2100-01-01 00:00:00"), "zz"))
+      q.processAllAvailable()
+      val rows = spark.table("enrich_mem").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+      // the day-1 FRANCE count is 5 — merged across BOTH batches, so the
+      // static side provably joined in each micro-batch
+      assert(rows === Set(
+        ("2024-01-01", "FRANCE", "click", 5L),
+        ("2024-01-01", "JAPAN", "view", 1L)))
+    } finally q.stop()
+  }
+
   // ---- streaming HLL approx-distinct (ApproxUsers) ----
 
   private def hlluEvt(typ: String, weekStr: String, tsStr: String, user: Long) = {

@@ -45,7 +45,9 @@ object SparkEntry {
       graft.queries.UrlDedup.queries ++
       graft.queries.AudienceOverlap.queries ++
       graft.queries.Sketches.queries ++
-      graft.queries.DataContract.queries
+      graft.queries.DataContract.queries ++
+      graft.queries.AssocRules.queries ++
+      graft.queries.Experiments.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -74,5 +76,7 @@ object SparkEntry {
       graft.queries.UrlDedup.oracles ++
       graft.queries.AudienceOverlap.oracles ++
       graft.queries.Sketches.oracles ++
-      graft.queries.DataContract.oracles
+      graft.queries.DataContract.oracles ++
+      graft.queries.AssocRules.oracles ++
+      graft.queries.Experiments.oracles
 }

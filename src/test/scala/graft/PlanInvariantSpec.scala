@@ -153,7 +153,20 @@ class PlanInvariantSpec extends SparkSpec {
       // sides BROADCAST into the orientation (2 of the exact form's
       // node-sized alignments disappear); live shuffles = the full-deg
       // agg and the per-node triangle fold
-      "rel_triangle_sample" -> 2)
+      "rel_triangle_sample" -> 2,
+      // 3 = the basket collect_set, the item-support agg, and the pair
+      // agg + final window (the pruned re-group reuses the baskets'
+      // ok-partitioning — explode and the broadcast semi-join both
+      // preserve it); supports/frequent-set/N all broadcast
+      "rel_assoc_rules" -> 3,
+      // 3 = the exposure min-struct agg, the attribution join's event
+      // side (the (u,t) collapse reuses the join's u-partitioning),
+      // and the |metrics|-key pivot fold; exposure + Ns broadcast
+      "evt_ab_test" -> 3,
+      // 3 = the (u,day) visit window (the path collect reuses its
+      // partitioning), the path-count agg, and the top-K window;
+      // the total-visits scalar broadcasts off the persisted visits
+      "evt_path_topk" -> 3)
     def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
       var n = 0
       def walk(q: org.apache.spark.sql.execution.SparkPlan): Unit = {

@@ -89,8 +89,19 @@ object AssocRules {
       .select(col("e.pa").as("pa"), col("e.pb").as("pb"))
       .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("co"))
       .filter(col("co") >= MinSup)
+    // Top-K via orderBy+limit, NOT a global rank window: at the 10×
+    // decade minsup stops pruning (every cloned pair clears it) and
+    // the surviving-pair set grows to ~1M rows — a partition-less
+    // row_number window drags them all through ONE partition (measured
+    // 34 s at 10×; the rewrite to WindowGroupLimit does not fire when
+    // the rank column is consumed downstream). TakeOrderedAndProject
+    // instead takes the top 25 PER PARTITION and merges 32×25 rows;
+    // the rank window then runs on the 25 survivors only (same total
+    // order, so the same rows and the same ranks).
     val w = Window.orderBy(col("co").desc, col("pa").asc, col("pb").asc)
-    val top = co.withColumn("rk", row_number().over(w)).filter(col("rk") <= TopK)
+    val top = co.orderBy(col("co").desc, col("pa").asc, col("pb").asc)
+      .limit(TopK)
+      .withColumn("rk", row_number().over(w))
     val nOrders = broadcast(
       Tables.load(spark, dir, "orders").agg(count(lit(1)).as("n")))
     // Support joins AFTER top-K: 25 rows probe the broadcast item-

@@ -47,7 +47,8 @@ object SparkEntry {
       graft.queries.Sketches.queries ++
       graft.queries.DataContract.queries ++
       graft.queries.AssocRules.queries ++
-      graft.queries.Experiments.queries
+      graft.queries.Experiments.queries ++
+      graft.queries.TrendOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -78,5 +79,6 @@ object SparkEntry {
       graft.queries.Sketches.oracles ++
       graft.queries.DataContract.oracles ++
       graft.queries.AssocRules.oracles ++
-      graft.queries.Experiments.oracles
+      graft.queries.Experiments.oracles ++
+      graft.queries.TrendOps.oracles
 }

@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Change detection + seasonal decomposition over the daily event
+  * series — the two remaining members of the trend family
+  * ([[EventOps]] carries the smoothers: z-score residuals, EWMA, Holt;
+  * these add the STRUCTURAL questions: "did the level shift, and
+  * when?" and "what does a normal week look like?").
+  *
+  * == evt_cusum ==
+  * Page's cumulative-sum statistic (Page 1954), the classic offline
+  * changepoint locator: for each event type, the running sum of
+  * deviations from the series mean peaks exactly at the point where
+  * the level shifts. Kept EXACT-INTEGER by scaling out the division:
+  * with D days and total T, the deviation `n_d − T/D` becomes
+  * `n_d·D − T` (×D), so `cusum_scaled_d = Σ_{i≤d} (n_i·D − T)` is a
+  * BIGINT recursion identical in both engines — zero floats, no
+  * rounding fence needed (the magnitude bound is |cusum| ≤ T·D, safe
+  * while T·D < 2⁶³ — 7·10⁹ daily events × a 365-day window sits at
+  * 2.6·10¹⁸). The day spine is DENSE (the histogramDense convention:
+  * a one-row bounds fold → sequence → explode; a distinct over
+  * observed days would skip zero days and silently shrink D), and
+  * `is_peak` marks the |cusum|-argmax day (ties → earliest) — the
+  * changepoint estimate.
+  *
+  * == evt_seasonality ==
+  * The day-of-week seasonal profile (the multiplicative seasonal
+  * index ES dashboards overlay on date histograms): per (type, ISO
+  * weekday), observed events vs the count a flat series would put on
+  * that weekday. `idx_micro = (10⁶·n_dow·D) div (T·D_dow)` — exact
+  * integer micro-units; D_dow (how many Mondays … the spine holds) is
+  * computed off the SAME dense spine so a partial trailing week
+  * cannot bias the index. Weekday numbering is ISO Monday=1
+  * (`weekday()+1` here, `isodow()` in DuckDB).
+  *
+  * Scale shape (100 TB answer, both): ONE corpus-sized exchange — the
+  * (type, day) count agg with map-side partials; everything after
+  * (bounds fold, spine fill, the |days|-row cumulative window per
+  * type, the 7-key weekday fold) is model-sized (|types|·|days| rows).
+  * The spine broadcasts; the per-type window partitions by type.
+  */
+object TrendOps {
+
+  private val Micro = 1000000L
+
+  /** Dense per-(type, day) counts — the shared first stage. ONE
+    * corpus-sized exchange: the (type, day) count agg; bounds and the
+    * type dim derive from the persisted COUNTS table (every observed
+    * day/type appears there), so the event stream is scanned once, not
+    * three times. */
+  private def dailyCounts(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.load(spark, dir, "events")
+      .select(col("event_type").as("t"), to_date(col("ts")).as("day"))
+      .groupBy(col("t"), col("day")).agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val days = counts.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+    val spine = counts.select(col("t")).distinct().crossJoin(broadcast(days))
+    spine.join(counts, Seq("t", "day"), "left")
+      .select(col("t"), col("day"), coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  private val dailyCountsSql: String =
+    """ev AS (SELECT event_type AS t, CAST(ts AS DATE) AS day FROM events),
+      |counts AS (SELECT t, day, COUNT(*) AS n FROM ev GROUP BY 1, 2),
+      |bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM ev),
+      |days AS (SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+      |           CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+      |         FROM bounds),
+      |spine AS (SELECT t, day FROM (SELECT DISTINCT t FROM ev) ty CROSS JOIN days),
+      |dense AS (SELECT s.t, s.day, COALESCE(c.n, 0) AS n
+      |          FROM spine s LEFT JOIN counts c ON c.t = s.t AND c.day = s.day)""".stripMargin
+
+  def cusum(spark: SparkSession, dir: String): DataFrame = {
+    val dense = dailyCounts(spark, dir)
+    val perType = Window.partitionBy(col("t"))
+    val runW = perType.orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scaled = dense
+      .withColumn("dd", count(lit(1)).over(perType))
+      .withColumn("tt", sum(col("n")).over(perType))
+      .withColumn("cusum_scaled",
+        sum(col("n") * col("dd") - col("tt")).over(runW))
+    val peakW = perType.orderBy(abs(col("cusum_scaled")).desc, col("day").asc)
+    scaled
+      .withColumn("pk", row_number().over(peakW))
+      .select(col("t").as("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n"), col("cusum_scaled"),
+        (col("pk") === 1).as("is_peak"))
+  }
+
+  val cusumSql: String =
+    s"""WITH $dailyCountsSql,
+       |scaled AS (
+       |  SELECT t, day, n,
+       |    COUNT(*) OVER (PARTITION BY t) AS dd,
+       |    SUM(n) OVER (PARTITION BY t) AS tt
+       |  FROM dense),
+       |cs AS (
+       |  SELECT t, day, n,
+       |    CAST(SUM(n * dd - tt) OVER (PARTITION BY t ORDER BY day ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cusum_scaled
+       |  FROM scaled)
+       |SELECT t AS event_type, strftime(day, '%Y-%m-%d') AS day, n,
+       |  cusum_scaled,
+       |  row_number() OVER (PARTITION BY t
+       |                     ORDER BY abs(cusum_scaled) DESC, day ASC) = 1
+       |    AS is_peak
+       |FROM cs""".stripMargin
+
+  def seasonality(spark: SparkSession, dir: String): DataFrame = {
+    val dense = dailyCounts(spark, dir)
+      .withColumn("dow", (weekday(col("day")) + 1).cast("long"))
+    dense
+      .groupBy(col("t"), col("dow"))
+      .agg(sum(col("n")).as("n_events"), count(lit(1)).as("n_days"))
+      .withColumn("dd", sum(col("n_days"))
+        .over(Window.partitionBy(col("t"))))
+      .withColumn("tt", sum(col("n_events"))
+        .over(Window.partitionBy(col("t"))))
+      .select(col("t").as("event_type"), col("dow"),
+        col("n_events"), col("n_days"),
+        expr(s"($Micro * n_events * dd) div (tt * n_days)").as("idx_micro"))
+  }
+
+  val seasonalitySql: String =
+    s"""WITH $dailyCountsSql,
+       |dw AS (SELECT t, CAST(isodow(day) AS BIGINT) AS dow,
+       |         CAST(SUM(n) AS BIGINT) AS n_events, COUNT(*) AS n_days
+       |       FROM dense GROUP BY 1, 2),
+       |tot AS (SELECT t, dow, n_events, n_days,
+       |          CAST(SUM(n_days) OVER (PARTITION BY t) AS BIGINT) AS dd,
+       |          CAST(SUM(n_events) OVER (PARTITION BY t) AS BIGINT) AS tt
+       |        FROM dw)
+       |SELECT t AS event_type, dow, n_events, n_days,
+       |  CAST(($Micro * n_events * dd) // (tt * n_days) AS BIGINT) AS idx_micro
+       |FROM tot""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_cusum" -> (cusum _),
+    "evt_seasonality" -> (seasonality _))
+
+  val oracles: Map[String, String] = Map(
+    "evt_cusum" -> cusumSql,
+    "evt_seasonality" -> seasonalitySql)
+}

@@ -166,7 +166,16 @@ class PlanInvariantSpec extends SparkSpec {
       // 3 = the (u,day) visit window (the path collect reuses its
       // partitioning), the path-count agg, and the top-K window;
       // the total-visits scalar broadcasts off the persisted visits
-      "evt_path_topk" -> 3)
+      "evt_path_topk" -> 3,
+      // 1 = the per-customer rank window's exchange; the banded
+      // supplier dim broadcasts (×≤3 band explode), so the probe is
+      // map-side and candidates never shuffle
+      "geo_knn_join" -> 1,
+      // 2 each = the one corpus-sized (type,day)/(type,dow) count agg
+      // + the model-sized per-type window alignment; bounds/type dims
+      // derive from the persisted counts, the day spine broadcasts
+      "evt_cusum" -> 2,
+      "evt_seasonality" -> 2)
     def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
       var n = 0
       def walk(q: org.apache.spark.sql.execution.SparkPlan): Unit = {

@@ -1,0 +1,82 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.queries.TrendOps
+
+/** Planted-series gates for the trend pair: the CUSUM peak must land
+  * on a planted level shift (the detection semantics the row-level
+  * oracle can't attribute), the dense spine must zero-fill gap days
+  * into the statistic, and the seasonal index must recover a planted
+  * weekday bias exactly. */
+class TrendOpsSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  /** Plant a 20-day series: 'shift' runs 2/day for days 1-10 then
+    * 8/day for days 11-20 (a level shift at day 11); 'flat' runs
+    * 3/day throughout except day 5 has NO events (spine gap);
+    * 'monday' fires 7 on Mondays and 1 otherwise. 2024-01-01 is a
+    * Monday and 2024-01-20 a Saturday — 3 Mondays in the spine. */
+  private lazy val out = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("trend").toString
+    var eid = 0L
+    def day(i: Int) = f"2024-01-$i%02d"
+    def evs(u: Long, t: String, d: Int, n: Int) = (1 to n).map { k =>
+      eid += 1; (eid, ts(f"${day(d)} 10:${k / 60}%02d:${k % 60}%02d"), u, t, 1.0, "{}")
+    }
+    val rows =
+      (1 to 10).flatMap(d => evs(1L, "shift", d, 2)) ++
+        (11 to 20).flatMap(d => evs(1L, "shift", d, 8)) ++
+        (1 to 20).filter(_ != 5).flatMap(d => evs(2L, "flat", d, 3)) ++
+        (1 to 20).flatMap(d => evs(3L, "monday", d,
+          if (d % 7 == 1) 7 else 1)) // days 1, 8, 15 are Mondays
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    (TrendOps.cusum(spark, tmp).collect(),
+      TrendOps.seasonality(spark, tmp).collect())
+  }
+
+  test("cusum peak lands on the planted level shift and the series is exact") {
+    val cs = out._1.filter(_.getAs[String]("event_type") == "shift")
+    assert(cs.length === 20, "dense spine must cover all 20 days")
+    val peak = cs.filter(_.getAs[Boolean]("is_peak"))
+    assert(peak.length === 1)
+    // mean is 5/day: cusum_scaled walks -60 per day for days 1-10
+    // (2*20-100) then +60; |cusum| maxes at day 10, the last
+    // pre-shift day (the standard CUSUM changepoint estimate)
+    assert(peak.head.getAs[String]("day") === "2024-01-10",
+      s"peak at ${peak.head.getAs[String]("day")}, expected the shift boundary")
+    assert(peak.head.getAs[Long]("cusum_scaled") === -600L)
+    // endpoint identity: the full-window cusum telescopes to zero
+    val last = cs.filter(_.getAs[String]("day") == "2024-01-20").head
+    assert(last.getAs[Long]("cusum_scaled") === 0L)
+  }
+
+  test("a zero-event gap day enters the spine and the statistic") {
+    val fl = out._1.filter(_.getAs[String]("event_type") == "flat")
+    assert(fl.length === 20)
+    val gap = fl.filter(_.getAs[String]("day") == "2024-01-05").head
+    assert(gap.getAs[Long]("n") === 0L, "gap day must zero-fill, not vanish")
+    // 57 events over 20 days: deviation 0*20-57 = -57 on the gap day
+    // stands out against the +3 drift (3*20-57) of normal days — the
+    // peak IS the gap
+    val peak = fl.filter(_.getAs[Boolean]("is_peak")).head
+    assert(peak.getAs[String]("day") === "2024-01-05")
+  }
+
+  test("seasonal index recovers the planted Monday bias exactly") {
+    val mo = out._2.filter(_.getAs[String]("event_type") == "monday")
+    assert(mo.map(_.getAs[Long]("dow")).sorted.toSeq === (1L to 7L),
+      "all seven ISO weekdays must appear for a 20-day spine")
+    val monday = mo.find(_.getAs[Long]("dow") == 1L).get
+    // 3 Mondays ×7 = 21 of 38 total; idx = 1e6*21*20 div (38*3)
+    assert(monday.getAs[Long]("n_events") === 21L)
+    assert(monday.getAs[Long]("n_days") === 3L)
+    assert(monday.getAs[Long]("idx_micro") === 1000000L * 21 * 20 / (38 * 3))
+    // a non-boosted weekday sits below parity
+    val tue = mo.find(_.getAs[Long]("dow") == 2L).get
+    assert(tue.getAs[Long]("idx_micro") < 1000000L)
+  }
+}

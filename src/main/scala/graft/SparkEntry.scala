@@ -48,7 +48,8 @@ object SparkEntry {
       graft.queries.DataContract.queries ++
       graft.queries.AssocRules.queries ++
       graft.queries.Experiments.queries ++
-      graft.queries.TrendOps.queries
+      graft.queries.TrendOps.queries ++
+      graft.queries.Survival.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -80,5 +81,6 @@ object SparkEntry {
       graft.queries.DataContract.oracles ++
       graft.queries.AssocRules.oracles ++
       graft.queries.Experiments.oracles ++
-      graft.queries.TrendOps.oracles
+      graft.queries.TrendOps.oracles ++
+      graft.queries.Survival.oracles
 }

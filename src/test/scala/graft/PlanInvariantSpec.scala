@@ -175,7 +175,15 @@ class PlanInvariantSpec extends SparkSpec {
       // + the model-sized per-type window alignment; bounds/type dims
       // derive from the persisted counts, the day spine broadcasts
       "evt_cusum" -> 2,
-      "evt_seasonality" -> 2)
+      "evt_seasonality" -> 2,
+      // 3 = the persisted per-user lifetime collapse (the only
+      // corpus-sized exchange), the |lifetimes|-key KM fold, and the
+      // model-sized suffix/running window alignment
+      "evt_survival" -> 3,
+      // 3 = the persisted per-part revenue collapse (corpus-sized),
+      // the |parts|-row ranking window (dim-sized by construction —
+      // the pagerank final-window convention), and the 3-key class fold
+      "rel_abc_analysis" -> 3)
     def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
       var n = 0
       def walk(q: org.apache.spark.sql.execution.SparkPlan): Unit = {

@@ -57,9 +57,9 @@ import graft.Tables
   *
   * == rel_abc_analysis ==
   * Parts ranked by exact revenue cents (l_extendedprice is a 2-decimal
-  * value; ×100 + round is exact BIGINT in both engines), cumulative
-  * share in integer micro-units (`cum·10⁶ div total`), class A while
-  * the PRIOR cumulative share is < 800000, B while < 950000, else C —
+  * value; ×100 + round is exact BIGINT in both engines), class A while
+  * the PRIOR cumulative share is < 4/5, B while < 19/20, else C (the
+  * cuts are cross-multiplied integer comparisons, see the body) —
   * "prior share" (share BEFORE this part) makes the boundary part land
   * in the class it completes, the textbook first-crossing rule, and
   * keeps the test pure-integer. Output: per class, part count, revenue
@@ -166,19 +166,27 @@ object Survival {
     val w = Window.orderBy(col("cents").desc, col("p").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = broadcast(rev.agg(sum(col("cents")).as("tot")))
+    // Class cuts via CROSS-MULTIPLIED integer comparisons, never
+    // `10⁶ · cum` (the 10× harness caught the overflow: total cents
+    // ×10⁶ clears 2⁶³ already one decade past sf0.1): prior/tot < 4/5
+    // ⇔ prior·5 < tot·4, and < 19/20 ⇔ prior·20 < tot·19 — safe while
+    // total cents < 4.6·10¹⁷ ($4.6 quadrillion). The output share
+    // goes through DECIMAL(38,0) `div` (Spark returns LONG; the
+    // oracle's HUGEINT `//` is the same floor).
     rev.crossJoin(tot)
       .withColumn("cum", sum(col("cents")).over(w))
-      .withColumn("prior_share", expr(s"(($Micro * (cum - cents)) div tot)"))
+      .withColumn("prior", col("cum") - col("cents"))
       .withColumn("cls",
-        when(col("prior_share") < 800000L, "A")
-          .when(col("prior_share") < 950000L, "B")
+        when(col("prior") * 5 < col("tot") * 4, "A")
+          .when(col("prior") * 20 < col("tot") * 19, "B")
           .otherwise("C"))
       .groupBy(col("cls"))
       .agg(count(lit(1)).as("n_parts"), sum(col("cents")).as("revenue_cents"))
       .crossJoin(tot)
       .select(col("cls").as("abc_class"), col("n_parts"),
         col("revenue_cents"),
-        expr(s"($Micro * revenue_cents) div tot").as("share_micro"))
+        expr(s"CAST((CAST(revenue_cents AS DECIMAL(38,0)) * $Micro) div tot AS BIGINT)")
+          .as("share_micro"))
   }
 
   val abcAnalysisSql: String =
@@ -194,13 +202,14 @@ object Survival {
        |  FROM rev),
        |cls AS (
        |  SELECT p, cents,
-       |    CASE WHEN ($Micro * (cum - cents)) // tot.tot < 800000 THEN 'A'
-       |         WHEN ($Micro * (cum - cents)) // tot.tot < 950000 THEN 'B'
+       |    CASE WHEN (cum - cents) * 5 < tot.tot * 4 THEN 'A'
+       |         WHEN (cum - cents) * 20 < tot.tot * 19 THEN 'B'
        |         ELSE 'C' END AS cls
        |  FROM cum CROSS JOIN tot)
        |SELECT cls AS abc_class, COUNT(*) AS n_parts,
        |  CAST(SUM(cents) AS BIGINT) AS revenue_cents,
-       |  CAST(($Micro * SUM(cents)) // tot.tot AS BIGINT) AS share_micro
+       |  CAST(($Micro::HUGEINT * CAST(SUM(cents) AS BIGINT)) // tot.tot AS BIGINT)
+       |    AS share_micro
        |FROM cls CROSS JOIN tot GROUP BY cls, tot.tot""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -131,9 +131,20 @@ class ServeSoakSpec extends SparkSpec {
         (System.nanoTime() - t0) / 1000000L
       }.max
       val bound = math.max(5000L, 12L * math.max(baseline, post))
-      info(f"latency ms: baseline $baseline post $post p50 $p50 p95 $p95 max ${lat.last} (bound $bound)")
-      assert(p95 <= bound, s"p95 ${p95}ms blew the soak bound ${bound}ms " +
-        s"(12x warm baseline ${math.max(baseline, post)}ms); latencies tail: ${lat.takeRight(5)}")
+      // Two-sided detection (r17: the r16-era p95-only bound false-failed
+      // when a box-wide load spike arrived MID-storm and subsided before
+      // the post sample — neither baseline saw it, a handful of requests
+      // did). The defect this gate exists for — requests serializing
+      // behind refresh ticks — inflates the MEDIAN (every request
+      // queues), so p50 carries the systemic assert; the tail assert
+      // stays, but relative to the storm's own median as well as the
+      // baselines, which ambient spikes move together.
+      val tailBound = math.max(bound, 20L * p50)
+      info(f"latency ms: baseline $baseline post $post p50 $p50 p95 $p95 max ${lat.last} (bound $bound tail $tailBound)")
+      assert(p50 <= bound, s"median ${p50}ms blew the soak bound ${bound}ms — " +
+        s"requests are serializing (12x warm baseline ${math.max(baseline, post)}ms)")
+      assert(p95 <= tailBound, s"p95 ${p95}ms blew the tail bound ${tailBound}ms " +
+        s"(p50 ${p50}ms); latencies tail: ${lat.takeRight(5)}")
     } finally srv.stop(0)
   }
 }

@@ -49,7 +49,8 @@ object SparkEntry {
       graft.queries.AssocRules.queries ++
       graft.queries.Experiments.queries ++
       graft.queries.TrendOps.queries ++
-      graft.queries.Survival.queries
+      graft.queries.Survival.queries ++
+      graft.queries.Growth.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -82,5 +83,6 @@ object SparkEntry {
       graft.queries.AssocRules.oracles ++
       graft.queries.Experiments.oracles ++
       graft.queries.TrendOps.oracles ++
-      graft.queries.Survival.oracles
+      graft.queries.Survival.oracles ++
+      graft.queries.Growth.oracles
 }

@@ -183,7 +183,18 @@ class PlanInvariantSpec extends SparkSpec {
       // 3 = the persisted per-part revenue collapse (corpus-sized),
       // the |parts|-row ranking window (dim-sized by construction —
       // the pagerank final-window convention), and the 3-key class fold
-      "rel_abc_analysis" -> 3)
+      "rel_abc_analysis" -> 3,
+      // 5 = the (u,day) distinct (the ONE corpus exchange, map-side
+      // partial dedup before the wire), the per-user lag alignment
+      // over the deduped table, the two flow folds, and the day join;
+      // the corpus-edge scalar broadcasts
+      "evt_growth_accounting" -> 5,
+      // 10, but only the per-user metric fold is corpus-sized: the
+      // other 9 are the edge/N scalars and the three model-sized
+      // value-histogram aggs + their single-partition cut windows
+      // (each histogram ≤ |distinct metric values| rows); cut maps
+      // broadcast back onto users
+      "evt_rfm" -> 10)
     def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
       var n = 0
       def walk(q: org.apache.spark.sql.execution.SparkPlan): Unit = {

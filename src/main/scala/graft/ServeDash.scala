@@ -44,7 +44,7 @@ private[graft] object ServeDash {
       |  --surface-1:#fcfcfb; --surface-2:#f0efec;
       |  --text-primary:#0b0b0b; --text-secondary:#52514e;
       |  --grid:#e4e3df;
-      |  --series-1:#2a78d6; --series-2:#eb6834; --series-3:#1baf7a;
+      |  --series-1:#2a78d6; --series-2:#eb6834; --series-3:#1baf7a; --series-4:#8a5cd6;
       |}
       |@media (prefers-color-scheme: dark){
       |  :root:where(:not([data-theme="light"])) .viz-root{
@@ -52,7 +52,7 @@ private[graft] object ServeDash {
       |    --surface-1:#1a1a19; --surface-2:#383835;
       |    --text-primary:#ffffff; --text-secondary:#c3c2b7;
       |    --grid:#31312f;
-      |    --series-1:#3987e5; --series-2:#d95926; --series-3:#199e70;
+      |    --series-1:#3987e5; --series-2:#d95926; --series-3:#199e70; --series-4:#9a6fe0;
       |  }
       |}
       |:root[data-theme="dark"] .viz-root{
@@ -60,7 +60,7 @@ private[graft] object ServeDash {
       |  --surface-1:#1a1a19; --surface-2:#383835;
       |  --text-primary:#ffffff; --text-secondary:#c3c2b7;
       |  --grid:#31312f;
-      |  --series-1:#3987e5; --series-2:#d95926; --series-3:#199e70;
+      |  --series-1:#3987e5; --series-2:#d95926; --series-3:#199e70; --series-4:#9a6fe0;
       |}
       |body{margin:0}
       |.viz-root{font-family:system-ui,sans-serif;background:var(--surface-1);
@@ -137,6 +137,13 @@ private[graft] object ServeDash {
       |  <div class="legend" id="legend4"></div>
       |  <details><summary>Data table</summary><div id="t4"></div></details>
       |</div>
+      |<div class="card">
+      |  <h2>User growth accounting</h2>
+      |  <div class="note">daily actives decomposed into new, retained and resurrected; churn plotted below the axis</div>
+      |  <div class="legend" id="legend5"></div>
+      |  <div id="c5"></div>
+      |  <details><summary>Data table</summary><div id="t5"></div></details>
+      |</div>
       |<div class="tip" id="tip"></div>
       |<script>
       |"use strict";
@@ -193,7 +200,7 @@ private[graft] object ServeDash {
       |  if (!r.ok) throw new Error(name + ": HTTP " + r.status);
       |  return (await r.json()).rows;
       |}
-      |let HIST = [], ACT = [], NAT = [], GEO = [];
+      |let HIST = [], ACT = [], NAT = [], GEO = [], GROWTH = [];
       |
       |// ---- charts (re-entrant renders; window select slices client-side) ----
       |const W = 900, H = 240, M = {l:52, r:46, t:10, b:24};
@@ -413,6 +420,62 @@ private[graft] object ServeDash {
       |  table($("t4"), ["cell", "n", "sum_bal"],
       |    [...GEO].sort((a, b) => b.sum_bal - a.sum_bal).slice(0, 25));
       |}
+      |// growth accounting: stacked inflow bars above the axis (new /
+      |// retained / resurrected are a PARTITION of the day's actives, so
+      |// a stack is the honest form), churn as its own bar below zero —
+      |// one shared y-scale, one axis (a flow chart, not dual-axis).
+      |const FLOWS = [["new_users","new"],["retained","retained"],["resurrected","resurrected"]];
+      |function stackChart(){
+      |  const rows = [...GROWTH].sort((a, b) => a.day < b.day ? -1 : 1);
+      |  const maxUp = Math.max(...rows.map(r => r.new_users + r.retained + r.resurrected));
+      |  const maxDn = Math.max(...rows.map(r => r.churned));
+      |  const h = 260, top = 12, bot = 30;
+      |  const y0 = top + (h - top - bot) * maxUp / Math.max(1, maxUp + maxDn);
+      |  const sy = (h - top - bot) / Math.max(1, maxUp + maxDn); // px per user
+      |  const svg = el("svg", {viewBox: `0 0 ${W} ${h}`, width: "100%"});
+      |  const bw = Math.max(3, Math.floor((W - M.l - M.r) / Math.max(1, rows.length)) - 2);
+      |  const x = i => M.l + i * (W - M.l - M.r) / Math.max(1, rows.length);
+      |  // zero baseline, recessive
+      |  el("line", {x1: M.l, y1: y0, x2: W - M.r, y2: y0, stroke: css("--grid")}, svg);
+      |  rows.forEach((r, i) => {
+      |    let yy = y0;
+      |    FLOWS.forEach(([k], s) => {
+      |      const hh = r[k] * sy;
+      |      if (hh > 0){
+      |        // 2px surface gap between stacked segments (and ≥1px sliver
+      |        // so a tiny nonzero segment stays visible)
+      |        el("rect", {x: x(i), y: yy - Math.max(1, hh - 2), width: bw,
+      |          height: Math.max(1, hh - 2), fill: slot(s)}, svg);
+      |        yy -= hh;
+      |      }
+      |    });
+      |    if (r.churned > 0)
+      |      el("rect", {x: x(i), y: y0 + 2, width: bw,
+      |        height: Math.max(1, r.churned * sy - 2), fill: css("--series-4")}, svg);
+      |    const hit = el("rect", {x: x(i), y: 0, width: bw + 2, height: h, fill: "transparent"}, svg);
+      |    hit.addEventListener("pointermove", ev => showTip(ev.clientX, ev.clientY, into => {
+      |      const hh = document.createElement("div"); hh.className = "s";
+      |      hh.textContent = r.day; into.appendChild(hh);
+      |      FLOWS.forEach(([k, lbl], s) => tipRow(into, slot(s), lbl, String(r[k])));
+      |      tipRow(into, css("--series-4"), "churned", String(r.churned));
+      |    }));
+      |    hit.addEventListener("pointerleave", hideTip);
+      |  });
+      |  // sparse x labels: first / middle / last day
+      |  [0, Math.floor(rows.length / 2), rows.length - 1].forEach(i => { if (i >= 0 && rows[i]){
+      |    const t = el("text", {x: x(i), y: h - 8}, svg); t.textContent = rows[i].day; }});
+      |  const lg = $("legend5"); lg.replaceChildren();
+      |  FLOWS.map(([k, lbl], s) => [lbl, slot(s)]).concat([["churned", css("--series-4")]])
+      |    .forEach(([lbl, c]) => {
+      |      const it = document.createElement("span"); it.className = "item";
+      |      const sw = document.createElement("span"); sw.className = "swatch";
+      |      sw.style.background = c; it.appendChild(sw);
+      |      it.appendChild(document.createTextNode(lbl)); lg.appendChild(it);
+      |    });
+      |  $("c5").replaceChildren(svg);
+      |  table($("t5"), ["day", "new_users", "retained", "resurrected", "churned"], rows);
+      |}
+      |
       |// each chart guards on ITS dataset: one empty panel must not
       |// blank the other three (an empty ACT dereferencing its last row
       |// previously threw and killed bar+map too)
@@ -421,6 +484,7 @@ private[graft] object ServeDash {
       |  if (ACT.length) areaChart();
       |  if (NAT.length) barChart();
       |  if (GEO.length) mapChart();
+      |  if (GROWTH.length) stackChart();
       |}
       |$("win").addEventListener("input", renderAll);
       |$("theme").addEventListener("click", () => {
@@ -431,9 +495,10 @@ private[graft] object ServeDash {
       |});
       |async function loadAll(){
       |  try {
-      |    [HIST, ACT, NAT, GEO] = await Promise.all([
+      |    [HIST, ACT, NAT, GEO, GROWTH] = await Promise.all([
       |      q("rel_histogram_dense", 600), q("evt_active_users", 600),
-      |      q("rel_dim_join_agg", 100), q("geo_cell_agg", 9000)]);
+      |      q("rel_dim_join_agg", 100), q("geo_cell_agg", 9000),
+      |      q("evt_growth_accounting", 600)]);
       |    ACT.sort((a, b) => a.day < b.day ? -1 : 1);
       |    renderAll();
       |  } catch (e) {

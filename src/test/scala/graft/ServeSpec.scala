@@ -262,7 +262,8 @@ class ServeSpec extends SparkSpec {
     assert(code === 200)
     assert(body.contains("<!doctype html>") && body.contains("graft overview"))
     // the page draws from the serving API, not its own data path
-    for (q <- Seq("rel_histogram_dense", "evt_active_users", "rel_dim_join_agg"))
+    for (q <- Seq("rel_histogram_dense", "evt_active_users",
+        "rel_dim_join_agg", "evt_growth_accounting"))
       assert(body.contains(q), s"dashboard lost its $q source")
     // untrusted values never ride innerHTML; identity text wears text
     // tokens, marks carry the series color

@@ -951,7 +951,9 @@ object Serve {
     "rel_histogram_dense" ->
       ((s, d, f, t) => graft.queries.EsAggs.histogramDense(s, d, f, t)),
     "evt_active_users" ->
-      ((s, d, f, t) => graft.queries.EventOps.activeUsers7d(s, d, f, t)))
+      ((s, d, f, t) => graft.queries.EventOps.activeUsers7d(s, d, f, t)),
+    "evt_growth_accounting" ->
+      ((s, d, f, t) => graft.queries.Growth.growthAccounting(s, d, f, t)))
 
   private def jstr(s: String): String =
     "\"" + s.flatMap {

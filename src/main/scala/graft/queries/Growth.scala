@@ -59,10 +59,28 @@ import graft.Tables
   */
 object Growth {
 
-  def growthAccounting(spark: SparkSession, dir: String): DataFrame = {
+  def growthAccounting(spark: SparkSession, dir: String): DataFrame =
+    growthAccounting(spark, dir, None, None)
+
+  /** [[growthAccounting]] over a server-chosen `[from, to]` day slice
+    * (the dashboard range): the bounds land on the raw `ts` scan
+    * column BEFORE anything else, so they reach the parquet reader as
+    * PushedFilters. Semantics are slice-relative (the activeUsers7d
+    * convention): "new" = first activity WITHIN the slice, churn at
+    * the slice-local corpus edge. */
+  def growthAccounting(spark: SparkSession, dir: String,
+      from: Option[java.time.LocalDate],
+      to: Option[java.time.LocalDate]): DataFrame = {
     val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val base = Tables.load(spark, dir, "events")
+    val sliced = Seq(
+      from.map(d => col("ts") >=
+        lit(java.sql.Timestamp.valueOf(d.atStartOfDay))),
+      to.map(d => col("ts") <
+        lit(java.sql.Timestamp.valueOf(d.plusDays(1).atStartOfDay))))
+      .flatten.foldLeft(base)(_.filter(_))
     // THE corpus collapse: distinct active (user, day).
-    val ud = Tables.load(spark, dir, "events")
+    val ud = sliced
       .select(col("user_id").as("u"), to_date(col("ts")).as("day"))
       .distinct()
       .persist(sl)

@@ -70,6 +70,30 @@ class GrowthSpec extends SparkSpec {
     }
   }
 
+  test("time-sliced growth pushes the ts range to the scan; flows are slice-relative") {
+    val from = Some(java.time.LocalDate.parse("2024-01-10"))
+    val to = Some(java.time.LocalDate.parse("2024-01-20"))
+    val df = Growth.growthAccounting(spark, sf0001, from, to)
+    val scans = PlanTestUtil.deepCollect(df.queryExecution.executedPlan) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    val pushed = scans.flatMap(_.metadata.get("PushedFilters"))
+    assert(pushed.exists(p => p.contains("ts")
+        && p.contains("GreaterThanOrEqual") && p.contains("LessThan")),
+      s"ts range not pushed to scan: $pushed")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val days = rows.map(_.getAs[String]("day"))
+    assert(days.forall(d => d >= "2024-01-10" && d <= "2024-01-20"),
+      s"out-of-slice day in ${days.toSeq}")
+    // slice-relative: day 1 of the slice is ALL new users (no
+    // pre-slice history leaks in)
+    val first = rows.find(_.getAs[String]("day") == "2024-01-10").get
+    assert(first.getAs[Long]("retained") === 0L &&
+      first.getAs[Long]("resurrected") === 0L,
+      "pre-slice activity leaked into the sliced flows")
+  }
+
   test("value-histogram quintiles: planted ladder with ties scores by value, not row") {
     var eid = 0L
     // user k (1..10): k events on day (11 - k) with value 10·k each →

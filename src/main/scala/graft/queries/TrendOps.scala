@@ -143,11 +143,135 @@ object TrendOps {
        |  CAST(($Micro * n_events * dd) // (tt * n_days) AS BIGINT) AS idx_micro
        |FROM tot""".stripMargin
 
+  /** Robust outlier days via the median absolute deviation — the
+    * breakdown-resistant complement to evt_anomaly_zscore (one wild
+    * day inflates a mean/stddev enough to hide itself; the median
+    * pair is immune up to 50% contamination — Hampel's rule). All
+    * integer: daily counts off the dense spine, med = the lower
+    * median (the value at row ⌈D/2⌉ of the (n, day) total order —
+    * day breaks count ties, mirrored), MAD likewise over |n − med|,
+    * flag = |n − med| > [[MadK]]·MAD. A constant series has MAD 0
+    * and any deviation flags — that is Hampel's rule working, not a
+    * degenerate case (documented, spec-pinned). Scale: the same one
+    * corpus agg as cusum; medians are rank selections over the
+    * model-sized per-type series. */
+  def anomalyMad(spark: SparkSession, dir: String): DataFrame = {
+    val dense = dailyCounts(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perType = Window.partitionBy(col("t"))
+    def lowerMedian(in: DataFrame, value: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col("t"))
+        .orderBy(col(value).asc, col("day").asc)
+      in.withColumn("rn", row_number().over(w))
+        .withColumn("dd", count(lit(1)).over(perType))
+        .withColumn(out, max(when(col("rn") === expr("(dd + 1) div 2"),
+          col(value))).over(perType))
+        .drop("rn", "dd")
+    }
+    val withMed = lowerMedian(dense, "n", "med")
+      .withColumn("dev", abs(col("n") - col("med")))
+    lowerMedian(withMed, "dev", "mad")
+      .select(col("t").as("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n"), col("med"), col("mad"),
+        col("dev").as("deviation"),
+        (col("dev") > lit(MadK) * col("mad")).as("is_outlier"))
+  }
+
+  private val MadK = 5L
+
+  val anomalyMadSql: String =
+    s"""WITH $dailyCountsSql,
+       |m1 AS (
+       |  SELECT t, day, n,
+       |    row_number() OVER (PARTITION BY t ORDER BY n ASC, day ASC) AS rn,
+       |    COUNT(*) OVER (PARTITION BY t) AS dd
+       |  FROM dense),
+       |m2 AS (
+       |  SELECT t, day, n,
+       |    MAX(CASE WHEN rn = (dd + 1) // 2 THEN n END) OVER (PARTITION BY t) AS med
+       |  FROM m1),
+       |m3 AS (SELECT *, abs(n - med) AS dev FROM m2),
+       |m4 AS (
+       |  SELECT t, day, n, med, dev,
+       |    row_number() OVER (PARTITION BY t ORDER BY dev ASC, day ASC) AS rn,
+       |    COUNT(*) OVER (PARTITION BY t) AS dd
+       |  FROM m3),
+       |m5 AS (
+       |  SELECT t, day, n, med, dev,
+       |    MAX(CASE WHEN rn = (dd + 1) // 2 THEN dev END) OVER (PARTITION BY t) AS mad
+       |  FROM m4)
+       |SELECT t AS event_type, strftime(day, '%Y-%m-%d') AS day, n, med, mad,
+       |  dev AS deviation, dev > $MadK * mad AS is_outlier
+       |FROM m5""".stripMargin
+
+  /** Per-type OLS trend + 7-day forecast (the dashboards' "projected
+    * next week" readout; the closed-form member of the trend family —
+    * EWMA/Holt are recursive smoothers, this is the global line).
+    * Day index x = 0..D−1 over the dense spine; the normal equations
+    * stay EXACT: num = D·Σxy − Σx·Σy, den = D·Σx² − (Σx)², both
+    * BIGINT; slope_micro = (10⁶·num) div den through DECIMAL(38,0)
+    * (10⁶·num clears 2⁶³ around D≈365 at 10⁵ events/day — the
+    * rel_abc_analysis overflow lesson applied BEFORE the decade probe
+    * bites), intercept_micro = (10⁶·Σy − slope_micro·Σx) div D — the
+    * truncated-slope convention, deterministic in both engines;
+    * forecast(h) = intercept + slope·(D−1+h). One corpus agg; the
+    * regression is a |types|-row fold. */
+  def forecastLinreg(spark: SparkSession, dir: String): DataFrame = {
+    val dense = dailyCounts(spark, dir)
+    val xw = Window.partitionBy(col("t")).orderBy(col("day").asc)
+    val fit = dense
+      .withColumn("x", row_number().over(xw).cast("long") - 1L)
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("dd"), sum(col("n")).as("sy"),
+        sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("n")).as("sxy"))
+      .withColumn("slope_micro",
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * (dd * sxy - sx * sy)) div (dd * sxx - sx * sx) AS BIGINT)"))
+      .withColumn("intercept_micro",
+        expr("(1000000 * sy - slope_micro * sx) div dd"))
+    fit.select(col("t"), col("dd"), col("slope_micro"), col("intercept_micro"),
+        explode(expr("sequence(1, 7)")).as("h"))
+      .select(col("t").as("event_type"), col("h").cast("long").as("horizon_days"),
+        col("slope_micro"), col("intercept_micro"),
+        (col("intercept_micro") + col("slope_micro") * (col("dd") - 1 + col("h")))
+          .as("forecast_micro"))
+  }
+
+  val forecastLinregSql: String =
+    s"""WITH $dailyCountsSql,
+       |xd AS (
+       |  SELECT t, n,
+       |    row_number() OVER (PARTITION BY t ORDER BY day ASC) - 1 AS x
+       |  FROM dense),
+       |fit AS (
+       |  SELECT t, COUNT(*) AS dd, CAST(SUM(n) AS BIGINT) AS sy,
+       |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x * x) AS BIGINT) AS sxx,
+       |    CAST(SUM(x * n) AS BIGINT) AS sxy
+       |  FROM xd GROUP BY t),
+       |sl AS (
+       |  SELECT *,
+       |    CAST((1000000::HUGEINT * (dd * sxy - sx * sy)) // (dd * sxx - sx * sx) AS BIGINT)
+       |      AS slope_micro
+       |  FROM fit),
+       |ic AS (
+       |  SELECT *, (1000000 * sy - slope_micro * sx) // dd AS intercept_micro
+       |  FROM sl)
+       |SELECT t AS event_type, CAST(h AS BIGINT) AS horizon_days,
+       |  slope_micro,
+       |  CAST(intercept_micro AS BIGINT) AS intercept_micro,
+       |  CAST(intercept_micro + slope_micro * (dd - 1 + h) AS BIGINT) AS forecast_micro
+       |FROM ic CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS h) hs""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_cusum" -> (cusum _),
-    "evt_seasonality" -> (seasonality _))
+    "evt_seasonality" -> (seasonality _),
+    "evt_anomaly_mad" -> (anomalyMad _),
+    "evt_forecast_linreg" -> (forecastLinreg _))
 
   val oracles: Map[String, String] = Map(
     "evt_cusum" -> cusumSql,
-    "evt_seasonality" -> seasonalitySql)
+    "evt_seasonality" -> seasonalitySql,
+    "evt_anomaly_mad" -> anomalyMadSql,
+    "evt_forecast_linreg" -> forecastLinregSql)
 }

@@ -171,10 +171,18 @@ class PlanInvariantSpec extends SparkSpec {
       // supplier dim broadcasts (×≤3 band explode), so the probe is
       // map-side and candidates never shuffle
       "geo_knn_join" -> 1,
-      // 2 each = the one corpus-sized (type,day)/(type,dow) count agg
-      // + the model-sized per-type window alignment; bounds/type dims
-      // derive from the persisted counts, the day spine broadcasts
-      "evt_cusum" -> 2,
+      // 1 each IN THIS SPEC'S ALPHABETICAL ORDER: evt_anomaly_mad
+      // constructs first and its persisted dense spine registers in
+      // the session CacheManager, so the identical dailyCounts
+      // subtree in cusum/seasonality resolves to the cache and only
+      // the model-sized per-type window alignment stays live
+      // (standalone, each is 2: its own corpus count agg + window —
+      // ExchangeCount measures that; the sharing is itself the
+      // 100 TB story: one corpus pass feeds the whole trend family)
+      "evt_cusum" -> 1,
+      // seasonality keeps 2 live either way: the (t,dow) re-fold
+      // cannot reuse the cached counts' partitioning, and its
+      // share-of-type windows need the hash(t) alignment
       "evt_seasonality" -> 2,
       // 3 = the persisted per-user lifetime collapse (the only
       // corpus-sized exchange), the |lifetimes|-key KM fold, and the
@@ -194,7 +202,15 @@ class PlanInvariantSpec extends SparkSpec {
       // value-histogram aggs + their single-partition cut windows
       // (each histogram ≤ |distinct metric values| rows); cut maps
       // broadcast back onto users
-      "evt_rfm" -> 10)
+      "evt_rfm" -> 10,
+      // the persisted dense spine hides its corpus agg behind the
+      // cache boundary (the minhash convention); live = the shared
+      // per-type window alignment all four median/rank windows reuse
+      "evt_anomaly_mad" -> 1,
+      // 1 for the same cache-share reason (standalone 2: the
+      // (type,day) corpus agg + the per-type day-index window; the
+      // |types|-row normal-equation fold collapses map-side)
+      "evt_forecast_linreg" -> 1)
     def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
       var n = 0
       def walk(q: org.apache.spark.sql.execution.SparkPlan): Unit = {

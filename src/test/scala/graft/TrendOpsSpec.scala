@@ -66,6 +66,55 @@ class TrendOpsSpec extends SparkSpec {
     assert(peak.getAs[String]("day") === "2024-01-05")
   }
 
+  test("MAD flags only the planted wild day; Hampel medians resist the outlier") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("mad").toString
+    var eid = 0L
+    // counts cycle 1..5 over 20 days, day 13 planted at 50: med 3,
+    // MAD 1 — a mean/stddev on this series is dragged by the 50, the
+    // median pair is not
+    val rows = (1 to 20).flatMap { d =>
+      val n = if (d == 13) 50 else (d % 5) + 1
+      (1 to n).map { k =>
+        eid += 1
+        (eid, ts(f"2024-01-$d%02d 10:${k / 60}%02d:${k % 60}%02d"), 1L, "vary", 1.0, "{}")
+      }
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = TrendOps.anomalyMad(spark, tmp).collect()
+      .map(r => r.getAs[String]("day") -> r).toMap
+    val wild = out("2024-01-13")
+    assert(wild.getAs[Long]("med") === 3L && wild.getAs[Long]("mad") === 1L)
+    assert(wild.getAs[Boolean]("is_outlier"), "planted 10x day not flagged")
+    assert(out.values.count(_.getAs[Boolean]("is_outlier")) === 1,
+      "a normal cycle day false-flagged")
+  }
+
+  test("OLS recovers a planted exact line and forecasts along it") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("ols").toString
+    var eid = 0L
+    // n = 10 + 2x for x = 0..9: slope exactly 2e6 micro, intercept 10e6
+    val rows = (0 to 9).flatMap { x =>
+      (1 to 10 + 2 * x).map { k =>
+        eid += 1
+        (eid, ts(f"2024-01-${x + 1}%02d 10:${k / 60}%02d:${k % 60}%02d"), 1L, "line", 1.0, "{}")
+      }
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = TrendOps.forecastLinreg(spark, tmp).collect()
+    assert(out.length === 7)
+    out.foreach { r =>
+      assert(r.getAs[Long]("slope_micro") === 2000000L)
+      assert(r.getAs[Long]("intercept_micro") === 10000000L)
+      val h = r.getAs[Long]("horizon_days")
+      assert(r.getAs[Long]("forecast_micro") === 10000000L + 2000000L * (9 + h),
+        s"forecast off the exact line at h=$h")
+    }
+  }
+
   test("seasonal index recovers the planted Monday bias exactly") {
     val mo = out._2.filter(_.getAs[String]("event_type") == "monday")
     assert(mo.map(_.getAs[Long]("dow")).sorted.toSeq === (1L to 7L),

@@ -56,12 +56,22 @@ object Schedule {
   final case class RunRecord(flow: String, tick: Long, startEpochMs: Long,
       durationMs: Long, error: Option[String], rows: Option[Long])
 
+  /** One operator-facing alert derived from the run history: `kind` is
+    * `consecutive_failures` (the flow's trailing runs all errored) or
+    * `late_run` (no firing started within [[FlowHistory.LateFactor]] ×
+    * the cadence interval — Prefect's "late run" state,
+    * README.md:121-127 operational parity). */
+  final case class FlowAlert(flow: String, kind: String, detail: String)
+
   /** Bounded per-flow run history — the engine-side analog of the flow-run
     * listing the reference gets from its Prefect server UI
     * (docker-compose.yml:9-130; README.md:121-127 "Access Prefect UI"):
     * the last `keep` firings of each flow, oldest evicted first.
-    * Thread-safe: the cadence daemon appends while `/flows` snapshots. */
-  final class FlowHistory(val keep: Int = 20) {
+    * Thread-safe: the cadence daemon appends while `/flows` snapshots.
+    * `expectedIntervalMs` (the cadence the daemon was started with)
+    * arms the late-run detector in [[alerts]]. */
+  final class FlowHistory(val keep: Int = 20,
+      val expectedIntervalMs: Option[Long] = None) {
     require(keep >= 1, s"keep must be >= 1 (got $keep)")
     private val runs = scala.collection.mutable.LinkedHashMap[
       String, scala.collection.mutable.ArrayDeque[RunRecord]]()
@@ -75,7 +85,38 @@ object Schedule {
     def snapshot: Seq[(String, Seq[RunRecord])] = synchronized {
       runs.toSeq.map { case (k, v) => (k, v.toSeq) }
     }
+
+    /** Operator alerts as of `nowMs`: a flow whose last
+      * [[FailThreshold]]+ runs ALL errored (one flaky firing between
+      * successes never pages), and — when the cadence interval is known
+      * — a flow whose newest firing started more than [[LateFactor]] ×
+      * interval ago (a hung tick, a dead daemon thread, or an overrun
+      * so large the schedule has effectively stopped). Reading is
+      * O(history); no state beyond the bounded record queues. */
+    def alerts(nowMs: Long): Seq[FlowAlert] = synchronized {
+      runs.toSeq.flatMap { case (name, q) =>
+        val trailing = q.reverseIterator.takeWhile(_.error.isDefined).length
+        val fails =
+          if (trailing >= FailThreshold)
+            Seq(FlowAlert(name, "consecutive_failures",
+              s"last $trailing runs failed; newest: ${q.last.error.get}"))
+          else Nil
+        val late = for {
+          iv <- expectedIntervalMs.toSeq
+          last <- q.lastOption.toSeq
+          age = nowMs - last.startEpochMs
+          if age > LateFactor * iv
+        } yield FlowAlert(name, "late_run",
+          s"last run started ${age} ms ago (interval $iv ms)")
+        fails ++ late
+      }
+    }
   }
+
+  /** Consecutive-failure count that raises a [[FlowAlert]]. */
+  val FailThreshold = 3
+  /** A flow is late once its newest firing is this many intervals old. */
+  val LateFactor = 2L
 
   /** Per-thread rows-landed channel between a firing flow body and the
     * recording [[runTick]]. Collection is ACTIVE only while a recorded

@@ -691,7 +691,20 @@ object Serve {
       // actually registered".
       val live = tables.count(spark.catalog.tableExists)
       val ups = (System.nanoTime() - startedAtNanos) / 1e9
-      (200, f"""{"status":"ok","uptime_sec":$ups%.1f,"tables_live":$live,"spark":${jstr(spark.version)}}""")
+      // Cadence alerting (the Prefect "late run" signal an operator
+      // watches for, README.md:121-127): consecutive-failure and
+      // stale-tick verdicts ride the liveness answer so ONE probe
+      // covers process, views, and schedule health. status degrades to
+      // "alerting" — not an error code; the server itself is fine and
+      // a load balancer must not evict it for a flow-level problem.
+      val flowAlerts = flowHistory.map(_.alerts(System.currentTimeMillis()))
+      val status = if (flowAlerts.exists(_.nonEmpty)) "alerting" else "ok"
+      val alertsJson = flowAlerts.fold("") { as =>
+        s""","flow_alerts":[${as.map(a =>
+            s"""{"flow":${jstr(a.flow)},"kind":${jstr(a.kind)},"detail":${jstr(a.detail)}}""")
+          .mkString(",")}]"""
+      }
+      (200, f"""{"status":${jstr(status)},"uptime_sec":$ups%.1f,"tables_live":$live,"spark":${jstr(spark.version)}$alertsJson}""")
     })
 
     // ES match-query `fuzziness` parity for the documents search:
@@ -1010,7 +1023,8 @@ object Serve {
     // Bind the server BEFORE the refresh daemon starts: the daemon's
     // tick-0 writes would otherwise race start()'s initial registerLake
     // against half-written directories during boot.
-    val flowHistory = refreshHours.map(_ => new Schedule.FlowHistory())
+    val flowHistory = refreshHours.map(h => new Schedule.FlowHistory(
+      expectedIntervalMs = Some((h * 3600 * 1000).toLong)))
     val server = start(spark, dir, port, bindAll, token, lake, tls,
       insecureHttp, flowHistory)
     // --news-endpoint / --tweets-endpoint add the reference's crawl

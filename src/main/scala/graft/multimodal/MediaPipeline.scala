@@ -48,7 +48,14 @@ object MediaPipeline {
   /** Source records from `documents`: the text bytes are the pixel
     * source, dims derived from the id (small enough that a row's
     * container stays a few KiB). */
-  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRecord] =
+    mediaTable(spark, dir, col("text"))
+
+  /** [[mediaTable]] with the pixel-source column overridden — lets a
+    * consumer (the pHash dedup family) plant deterministic fixtures by
+    * doc_id class without perturbing the other media entries' oracles. */
+  def mediaTable(spark: SparkSession, dir: String,
+      text: org.apache.spark.sql.Column): Dataset[MediaRecord] = {
     import spark.implicits._
     Tables.load(spark, dir, "documents")
       .select(
@@ -56,7 +63,7 @@ object MediaPipeline {
         when(col("doc_id") % 3 === 0, "image")
           .when(col("doc_id") % 3 === 1, "audio")
           .otherwise("video").as("media_type"),
-        col("text").cast("binary").as("payload"),
+        text.cast("binary").as("payload"),
         (lit(8) + col("doc_id") % 24).cast("int").as("width"),
         (lit(8) + col("doc_id") % 16).cast("int").as("height"))
       .as[MediaRecord]

@@ -109,8 +109,13 @@ object Experiments {
     // verbatim with the oracle (modulo dialect-identical arithmetic):
     // doubles with the same operand order are bit-identical IEEE in
     // both engines; round(…,6) fences the display value.
+    // The leading n_a/n_b=0 arm covers the degenerate hash assignment
+    // (every exposed user on one variant): there the per-side rate and
+    // 1/n are undefined, and the engines DIVERGE without it — Spark's
+    // non-ANSI integer div returns NULL where DuckDB's // raises.
     val z2 = expr(
-      s"""CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b THEN NULL
+      s"""CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+         |WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b THEN NULL
          |ELSE round(
          |  (cast(conv_a as double)/n_a - cast(conv_b as double)/n_b)
          |  * (cast(conv_a as double)/n_a - cast(conv_b as double)/n_b)
@@ -122,8 +127,10 @@ object Experiments {
       .select(
         col("t").as("metric"), col("n_a"), col("conv_a"),
         col("n_b"), col("conv_b"),
-        expr(s"($Micro * conv_a) div n_a").as("rate_a_micro"),
-        expr(s"($Micro * conv_b) div n_b").as("rate_b_micro"),
+        expr(s"CASE WHEN n_a = 0 THEN NULL ELSE ($Micro * conv_a) div n_a END")
+          .as("rate_a_micro"),
+        expr(s"CASE WHEN n_b = 0 THEN NULL ELSE ($Micro * conv_b) div n_b END")
+          .as("rate_b_micro"),
         col("z2"),
         (col("z2") > Chi2Crit).as("significant"))
   }
@@ -160,7 +167,8 @@ object Experiments {
        |         FROM cw CROSS JOIN ns),
        |z AS (
        |  SELECT *,
-       |    CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b THEN NULL
+       |    CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+       |    WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b THEN NULL
        |    ELSE round(
        |      (CAST(conv_a AS DOUBLE)/n_a - CAST(conv_b AS DOUBLE)/n_b)
        |      * (CAST(conv_a AS DOUBLE)/n_a - CAST(conv_b AS DOUBLE)/n_b)
@@ -169,8 +177,8 @@ object Experiments {
        |          * (1.0/n_a + 1.0/n_b) ), 6) END AS z2
        |  FROM wide)
        |SELECT t AS metric, n_a, conv_a, n_b, conv_b,
-       |  ($Micro * conv_a) // n_a AS rate_a_micro,
-       |  ($Micro * conv_b) // n_b AS rate_b_micro,
+       |  CASE WHEN n_a = 0 THEN NULL ELSE ($Micro * conv_a) // n_a END AS rate_a_micro,
+       |  CASE WHEN n_b = 0 THEN NULL ELSE ($Micro * conv_b) // n_b END AS rate_b_micro,
        |  z2, z2 > $Chi2Crit AS significant
        |FROM z""".stripMargin
 

@@ -149,6 +149,21 @@ object Graph {
     * coefficient 2T/(deg·(deg−1)) divides two BIGINT-exact operands and
     * goes through the floor(x·1e6+0.5)/1e6 fence (the evt_ewma rule),
     * null for deg 1 (ANSI-safe, mirrored by the oracle). */
+  /** Wedge-volume guard for the exact enumerator. Exact triangle
+    * counting is Θ(#triangles) for ANY algorithm — an output-size
+    * fact, not a plan defect — so on a dense co-supply graph (the
+    * decade harness's ~905-regular pool closes ~5·10⁹ triangles at
+    * 100×) the exact form must not be invokable BLIND at 100 TB.
+    * Σ outdeg² over the ORIENTED graph is the exact wedge count the
+    * closure join probes (the true work/output upper bound, one
+    * model-sized agg off the already-persisted orientation); past
+    * [[WedgeGuardDefault]] (overridable via [[WedgeGuardConf]]) the
+    * query raises with the routing instruction instead of launching
+    * an enumeration that cannot finish. rel_triangle_sample (DOULION,
+    * wedge volume ×p²) is the documented scale path. */
+  private[graft] val WedgeGuardConf = "spark.graft.triangle.maxWedges"
+  private[graft] val WedgeGuardDefault = 1000000000L // 1e9 wedges
+
   def triangles(spark: SparkSession, dir: String): DataFrame = {
     val sl = StorageLevel.MEMORY_AND_DISK
     val li = Tables.load(spark, dir, "lineitem")
@@ -173,6 +188,21 @@ object Graph {
       .select(when(fwd, col("u")).otherwise(col("v")).as("a"),
         when(fwd, col("v")).otherwise(col("u")).as("b"))
       .repartition(col("a")).persist(sl)
+    // The scale guard: one |nodes|-row agg over the persisted
+    // orientation (work the enumeration below would redo anyway),
+    // collapsed to a single driver scalar — the bloom_join head()
+    // convention. Fails fast BEFORE the wedge join can launch.
+    val wedges = oriented.groupBy(col("a")).agg(count(lit(1)).as("od"))
+      .agg(coalesce(sum(col("od") * col("od")), lit(0L)))
+      .head.getLong(0)
+    val maxWedges = spark.conf.getOption(WedgeGuardConf)
+      .map(_.toLong).getOrElse(WedgeGuardDefault)
+    if (wedges > maxWedges)
+      throw new IllegalStateException(
+        s"rel_triangle_count: wedge volume $wedges exceeds $maxWedges " +
+          s"($WedgeGuardConf) — exact triangle enumeration is " +
+          "Theta(#triangles) and cannot finish blind at this density; " +
+          "use rel_triangle_sample (DOULION) or raise the bound explicitly")
     val tri = oriented.as("x")
       .join(oriented.as("y"), col("x.b") === col("y.a"))
       .select(col("x.a").as("a"), col("x.b").as("b"), col("y.b").as("c"))

@@ -71,7 +71,19 @@ object Growth {
   def growthAccounting(spark: SparkSession, dir: String,
       from: Option[java.time.LocalDate],
       to: Option[java.time.LocalDate]): DataFrame = {
-    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // Cache ONLY the unsliced/batch form: on the Serve time-slice path
+    // every distinct ?from=&to= pair is a distinct logical plan, so a
+    // persist there pins a new corpus-sized CacheManager entry per
+    // requested range for the session's lifetime (never unpersisted —
+    // unbounded growth under a dashboard date picker). The sliced
+    // re-computation is bounded by the slice itself: each reuse of
+    // ud/lagged re-runs a scan whose ts range is already pushed to the
+    // parquet reader (asserted in GrowthSpec).
+    val cacheable = from.isEmpty && to.isEmpty
+    def maybeCache(df: DataFrame): DataFrame =
+      if (cacheable)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
     val base = Tables.load(spark, dir, "events")
     val sliced = Seq(
       from.map(d => col("ts") >=
@@ -80,12 +92,11 @@ object Growth {
         lit(java.sql.Timestamp.valueOf(d.plusDays(1).atStartOfDay))))
       .flatten.foldLeft(base)(_.filter(_))
     // THE corpus collapse: distinct active (user, day).
-    val ud = sliced
+    val ud = maybeCache(sliced
       .select(col("user_id").as("u"), to_date(col("ts")).as("day"))
-      .distinct()
-      .persist(sl)
+      .distinct())
     val w = Window.partitionBy(col("u")).orderBy(col("day").asc)
-    val lagged = ud.withColumn("prev", lag(col("day"), 1).over(w)).persist(sl)
+    val lagged = maybeCache(ud.withColumn("prev", lag(col("day"), 1).over(w)))
     val classified = lagged.select(col("day"),
       when(col("prev").isNull, "new")
         .when(datediff(col("day"), col("prev")) === 1, "retained")

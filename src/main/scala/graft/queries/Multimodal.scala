@@ -197,9 +197,27 @@ object Multimodal {
   def phashCensus(spark: SparkSession, dir: String): DataFrame =
     phashReps(spark, dir)
 
+  /** Deterministic near-dup plant (the llm_pii_scrub injection
+    * convention, applied here so the PAIR-JOIN gate row is non-vacuous
+    * at every SF — the repo's rel_except lesson: a zero-row oracle
+    * match also passes for any bug that yields empty). doc_id ≡ 0 and
+    * ≡ 48 (mod 96) are both images (÷3) at w = h = 8 (÷48, the
+    * lcm(24,16) dim cycle), so cell i of the 8×8 grid reads text bytes
+    * 3i..3i+2 directly: "aaa…" grays every cell to 97 → all 64 bits
+    * below-mean → fingerprint 0; "zzz" + "a"×189 lifts ONLY cell 0 to
+    * 122 → exactly bit 0 set. The two rep groups sit at Hamming 1 —
+    * inside the ball, above the d=0 collapse — and the oracle derives
+    * the same two fingerprints symbolically from the same override. */
+  private val PlantMod = 96L
+  private val plantedText =
+    when(col("doc_id") % PlantMod === 0, lit("a" * 192))
+      .when(col("doc_id") % PlantMod === 48, lit("zzz" + "a" * 189))
+      .otherwise(col("text"))
+
   private def phashReps(spark: SparkSession, dir: String): DataFrame = {
     val hashes = MediaPipeline.aHashes(MediaPipeline.encoded(
-      MediaPipeline.mediaTable(spark, dir).filter(_.media_type == "image")))
+      MediaPipeline.mediaTable(spark, dir, plantedText)
+        .filter(_.media_type == "image")))
       .toDF()
     hashes.groupBy(col("b0"), col("b1"), col("b2"), col("b3"))
       .agg(min(col("media_id")).as("media_id"), count(lit(1)).as("n_exact"))
@@ -245,9 +263,13 @@ object Multimodal {
       s"""CAST(list_sum(list_transform(range(0, 16), i ->
          |  CASE WHEN gr[CAST(${16 * k} + i AS INT) + 1] * 64 > s
          |       THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END)) AS BIGINT)""".stripMargin
-    s"""m AS (SELECT doc_id AS media_id, text, len(text) AS tl,
+    s"""m0 AS (SELECT doc_id AS media_id,
+       |    CASE WHEN doc_id % $PlantMod = 0 THEN repeat('a', 192)
+       |         WHEN doc_id % $PlantMod = 48 THEN 'zzz' || repeat('a', 189)
+       |         ELSE text END AS text,
        |    8 + doc_id % 24 AS w, 8 + doc_id % 16 AS h
        |  FROM documents WHERE doc_id % 3 = 0),
+       |m AS (SELECT media_id, text, len(text) AS tl, w, h FROM m0),
        |g AS (SELECT media_id, list_transform(range(0, 64), i ->
        |    (CASE WHEN tl > 0 THEN ascii(substr(text, CAST(((((i // 8) * h // 8) * w + ((i % 8) * w // 8)) * 3 + 0) % tl AS INT) + 1, 1)) ELSE 0 END
        |     + CASE WHEN tl > 0 THEN ascii(substr(text, CAST(((((i // 8) * h // 8) * w + ((i % 8) * w // 8)) * 3 + 1) % tl AS INT) + 1, 1)) ELSE 0 END

@@ -127,7 +127,14 @@ object TrendOps {
         .over(Window.partitionBy(col("t"))))
       .select(col("t").as("event_type"), col("dow"),
         col("n_events"), col("n_days"),
-        expr(s"($Micro * n_events * dd) div (tt * n_days)").as("idx_micro"))
+        // 10⁶·n_events·dd clears 2⁶³ around 3.7·10¹¹ events/weekday on a
+        // 365-day spine — the 100 TB envelope this file targets — and
+        // non-ANSI Spark would WRAP silently where DuckDB errors, so the
+        // numerator (and the denominator, for symmetry at the same
+        // scale) go through DECIMAL(38,0)/HUGEINT like slope_micro
+        expr(s"CAST((CAST($Micro AS DECIMAL(38,0)) * n_events * dd)" +
+          " div (CAST(tt AS DECIMAL(38,0)) * n_days) AS BIGINT)")
+          .as("idx_micro"))
   }
 
   val seasonalitySql: String =
@@ -140,7 +147,8 @@ object TrendOps {
        |          CAST(SUM(n_events) OVER (PARTITION BY t) AS BIGINT) AS tt
        |        FROM dw)
        |SELECT t AS event_type, dow, n_events, n_days,
-       |  CAST(($Micro * n_events * dd) // (tt * n_days) AS BIGINT) AS idx_micro
+       |  CAST(($Micro::HUGEINT * n_events * dd) // (tt::HUGEINT * n_days) AS BIGINT)
+       |    AS idx_micro
        |FROM tot""".stripMargin
 
   /** Robust outlier days via the median absolute deviation — the
@@ -227,7 +235,14 @@ object TrendOps {
         sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"),
         sum(col("x") * col("n")).as("sxy"))
       .withColumn("slope_micro",
-        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * (dd * sxy - sx * sy)) div (dd * sxx - sx * sx) AS BIGINT)"))
+        // dd·sxx − sx² = 0 exactly when the dense spine has a single day
+        // (dd=1 ⇒ x≡0): Spark's non-ANSI div returns NULL on /0 but
+        // DuckDB's // RAISES, so without the explicit guard the oracle
+        // comparison crashes instead of matching on a one-day corpus.
+        // NULL slope then propagates to intercept/forecast identically
+        // in both engines (the abTest z2 guard convention).
+        expr("CASE WHEN dd * sxx - sx * sx = 0 THEN NULL ELSE " +
+          "CAST((CAST(1000000 AS DECIMAL(38,0)) * (dd * sxy - sx * sy)) div (dd * sxx - sx * sx) AS BIGINT) END"))
       .withColumn("intercept_micro",
         expr("(1000000 * sy - slope_micro * sx) div dd"))
     fit.select(col("t"), col("dd"), col("slope_micro"), col("intercept_micro"),
@@ -251,8 +266,9 @@ object TrendOps {
        |  FROM xd GROUP BY t),
        |sl AS (
        |  SELECT *,
-       |    CAST((1000000::HUGEINT * (dd * sxy - sx * sy)) // (dd * sxx - sx * sx) AS BIGINT)
-       |      AS slope_micro
+       |    CASE WHEN dd * sxx - sx * sx = 0 THEN NULL ELSE
+       |      CAST((1000000::HUGEINT * (dd * sxy - sx * sy)) // (dd * sxx - sx * sx) AS BIGINT)
+       |    END AS slope_micro
        |  FROM fit),
        |ic AS (
        |  SELECT *, (1000000 * sy - slope_micro * sx) // dd AS intercept_micro

@@ -83,6 +83,31 @@ class ExperimentsSpec extends SparkSpec {
     assert(s.isNullAt(s.fieldIndex("z2")), "pooled rate 0 must NULL the test")
   }
 
+  test("an all-one-variant assignment yields NULL rates/z², not an engine divergence") {
+    // Every exposed user hashes to the SAME variant (ids filtered by the
+    // shared md5 parity): n_b = 0, so rate_b and 1/n_b are undefined.
+    // Spark's non-ANSI div would return NULL while DuckDB's // RAISES —
+    // the explicit n=0 guard keeps both engines at NULL (ADVICE r17).
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("abdegen").toString
+    val aUsers = (1L to 100L).filter(variantOf(_) == "A").take(5)
+    assert(aUsers.size === 5)
+    var eid = 0L
+    val rows = aUsers.flatMap { u =>
+      eid += 2
+      Seq((eid - 1, ts("2024-01-05 12:00:00"), u, "view", 1.0, "{}"),
+        (eid, ts("2024-01-05 13:00:00"), u, "purchase", 1.0, "{}"))
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = Experiments.abTest(spark, tmp).collect()
+    val p = out.find(_.getAs[String]("metric") == "purchase").get
+    assert(p.getAs[Long]("n_a") === 5L && p.getAs[Long]("n_b") === 0L)
+    assert(p.getAs[Long]("rate_a_micro") === 1000000L)
+    assert(p.isNullAt(p.fieldIndex("rate_b_micro")), "n_b=0 must NULL rate_b")
+    assert(p.isNullAt(p.fieldIndex("z2")), "n_b=0 must NULL the test")
+  }
+
   test("unexposed users are outside the experiment entirely") {
     // user 999 purchased but never viewed: every metric's n excludes it
     ab.values.foreach { r =>

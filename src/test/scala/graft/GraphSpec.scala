@@ -127,6 +127,31 @@ class GraphSpec extends SparkSpec {
     assert(got.map { case (n, (d, t, _)) => n -> ((d, t)) } === refTriangles(rows))
   }
 
+  test("wedge-volume guard refuses blind exact enumeration past the bound") {
+    // The K4+star fixture's oriented wedge volume is small but nonzero,
+    // so a bound of 1 must trip the guard with the routing message and
+    // the default bound must not (the gate SFs run the exact form).
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("tri_guard").toString
+    val k4 = for (a <- 1L to 4L; b <- a + 1 to 4L) yield (a, b)
+    k4.zipWithIndex.flatMap { case ((a, b), i) =>
+      Seq((i.toLong + 1, a), (i.toLong + 1, b)) }
+      .toDF("l_orderkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    spark.conf.set(Graph.WedgeGuardConf, "1")
+    try {
+      val e = intercept[IllegalStateException] {
+        Graph.triangles(spark, tmp)
+      }
+      assert(e.getMessage.contains("rel_triangle_sample"),
+        s"guard must route to the DOULION path: ${e.getMessage}")
+      assert(e.getMessage.contains(Graph.WedgeGuardConf))
+    } finally spark.conf.unset(Graph.WedgeGuardConf)
+    // default bound: construction succeeds (and counts, per the tests
+    // above, which all run with the guard active)
+    Graph.triangles(spark, tmp)
+  }
+
   /** Plain-Scala replica of the DOULION md5 edge coin. */
   private def edgeKept(u: Long, v: Long): Boolean = {
     val md = java.security.MessageDigest.getInstance("MD5")

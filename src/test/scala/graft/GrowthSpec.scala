@@ -73,7 +73,14 @@ class GrowthSpec extends SparkSpec {
   test("time-sliced growth pushes the ts range to the scan; flows are slice-relative") {
     val from = Some(java.time.LocalDate.parse("2024-01-10"))
     val to = Some(java.time.LocalDate.parse("2024-01-20"))
+    spark.catalog.clearCache()
     val df = Growth.growthAccounting(spark, sf0001, from, to)
+    // The sliced form must NOT persist: on the long-lived Serve path
+    // every distinct ?from=&to= pair is a distinct logical plan, so a
+    // persist here would pin one corpus-sized CacheManager entry PER
+    // REQUESTED RANGE for the session's lifetime (ADVICE r17).
+    assert(org.apache.spark.sql.graft.PlanShim.cacheIsEmpty(spark),
+      "sliced growthAccounting registered a cache entry — per-range leak")
     val scans = PlanTestUtil.deepCollect(df.queryExecution.executedPlan) {
       case s: org.apache.spark.sql.execution.FileSourceScanExec => s
     }

@@ -143,12 +143,15 @@ class PlanInvariantSpec extends SparkSpec {
       // 3 = the (type, day) count agg, the distinct-types pass, and the
       // per-type collect_list fold; days + the day-spine broadcast
       "evt_holt_trend" -> 3,
-      // 6 = undirected-edge build (order collect_set + pair distinct),
-      // degree agg, the two node-sized orientation-join alignments, the
-      // per-node triangle fold, and the final deg⋈triangles align; the
-      // wedge and closure joins reuse oriented's persisted (a)
-      // partitioning (subset rule)
-      "rel_triangle_count" -> 6,
+      // 1 since the r18 wedge-volume guard: its eager Σoutdeg² agg
+      // MATERIALIZES the persisted edges/deg/oriented caches before the
+      // final plan exists, so the build exchanges (edge collect_set +
+      // pair distinct, degree agg, orientation alignments — the pre-r18
+      // pin of 6) sit behind materialized cache boundaries and the
+      // model-sized sides broadcast; live = the per-node triangle fold.
+      // The wedge and closure joins still reuse oriented's persisted
+      // (a) partitioning (subset rule)
+      "rel_triangle_count" -> 1,
       // the sparsified graph is small enough that the sampled-degree
       // sides BROADCAST into the orientation (2 of the exact form's
       // node-sized alignments disappear); live shuffles = the full-deg
@@ -171,18 +174,20 @@ class PlanInvariantSpec extends SparkSpec {
       // supplier dim broadcasts (×≤3 band explode), so the probe is
       // map-side and candidates never shuffle
       "geo_knn_join" -> 1,
-      // 1 each IN THIS SPEC'S ALPHABETICAL ORDER: evt_anomaly_mad
-      // constructs first and its persisted dense spine registers in
-      // the session CacheManager, so the identical dailyCounts
-      // subtree in cusum/seasonality resolves to the cache and only
-      // the model-sized per-type window alignment stays live
-      // (standalone, each is 2: its own corpus count agg + window —
-      // ExchangeCount measures that; the sharing is itself the
-      // 100 TB story: one corpus pass feeds the whole trend family)
-      "evt_cusum" -> 1,
-      // seasonality keeps 2 live either way: the (t,dow) re-fold
-      // cannot reuse the cached counts' partitioning, and its
-      // share-of-type windows need the hash(t) alignment
+      // STANDALONE counts (the loop below clears the CacheManager
+      // before each construction, so a pin can never depend on which
+      // family member happened to construct first — r17's 1/2 pins
+      // encoded the alphabetical accident that evt_anomaly_mad's
+      // persisted dense spine was already registered): 2 = the corpus
+      // (type,day) count agg feeding dailyCounts' own cache boundary
+      // + the per-type window alignment. In a shared session the
+      // family still collapses to 1 via the dailyCounts cache —
+      // TrendOpsSpec pins that sharing explicitly, with the ordering
+      // it depends on stated.
+      "evt_cusum" -> 2,
+      // the (t,dow) re-fold cannot reuse the cached counts'
+      // partitioning, and its share-of-type windows need the hash(t)
+      // alignment
       "evt_seasonality" -> 2,
       // 3 = the persisted per-user lifetime collapse (the only
       // corpus-sized exchange), the |lifetimes|-key KM fold, and the
@@ -207,10 +212,9 @@ class PlanInvariantSpec extends SparkSpec {
       // cache boundary (the minhash convention); live = the shared
       // per-type window alignment all four median/rank windows reuse
       "evt_anomaly_mad" -> 1,
-      // 1 for the same cache-share reason (standalone 2: the
-      // (type,day) corpus agg + the per-type day-index window; the
-      // |types|-row normal-equation fold collapses map-side)
-      "evt_forecast_linreg" -> 1)
+      // standalone: the (type,day) corpus agg + the per-type day-index
+      // window; the |types|-row normal-equation fold collapses map-side
+      "evt_forecast_linreg" -> 2)
     def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
       var n = 0
       def walk(q: org.apache.spark.sql.execution.SparkPlan): Unit = {
@@ -229,6 +233,12 @@ class PlanInvariantSpec extends SparkSpec {
       n
     }
     budgets.toSeq.sortBy(_._1).foreach { case (name, budget) =>
+      // Pin STANDALONE plans: drop caches registered by earlier
+      // constructions so a pin never encodes cross-query CacheManager
+      // sharing that flips with this map's iteration order (the query's
+      // OWN persists, registered during its construction below, still
+      // apply — those cache boundaries are part of its plan shape).
+      spark.catalog.clearCache()
       val df = SparkEntry.queries(name)(spark, sf0001)
       val got = shuffles(df.queryExecution.executedPlan)
       assert(got === budget,

@@ -137,6 +137,42 @@ class ScheduleSpec extends SparkSpec {
     assert(hist.snapshot.toMap.apply("lander").map(_.rows) === Seq(Some(2L), Some(3L)))
   }
 
+  test("alerts: consecutive failures page at the threshold, one success resets; staleness needs the interval") {
+    def rec(hist: Schedule.FlowHistory, flow: String, tick: Long,
+        startMs: Long, err: Option[String]): Unit =
+      hist.record(Schedule.RunRecord(flow, tick, startMs, 5L, err, None))
+    val hist = new Schedule.FlowHistory(keep = 10,
+      expectedIntervalMs = Some(1000L))
+    val t0 = 1000000L
+    // 2 trailing failures: below FailThreshold (3) — silent
+    rec(hist, "f", 0, t0, None)
+    rec(hist, "f", 1, t0 + 1000, Some("boom1"))
+    rec(hist, "f", 2, t0 + 2000, Some("boom2"))
+    assert(hist.alerts(t0 + 2500).isEmpty, "2 failures must not page")
+    // 3rd consecutive failure pages, detail carries the newest error
+    rec(hist, "f", 3, t0 + 3000, Some("boom3"))
+    val a = hist.alerts(t0 + 3500)
+    assert(a.map(x => (x.flow, x.kind)) === Seq(("f", "consecutive_failures")))
+    assert(a.head.detail.contains("3 runs failed") && a.head.detail.contains("boom3"))
+    // one success resets the streak — a later single failure stays silent
+    rec(hist, "f", 4, t0 + 4000, None)
+    rec(hist, "f", 5, t0 + 5000, Some("boom4"))
+    assert(hist.alerts(t0 + 5500).isEmpty, "a success must reset the streak")
+    // staleness: newest start > LateFactor x interval ago
+    val late = hist.alerts(t0 + 5000 + 2001)
+    assert(late.map(x => (x.flow, x.kind)) === Seq(("f", "late_run")))
+    assert(late.head.detail.contains("interval 1000 ms"))
+    // without a cadence interval the late detector stays disarmed
+    val noIv = new Schedule.FlowHistory(keep = 10)
+    rec(noIv, "g", 0, t0, None)
+    assert(noIv.alerts(t0 + 100000000L).isEmpty,
+      "no interval -> no late_run verdicts")
+    // per-flow independence: a healthy fresh sibling raises nothing
+    // while f sits just inside its lateness window
+    rec(hist, "healthy", 9, t0 + 6000, None)
+    assert(hist.alerts(t0 + 6900).isEmpty)
+  }
+
   test("concurrent same-lake refreshes serialize: the final lake is one whole dataset") {
     // Without LakeCommit's per-path lock, overlapping refreshes race
     // version allocation (two writers picking the same v<N>) — the lake

@@ -62,6 +62,28 @@ class ServeSpec extends SparkSpec {
     } finally srv.stop(0)
   }
 
+  test("/health surfaces cadence alerts: status degrades to alerting, stays 200") {
+    val hist = new Schedule.FlowHistory(keep = 5)
+    (0 to 2).foreach(t => hist.record(Schedule.RunRecord(
+      "broken", t.toLong, 1000L + t, 5L, Some(s"tick-$t boom"), None)))
+    val srv = Serve.start(spark, sf0001, port = 0, flowHistory = Some(hist))
+    try {
+      val (code, body) = getFrom(srv, "/health")
+      // 200, not 5xx: the server itself is healthy — a load balancer
+      // must not evict it for a flow-level problem
+      assert(code === 200)
+      assert(body.contains("\"status\":\"alerting\""), body)
+      assert(body.contains("\"kind\":\"consecutive_failures\""), body)
+      assert(body.contains("\"flow\":\"broken\""), body)
+      assert(body.contains("tick-2 boom"), "detail must carry the newest error")
+      // recovery clears the alert and restores ok (same running server)
+      hist.record(Schedule.RunRecord("broken", 3L, 2000L, 5L, None, None))
+      val (c2, b2) = getFrom(srv, "/health")
+      assert(c2 === 200 && b2.contains("\"status\":\"ok\""), b2)
+      assert(b2.contains("\"flow_alerts\":[]"), b2)
+    } finally srv.stop(0)
+  }
+
   test("/query time slice: ?from=&to= serves the ranged form; non-sliceable 400s") {
     val (code, body) =
       get("/query/rel_histogram_dense?from=1995-01-01&to=1996-12-31&limit=600")

@@ -115,6 +115,70 @@ class TrendOpsSpec extends SparkSpec {
     }
   }
 
+  test("a one-day corpus fits a NULL line instead of diverging on /0") {
+    // dd=1 ⇒ x≡0 ⇒ den = dd·sxx − sx² = 0: Spark's div would NULL where
+    // DuckDB's // raises, so the explicit guard pins NULL in both
+    // engines (ADVICE r17); the 7 horizon rows still materialize.
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("oneday").toString
+    val rows = (1 to 3).map(k =>
+      (k.toLong, ts(f"2024-01-01 10:00:0$k"), 1L, "single", 1.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = TrendOps.forecastLinreg(spark, tmp).collect()
+    assert(out.length === 7)
+    out.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("slope_micro")), "den=0 must NULL the slope")
+      assert(r.isNullAt(r.fieldIndex("intercept_micro")))
+      assert(r.isNullAt(r.fieldIndex("forecast_micro")))
+    }
+  }
+
+  test("the trend family shares ONE corpus pass via the dailyCounts cache") {
+    // PlanInvariantSpec pins the STANDALONE shuffle counts (2 each:
+    // corpus count agg + per-type window); this pins the in-session
+    // sharing those pins deliberately exclude — with anomalyMad's
+    // persisted dense spine ALREADY REGISTERED (the ordering this
+    // assertion depends on, made explicit here), a cusum plan resolves
+    // the identical dailyCounts subtree to the cache and keeps only the
+    // model-sized window alignment live. One corpus pass feeds the
+    // whole family — the 100 TB story for a dashboard rendering all
+    // four trend panels off one session.
+    val tmp = java.nio.file.Files.createTempDirectory("trendshare").toString
+    import spark.implicits._
+    (1 to 50).map(k => (k.toLong, ts(f"2024-01-${k % 20 + 1}%02d 10:00:00"),
+        1L, "e", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    // LIVE exchanges only: unlike deepCollect, stop at the
+    // InMemoryRelation boundary — exchanges inside the cached build
+    // plan run once at materialization, which is the point.
+    def live(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+      var n = 0
+      def walk(q: org.apache.spark.sql.execution.SparkPlan): Unit = {
+        q match {
+          case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => n += 1
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            walk(a.executedPlan)
+          case st: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            walk(st.plan)
+          case _ =>
+        }
+        q.children.foreach(walk)
+        q.subqueries.foreach(walk)
+      }
+      walk(p)
+      n
+    }
+    spark.catalog.clearCache()
+    try {
+      TrendOps.anomalyMad(spark, tmp) // registers dense + counts caches
+      val got = live(TrendOps.cusum(spark, tmp).queryExecution.executedPlan)
+      assert(got === 1,
+        s"cusum should reuse the family cache down to 1 live exchange, got $got")
+    } finally spark.catalog.clearCache()
+  }
+
   test("seasonal index recovers the planted Monday bias exactly") {
     val mo = out._2.filter(_.getAs[String]("event_type") == "monday")
     assert(mo.map(_.getAs[Long]("dow")).sorted.toSeq === (1L to 7L),

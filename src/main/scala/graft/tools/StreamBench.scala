@@ -146,13 +146,129 @@ object StreamBench {
     }
   }
 
+  /** Stream-static enrich ladder (stream_enrich's pipeline): time-ordered
+    * slices of the events table broadcast-probed against the
+    * customer⋈nation dim, then watermark-bounded daily windows. On the
+    * synth corpora the hot-pool copies (1 + event_id mod 997) land
+    * INSIDE the dim key range — the adversarial skew hits the probe and
+    * the (day, nation, type) fold — while fresh-space copies dangle on
+    * the inner join and measure pure probe throughput. */
+  def enrichLadder(spark: SparkSession, sfDir: String,
+      fractions: Seq[Double]): Seq[(Long, Double)] = {
+    val root = Fixtures.reusedScratchDir("streambench_enrich")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val in = s"$root/in"; val sink = s"$root/sink"; val ckpt = s"$root/ckpt"
+    val ev = Tables.load(spark, sfDir, "events")
+      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("user_id") =!= -1L)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .withColumn("eu", unix_micros(col("ts")))
+    val bounds = ev.stat.approxQuantile("eu", fractions.toArray, 0.001)
+    var loEu = Long.MinValue
+    bounds.zipWithIndex.map { case (hi, i) =>
+      val hiEu = if (i == bounds.length - 1) Long.MaxValue else hi.toLong
+      val slice = ev.where(col("eu") > loEu && col("eu") <= hiEu)
+        .select(col("user_id"), col("ts"), col("event_type"))
+      val n = slice.count()
+      slice.write.mode("append").parquet(in)
+      loEu = hiEu
+      val t0 = System.nanoTime()
+      StateStores.streamingSession(spark) { s =>
+        val dim = Tables.load(s, sfDir, "customer")
+          .join(Tables.load(s, sfDir, "nation"),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("n_name"))
+        val src = s.readStream
+          .schema("user_id BIGINT, ts TIMESTAMP, event_type STRING")
+          .parquet(in)
+        val q = graft.streaming.Enrich.dailyByNation(src, dim)
+          .writeStream.format("parquet").option("path", sink)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"[streambench] enrich fire ${i + 1}: $n rows, $wall%.3f s " +
+        f"(${n / wall}%.0f rows/s, loadavg $load%.2f)")
+      (n, wall)
+    }
+  }
+
+  /** Stream-stream LEFT OUTER ladder (stream_left_join's pipeline):
+    * time-ordered slices of the events table split into the view
+    * (impression) and click streams, joined through
+    * [[graft.streaming.StreamJoin.attributeOuter]] over one long-lived
+    * checkpoint. State is the real cost here: each fire buffers its
+    * open interval windows in RocksDB and the NEXT fire's watermark
+    * advance evicts them — exactly the cadence lifecycle. Hot-pool
+    * skew rides in from the synth corpora (half of all events keyed by
+    * 997 users → the same join keys recur at ~1000× the average). */
+  def ljoinLadder(spark: SparkSession, sfDir: String,
+      fractions: Seq[Double]): Seq[(Long, Double)] = {
+    val root = Fixtures.reusedScratchDir("streambench_ljoin")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val inI = s"$root/imps"; val inC = s"$root/clicks"
+    val sink = s"$root/sink"; val ckpt = s"$root/ckpt"
+    val ev = Tables.load(spark, sfDir, "events")
+      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("user_id") =!= -1L)
+      .withColumn("eu", unix_micros(col("ts")))
+    val bounds = ev.stat.approxQuantile("eu", fractions.toArray, 0.001)
+    var loEu = Long.MinValue
+    bounds.zipWithIndex.map { case (hi, i) =>
+      val hiEu = if (i == bounds.length - 1) Long.MaxValue else hi.toLong
+      val slice = ev.where(col("eu") > loEu && col("eu") <= hiEu)
+      val imps = slice.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("imp_time"),
+          col("event_id").as("imp_id"))
+      val clicks = slice.filter(col("event_type") === "click")
+        .select(col("user_id").as("click_user"), col("ts").as("click_time"),
+          col("event_id").as("click_id"))
+      val n = slice.count()
+      imps.write.mode("append").parquet(inI)
+      clicks.write.mode("append").parquet(inC)
+      loEu = hiEu
+      val t0 = System.nanoTime()
+      StateStores.streamingSession(spark) { s =>
+        val si = s.readStream
+          .schema("user_id BIGINT, imp_time TIMESTAMP, imp_id BIGINT")
+          .parquet(inI)
+        val sc = s.readStream
+          .schema("click_user BIGINT, click_time TIMESTAMP, click_id BIGINT")
+          .parquet(inC)
+        val q = graft.streaming.StreamJoin
+          .attributeOuter(si, sc, impKey = "user_id", clickKey = "click_user")
+          .select(col("imp_id"), col("click_id"),
+            (col("click_id").isNotNull).as("converted"))
+          .writeStream.format("parquet").option("path", sink)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"[streambench] ljoin fire ${i + 1}: $n rows, $wall%.3f s " +
+        f"(${n / wall}%.0f rows/s, loadavg $load%.2f)")
+      (n, wall)
+    }
+  }
+
   /** Approx-users (HLL state) ladder: synthesized events, one WEEK of
     * event time per fire — so each fire's watermark closes the previous
     * fire's buckets (the real cadence emission path, no sentinel), while
     * its own week's sketches stay open in state across the fire
     * boundary. User ids draw from a 200k space so the larger fires hold
-    * genuinely estimating (post-set-mode) sketches. */
-  def hlluLadder(spark: SparkSession, sizes: Seq[Long]): Seq[(Long, Double)] = {
+    * genuinely estimating (post-set-mode) sketches. With `hotPool`,
+    * half of every fire's rows key to 997 users (the ScaleSynth skew):
+    * those groups' sketches absorb ~1000× the average updates while
+    * staying 4 KiB — the bounded-state claim under skew. */
+  def hlluLadder(spark: SparkSession, sizes: Seq[Long],
+      hotPool: Boolean = false): Seq[(Long, Double)] = {
     import graft.streaming.{ApproxUsers, TypedEvent}
     val root = Fixtures.reusedScratchDir("streambench_hllu")
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
@@ -166,7 +282,11 @@ object StreamBench {
           concat(lit("t"), pmod(col("id"), lit(5L))).as("event_type"),
           date_format(timestamp_seconds(lit(weekStart)), "yyyy-MM-dd").as("week"),
           lit((weekStart + 7L * 86400L) * 1000L).as("week_end_ms"),
-          pmod(col("id") * 2654435761L, lit(200000L)).as("user_id"),
+          (if (hotPool)
+            when(pmod(col("id"), lit(2L)) === 0L,
+              lit(1L) + pmod(col("id"), lit(997L)))
+              .otherwise(pmod(col("id") * 2654435761L, lit(200000L)))
+          else pmod(col("id") * 2654435761L, lit(200000L))).as("user_id"),
           timestamp_seconds(lit(weekStart) +
             pmod(col("id"), lit(7L * 86400L - 3600L))).as("ts"))
         .repartition(4)
@@ -207,6 +327,17 @@ object StreamBench {
     if (which == "hllu" || which == "all")
       report("approx_users", hlluLadder(spark,
         Seq(10000L, 20000L, 40000L, 80000L, 160000L)))
+    // r18 10×-data ladders (VERDICT r17 item 7): the three heaviest
+    // stream entries, driven over the synth corpora's hot-pool skew
+    if (which == "hllu10x")
+      report("approx_users_hot10x", hlluLadder(spark,
+        Seq(100000L, 200000L, 400000L, 800000L, 1600000L), hotPool = true))
+    if (which == "enrich")
+      report("enrich", enrichLadder(spark, sfDir,
+        Seq(1.0 / 15, 3.0 / 15, 7.0 / 15, 1.0)))
+    if (which == "ljoin")
+      report("left_outer_join", ljoinLadder(spark, sfDir,
+        Seq(1.0 / 15, 3.0 / 15, 7.0 / 15, 1.0)))
     spark.stop()
   }
 }

@@ -46,6 +46,9 @@ object AssocRules {
   private val MinSup = 2       // absolute co-order support floor
   private val TopK = 25
   private val Micro = 1000000L
+  /** Pair-exchange sizing: keys one partition's aggregation map holds
+    * comfortably (~64 B/entry ⇒ ~64 MiB per task at this bound). */
+  private val PairKeysPerPartition = 1000000L
 
   def assocRules(spark: SparkSession, dir: String): DataFrame = {
     val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -84,9 +87,28 @@ object AssocRules {
     val pairs = expr(
       "flatten(transform(ps, x -> transform(filter(ps, y -> y > x), " +
         "y -> struct(x AS pa, y AS pb))))")
+    // The pair-count agg's KEY SET is corpus-sized at high density —
+    // the 1000× decade probe (600M lines, ~9·10⁸ pair instances over
+    // ~2·10⁸ distinct pairs) OOM'd the fixed-width aggregation map when
+    // the session's 32 shuffle partitions left ~6M keys per concurrent
+    // task. One model-sized agg off the persisted baskets (the
+    // triangle wedge-guard trick) estimates the expansion volume
+    // UP-FRONT, and the pair exchange scales its width so a
+    // partition's key slice always fits a task's aggregation map; at
+    // gate SFs the estimate collapses to the session default and the
+    // plan is unchanged (groupBy reuses the repartition's
+    // (pa,pb)-partitioning — same single exchange either way).
+    val pairVolume = baskets
+      .select(size(col("ps")).cast("long").as("k"))
+      .agg(coalesce(sum(expr("k * (k - 1) div 2")), lit(0L)))
+      .head.getLong(0)
+    val defaultParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val pairParts = math.max(defaultParts,
+      math.min(4096L, pairVolume / PairKeysPerPartition).toInt)
     val co = pruned
       .select(explode(pairs).as("e"))
       .select(col("e.pa").as("pa"), col("e.pb").as("pb"))
+      .repartition(pairParts, col("pa"), col("pb"))
       .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("co"))
       .filter(col("co") >= MinSup)
     // Top-K via orderBy+limit, NOT a global rank window: at the 10×

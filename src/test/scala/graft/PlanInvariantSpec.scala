@@ -157,11 +157,13 @@ class PlanInvariantSpec extends SparkSpec {
       // node-sized alignments disappear); live shuffles = the full-deg
       // agg and the per-node triangle fold
       "rel_triangle_sample" -> 2,
-      // 3 = the basket collect_set, the item-support agg, and the pair
-      // agg + final window (the pruned re-group reuses the baskets'
-      // ok-partitioning — explode and the broadcast semi-join both
-      // preserve it); supports/frequent-set/N all broadcast
-      "rel_assoc_rules" -> 3,
+      // 2 since the r18 pair-volume probe: its eager agg MATERIALIZES
+      // the baskets cache (pre-r18 pin 3 counted the basket
+      // collect_set), so live = the item-support agg and the
+      // volume-scaled pair repartition (whose (pa,pb)-partitioning the
+      // groupBy reuses — the pruned re-group still rides the baskets'
+      // ok-partitioning); supports/frequent-set/N all broadcast
+      "rel_assoc_rules" -> 2,
       // 3 = the exposure min-struct agg, the attribution join's event
       // side (the (u,t) collapse reuses the join's u-partitioning),
       // and the |metrics|-key pivot fold; exposure + Ns broadcast

@@ -18,18 +18,15 @@ object BloomProbe {
     (shiftrightunsigned(xxhash64(key: _*), 32),
       xxhash64(key: _*).bitwiseAND(lit(0xffffffffL)))
 
-  /** True iff all K probed bits are set in `bloom` (a literal/broadcast
-    * Seq[Long] column of [[BloomBits.Bits]]/64 words): "maybe present".
-    * False is DEFINITE absence — the no-false-negative direction a
-    * prefilter relies on. */
-  def might(bloom: Column, a: Column, b: Column): Column = {
-    // 1L << (idx & 63) as a 64-entry literal array: shiftleft's bit
-    // count is not a Column, so the shift becomes a lookup
-    val powBit = array((0 until 64).map(j => lit(1L << j)): _*)
-    (0 until BloomBits.K).map { i =>
-      val idx = pmod(a + lit(i.toLong) * b, lit(BloomBits.Bits.toLong))
-      val word = element_at(bloom, (idx / 64).cast("int") + 1)
-      word.bitwiseAND(element_at(powBit, pmod(idx, lit(64L)).cast("int") + 1)) =!= 0L
-    }.reduce(_ && _)
+  /** True iff all K probed bits are set in `bits` (a driver-collected
+    * [[BloomBits]] bitset of [[BloomBits.Bits]]/64 words): "maybe
+    * present". False is DEFINITE absence — the no-false-negative
+    * direction a prefilter relies on. Backed by the native
+    * [[BloomMightContain]] expression (bitset as a constructor field —
+    * see its Scaladoc for why not a 512 KiB array literal). */
+  def might(bits: Seq[Long], a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.PlanShim
+    PlanShim.column(BloomMightContain(bits.toArray,
+      PlanShim.expression(a), PlanShim.expression(b)))
   }
 }

@@ -75,13 +75,20 @@ object Graph {
       .distinct().repartition(col("src")).persist(sl)
     val nodes = li.select(col("s").as("v")).distinct()
       .repartition(col("v")).persist(sl)
-    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist(sl)
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // Out-degree folded INTO the persisted edge table (r18): the degree
+    // is loop-invariant, so joining it per round rebuilt the same
+    // broadcast 5×. groupBy(src) reuses edges' partitioning, the
+    // broadcast back onto edges happens once, and each round is left
+    // with exactly ONE small-side broadcast (the rank table).
+    val edgesDeg = edges.join(outdeg, "src")
+      .select(col("src"), col("dst"), col("deg")).persist(sl)
     val nn = broadcast(nodes.agg(count(lit(1)).as("nn")))
 
     var ranks = nodes.crossJoin(nn)
       .select(col("v"), expr(s"$Scale div nn").as("r"))
     (1 to Iters).foreach { _ =>
-      val inc = edges.join(outdeg, "src")
+      val inc = edgesDeg
         .join(ranks.withColumnRenamed("v", "src"), "src")
         .select(col("dst").as("v"), expr("r div deg").as("share"))
         .groupBy(col("v")).agg(sum(col("share")).as("inc"))
@@ -164,6 +171,70 @@ object Graph {
   private[graft] val WedgeGuardConf = "spark.graft.triangle.maxWedges"
   private[graft] val WedgeGuardDefault = 1000000000L // 1e9 wedges
 
+  /** Edge-count ceiling for the broadcast-adjacency enumeration route
+    * (overridable via [[BcastEdgesConf]]). Below it, the oriented
+    * adjacency (|E| longs grouped into per-node arrays — 64 MB at the
+    * default 8M edges) broadcasts and triangle enumeration is MAP-ONLY
+    * over the edge list: per edge (a,b), the common out-neighbors
+    * N⁺(a) ∩ N⁺(b) are exactly the c's closing a triangle with that
+    * edge, and each triangle is found exactly once (at its (deg,id)-min
+    * edge). That replaces the wedge self-join + closure join — which
+    * materialize Σ outdeg² joined ROWS — with Σ outdeg² primitive long
+    * hash ops inside one codegen'd `array_intersect`, and cuts the
+    * per-node explode from 3·#triangles rows to #triangles (+2|E|)
+    * rows, since the a/b endpoints' credits ride as a size() weight
+    * instead of exploded rows (optimization guide §2.3/§3: shuffle —
+    * and here even materialize — keys and counts, not per-wedge rows).
+    * Past the ceiling the keyed wedge-join shape below runs unchanged —
+    * the 100 TB path never assumes the adjacency fits anywhere. */
+  private[graft] val BcastEdgesConf = "spark.graft.triangle.broadcastEdges"
+  private[graft] val BcastEdgesDefault = 8000000L // 8M edges ≈ 64 MB of longs
+
+  /** Per-node triangle counts over an ORIENTED (a → b along the
+    * (deg, id) total order), distinct, persisted edge list partitioned
+    * by `a`. Output: (n, triangles) with one row per node that appears
+    * on any oriented edge; nodes absent entirely (deg 0 — impossible
+    * here) or with zero triangles resolve through the caller's left
+    * join + coalesce(0), identical in both routes. */
+  private def perNodeTriangles(
+      spark: SparkSession, oriented: DataFrame, edgeCount: Long): DataFrame = {
+    val bcastMax = spark.conf.getOption(BcastEdgesConf)
+      .map(_.toLong).getOrElse(BcastEdgesDefault)
+    if (edgeCount <= bcastMax) {
+      // groupBy(a) reuses the persisted repartition(a) — no exchange.
+      val adj = oriented.groupBy(col("a")).agg(collect_list(col("b")).as("nb"))
+      // Inner joins: `a` always has an out-edge so adj(a) exists; a `b`
+      // with no out-edges has an empty intersection (zero contribution),
+      // so dropping its row is exact.
+      oriented
+        .join(broadcast(adj.select(col("a"), col("nb").as("nba"))), Seq("a"))
+        .join(broadcast(adj.select(col("a").as("b"), col("nb").as("nbb"))), Seq("b"))
+        .select(col("a"), col("b"),
+          array_intersect(col("nba"), col("nbb")).as("ic"))
+        // One Generate pass credits all three corners, exploding PURE
+        // LONGS (a struct-per-element first cut measured ~2× slower —
+        // per-row transform/named_struct allocation): the c's ride as
+        // the first size(ic) positions with weight 1, a and b as the
+        // two trailing positions with weight size(ic) (their triangle
+        // count through this edge). Codegen explode, long-keyed fold.
+        .select(size(col("ic")).cast("long").as("sz"),
+          posexplode(concat(col("ic"), array(col("a"), col("b")))).as(Seq("p", "n")))
+        .select(col("n"),
+          when(col("p") < col("sz"), lit(1L)).otherwise(col("sz")).as("w"))
+        .groupBy(col("n")).agg(sum(col("w")).as("triangles"))
+    } else {
+      // Keyed wedge enumeration — both joins shuffle on model-sized
+      // keys, never on the adjacency; the guard above already bounded
+      // Σ outdeg², the wedge row volume this route materializes.
+      val tri = oriented.as("x")
+        .join(oriented.as("y"), col("x.b") === col("y.a"))
+        .select(col("x.a").as("a"), col("x.b").as("b"), col("y.b").as("c"))
+        .join(oriented.select(col("a"), col("b").as("c")), Seq("a", "c"))
+      tri.select(explode(array(col("a"), col("b"), col("c"))).as("n"))
+        .groupBy(col("n")).agg(count(lit(1)).as("triangles"))
+    }
+  }
+
   def triangles(spark: SparkSession, dir: String): DataFrame = {
     val sl = StorageLevel.MEMORY_AND_DISK
     val li = Tables.load(spark, dir, "lineitem")
@@ -191,10 +262,12 @@ object Graph {
     // The scale guard: one |nodes|-row agg over the persisted
     // orientation (work the enumeration below would redo anyway),
     // collapsed to a single driver scalar — the bloom_join head()
-    // convention. Fails fast BEFORE the wedge join can launch.
-    val wedges = oriented.groupBy(col("a")).agg(count(lit(1)).as("od"))
-      .agg(coalesce(sum(col("od") * col("od")), lit(0L)))
-      .head.getLong(0)
+    // convention. Fails fast BEFORE the wedge join can launch. The
+    // same pass also yields |E|, which routes the enumeration.
+    val st = oriented.groupBy(col("a")).agg(count(lit(1)).as("od"))
+      .agg(coalesce(sum(col("od") * col("od")), lit(0L)),
+        coalesce(sum(col("od")), lit(0L))).head
+    val wedges = st.getLong(0)
     val maxWedges = spark.conf.getOption(WedgeGuardConf)
       .map(_.toLong).getOrElse(WedgeGuardDefault)
     if (wedges > maxWedges)
@@ -203,13 +276,7 @@ object Graph {
           s"($WedgeGuardConf) — exact triangle enumeration is " +
           "Theta(#triangles) and cannot finish blind at this density; " +
           "use rel_triangle_sample (DOULION) or raise the bound explicitly")
-    val tri = oriented.as("x")
-      .join(oriented.as("y"), col("x.b") === col("y.a"))
-      .select(col("x.a").as("a"), col("x.b").as("b"), col("y.b").as("c"))
-      .join(oriented.select(col("a"), col("b").as("c")), Seq("a", "c"))
-    val perNode = tri
-      .select(explode(array(col("a"), col("b"), col("c"))).as("n"))
-      .groupBy(col("n")).agg(count(lit(1)).as("triangles"))
+    val perNode = perNodeTriangles(spark, oriented, st.getLong(1))
     deg.join(perNode, Seq("n"), "left")
       .select(col("n").as("suppkey"), col("deg"),
         coalesce(col("triangles"), lit(0L)).as("triangles"))
@@ -297,13 +364,11 @@ object Graph {
       .select(when(fwd, col("u")).otherwise(col("v")).as("a"),
         when(fwd, col("v")).otherwise(col("u")).as("b"))
       .repartition(col("a")).persist(sl)
-    val tri = oriented.as("x")
-      .join(oriented.as("y"), col("x.b") === col("y.a"))
-      .select(col("x.a").as("a"), col("x.b").as("b"), col("y.b").as("c"))
-      .join(oriented.select(col("a"), col("b").as("c")), Seq("a", "c"))
-    val perNode = tri
-      .select(explode(array(col("a"), col("b"), col("c"))).as("n"))
-      .groupBy(col("n")).agg(count(lit(1)).as("tri_sampled"))
+    // |E_sampled| for the enumeration route — one model-sized agg over
+    // the persisted sampled orientation (the exact-path convention).
+    val m = oriented.agg(count(lit(1))).head.getLong(0)
+    val perNode = perNodeTriangles(spark, oriented, m)
+      .withColumnRenamed("triangles", "tri_sampled")
     deg.join(perNode, Seq("n"), "left")
       .select(col("n").as("suppkey"), col("deg"),
         coalesce(col("tri_sampled"), lit(0L)).as("tri_sampled"))

@@ -859,17 +859,12 @@ object LlmDedup {
     val bloomBits: Seq[Long] = corpusG
       .agg(bloomAgg(col("a"), col("b")).as("bloom"))
       .head().getAs[scala.collection.Seq[Long]]("bloom").toSeq
-    val bloom = typedLit(bloomBits)
 
-    // 1L << (idx & 63) as a 64-entry literal array: bit tests stay in
-    // builtin/codegen land (shiftright's bit count is not a Column).
-    val powBit = array((0 until 64).map(j => lit(1L << j)): _*)
-    val probes = (0 until BloomBits.K).map { i =>
-      val idx = pmod(col("a") + lit(i.toLong) * col("b"), lit(BloomBits.Bits.toLong))
-      val word = element_at(bloom, (idx / 64).cast("int") + 1)
-      word.bitwiseAND(element_at(powBit, pmod(idx, lit(64L)).cast("int") + 1)) =!= 0L
-    }
-    val might = batchG.withColumn("might", probes.reduce(_ && _))
+    // Native K-probe with the bitset as expression state, not a 512 KiB
+    // array literal (see [[graft.functions.BloomMightContain]]) — same
+    // indices, same null behavior, ~free plan canonicalization.
+    val might = batchG.withColumn("might",
+      graft.functions.BloomProbe.might(bloomBits, col("a"), col("b")))
 
     val candG = might.filter(col("might")).select(col("a"), col("b")).distinct()
     val seen = corpusG.join(broadcast(candG), Seq("a", "b"), "left_semi")

@@ -926,12 +926,11 @@ object Relational {
       .select(oa.as("a"), ob.as("b"))
       .agg(bloomAgg(col("a"), col("b")).as("bloom"))
       .head().getAs[scala.collection.Seq[Long]]("bloom").toSeq
-    val bloom = typedLit(bits)
     val li = Tables.load(spark, dir, "lineitem")
     val (la, lb) = BloomProbe.halves(col("l_orderkey"))
     val price = col("l_extendedprice").cast(dec)
     val disc = col("l_discount").cast(dec)
-    li.filter(BloomProbe.might(bloom, la, lb)) // map-side, pre-shuffle
+    li.filter(BloomProbe.might(bits, la, lb)) // map-side, pre-shuffle
       .join(sel.select(col("o_orderkey"), col("o_orderpriority")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))

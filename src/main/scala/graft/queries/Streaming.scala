@@ -24,6 +24,42 @@ object Streaming {
   // clean step makes concurrent same-query runs unsafe, hence the lock.
   private val newsLock, sessLock, attrLock = new Object
 
+  // ---- staged streaming inputs (the attrInputs convention, generalized)
+  //
+  // Every stream_* entry's file-source input is a DETERMINISTIC function
+  // of the immutable source tables, so it is staged once per (query, dir)
+  // per JVM and reused by later invocations (Bench's warmup + measured
+  // passes, Serve requests) — re-deriving it per pass times a parquet
+  // write, not the streaming operator (r18 optimization; guide §1.4
+  // "time the computation"). The watermark-kicker sentinel is the one
+  // per-invocation mutation of a staged dir: it lands as a single
+  // FIXED-NAME file copied in between the two fires, and is deleted at
+  // the next invocation's start so fire 1 always sees exactly the base
+  // files. Sink + checkpoint stay per-run: every run remains a fresh,
+  // complete streaming lifecycle over the full input.
+
+  private val SentinelFile = "zz_sentinel.parquet"
+
+  private def fsOf(spark: SparkSession) = org.apache.hadoop.fs.FileSystem
+    .get(spark.sparkContext.hadoopConfiguration)
+
+  /** Copy the staged one-row sentinel's part-file into `inDir` under the
+    * fixed name — two FS ops instead of a per-invocation Spark write. */
+  private def injectSentinel(spark: SparkSession, sentinelDir: String,
+      inDir: String): Unit = {
+    val fs = fsOf(spark)
+    val src = fs.listStatus(new org.apache.hadoop.fs.Path(sentinelDir))
+      .map(_.getPath).filter(_.getName.startsWith("part-"))
+      .sortBy(_.getName).head
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+      new org.apache.hadoop.fs.Path(inDir, SentinelFile), false,
+      spark.sparkContext.hadoopConfiguration): Unit
+  }
+
+  private def clearSentinel(spark: SparkSession, inDir: String,
+      name: String = SentinelFile): Unit =
+    fsOf(spark).delete(new org.apache.hadoop.fs.Path(inDir, name), false): Unit
+
   def newsDedup(spark: SparkSession, dir: String): DataFrame = newsLock.synchronized {
     val scratch = graft.Fixtures.reusedScratchDir("news_rt")
     NewsStream.freshRun(spark, landing, scratch) // deletes scratch first
@@ -49,14 +85,33 @@ object Streaming {
     * sentinel's own session stays open forever, so it never reaches the
     * sink and the result equals the BATCH sessionization of the table —
     * which is exactly what the DuckDB oracle computes. */
+  private val sessInputs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
   def streamSessionize(spark: SparkSession, dir: String): DataFrame = sessLock.synchronized {
     import spark.implicits._
+    val staged = sessInputs.computeIfAbsent(dir, _ => {
+      val d = graft.Fixtures.scratchDir("sess_in")
+      val ev = graft.Tables.load(spark, dir, "events")
+        .select(col("user_id"), col("ts"))
+      // The watermark kicker below reserves user_id -1 as an in-band
+      // sentinel (filtered from results); a corpus actually carrying that
+      // id would silently lose that user's sessions — refuse loudly. The
+      // guard is one pushdown-friendly probe, not a full scan.
+      require(ev.filter(col("user_id") === -1L).head(1).isEmpty,
+        "events table contains user_id -1, reserved as the sessionize watermark sentinel")
+      ev.write.parquet(s"$d/in")
+      Seq(SessEvent(-1L, java.sql.Timestamp.valueOf("2100-01-01 00:00:00"))).toDS()
+        .coalesce(1).write.parquet(s"$d/sentinel")
+      d
+    })
+    val in = s"$staged/in"
     val scratch = graft.Fixtures.reusedScratchDir("sess_rt")
-    val in = s"$scratch/in"
     val sink = s"$scratch/sink"
     val ckpt = s"$scratch/ckpt"
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    Seq(in, sink, ckpt).foreach(p =>
+    val fs = fsOf(spark)
+    clearSentinel(spark, in)
+    Seq(sink, ckpt).foreach(p =>
       fs.delete(new org.apache.hadoop.fs.Path(p), true))
 
     def runOnce(): Unit =
@@ -71,17 +126,8 @@ object Streaming {
         q.awaitTermination()
       }
 
-    val ev = graft.Tables.load(spark, dir, "events").select(col("user_id"), col("ts"))
-    // The watermark kicker below reserves user_id -1 as an in-band
-    // sentinel (filtered from results); a corpus actually carrying that
-    // id would silently lose that user's sessions — refuse loudly. The
-    // guard is one pushdown-friendly probe, not a full scan.
-    require(ev.filter(col("user_id") === -1L).head(1).isEmpty,
-      "events table contains user_id -1, reserved as the sessionize watermark sentinel")
-    ev.write.parquet(in)
     runOnce()
-    Seq(SessEvent(-1L, java.sql.Timestamp.valueOf("2100-01-01 00:00:00"))).toDS()
-      .write.mode("append").parquet(in)
+    injectSentinel(spark, s"$staged/sentinel", in)
     runOnce()
 
     spark.read.parquet(sink).filter(col("user_id") =!= -1L)
@@ -196,22 +242,34 @@ object Streaming {
     * included). StreamingSpec("landing fixture: duplicate (link, date)
     * rows carry identical payloads") asserts it, so a fixture edit
     * fails there, not as a nondeterministic hash flake. */
+  private val trendInputs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
   def streamTrending(spark: SparkSession, dir: String): DataFrame = trendLock.synchronized {
+    // Landing copy staged once per JVM (the staged-input convention —
+    // the copy exists so the sentinel write below never touches the
+    // shared fixture dir); the sentinel json is the only per-invocation
+    // file, cleared at start so fire 1 sees exactly the landing files.
+    val in = trendInputs.computeIfAbsent(landing, _ => {
+      val d = graft.Fixtures.scratchDir("trend_in")
+      val dst = s"$d/in"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dst))
+      // Files.list holds the directory handle until closed — a long-lived
+      // Serve process would leak one per invocation without the finally.
+      val listing = java.nio.file.Files.list(java.nio.file.Paths.get(landing))
+      try listing.forEach { f =>
+        java.nio.file.Files.copy(f,
+          java.nio.file.Paths.get(dst, f.getFileName.toString)): Unit
+      } finally listing.close()
+      dst
+    })
     val scratch = graft.Fixtures.reusedScratchDir("trend_rt")
-    val in = s"$scratch/in"
     val sink = s"$scratch/sink"
     val ckpt = s"$scratch/ckpt"
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    Seq(in, sink, ckpt).foreach(p =>
+    val fs = fsOf(spark)
+    clearSentinel(spark, in, "zz_sentinel.json")
+    Seq(sink, ckpt).foreach(p =>
       fs.delete(new org.apache.hadoop.fs.Path(p), true))
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
-    // Files.list holds the directory handle until closed — a long-lived
-    // Serve process would leak one per invocation without the finally.
-    val listing = java.nio.file.Files.list(java.nio.file.Paths.get(landing))
-    try listing.forEach { f =>
-      java.nio.file.Files.copy(f,
-        java.nio.file.Paths.get(in, f.getFileName.toString)): Unit
-    } finally listing.close()
 
     def runOnce(): Unit = graft.streaming.StateStores.streamingSession(spark) { s =>
       val counts = s.readStream.schema(NewsStream.newsSchema).json(in)
@@ -284,23 +342,43 @@ object Streaming {
     * 100 TB: the merge's carry-forward leg is the same keyed left-anti
     * the news upsert uses — partition-prunable by the batch's keys —
     * and the feed batch is the only new data read per tick. */
+  private val cdcInputs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** The staged change-feed dir for `dir`, once [[streamCdcApply]] has
+    * run (tests re-fire the same stream over the same checkpoint). */
+  private[graft] def cdcFeedDir(dir: String): Option[String] =
+    Option(cdcInputs.get(dir)).map(d => s"$d/in")
+
   def streamCdcApply(spark: SparkSession, dir: String): DataFrame = cdcLock.synchronized {
     import org.apache.spark.sql.streaming.Trigger
+    // Staged once per dir (the staged-input convention): the landed
+    // change feed AND a pristine base lake — both deterministic
+    // functions of the source tables. The merge MUTATES its lake, so
+    // each run works on a cheap FS copy of the pristine commit instead
+    // of re-running the base-snapshot write job per invocation.
+    val staged = cdcInputs.computeIfAbsent(dir, _ => {
+      val d = graft.Fixtures.scratchDir("cdc_in")
+      // Base snapshot: the "previous" load (keys ≡ 3 mod 10 absent).
+      val o = graft.Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"))
+      graft.LakeCommit.commit(o.filter(col("o_orderkey") % 10 =!= 3), s"$d/lake0")
+      Ingestion.cdcDiff(spark, dir).coalesce(1).write.mode("overwrite").json(s"$d/in")
+      d
+    })
+    val in = s"$staged/in"
     val scratch = graft.Fixtures.reusedScratchDir("cdc_rt")
-    val in = s"$scratch/in"
     val lake = s"$scratch/lake"
     val ckpt = s"$scratch/ckpt"
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
-    // Base snapshot: the "previous" load (keys ≡ 3 mod 10 absent).
-    val o = graft.Tables.load(spark, dir, "orders")
-      .select(col("o_orderkey"),
-        col("o_totalprice").cast("decimal(18,2)").as("price"))
-    graft.LakeCommit.commit(o.filter(col("o_orderkey") % 10 =!= 3), lake)
-    // Land the change feed for the file source.
-    val feed = Ingestion.cdcDiff(spark, dir)
-    feed.coalesce(1).write.mode("overwrite").json(in)
-    val stream = spark.readStream.schema(feed.schema).json(in)
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(s"$staged/lake0"), fs,
+      new org.apache.hadoop.fs.Path(lake), false,
+      spark.sparkContext.hadoopConfiguration)
+    val stream = spark.readStream
+      .schema(Ingestion.cdcDiff(spark, dir).schema).json(in)
     val q = stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", ckpt)
@@ -453,16 +531,11 @@ object Streaming {
     * literally TRUE — an estimator drift OR an unbounded-state
     * regression turns the row red. LEFT join from the exact side: a
     * withheld emission nulls the verdicts and hash-fails. */
+  private val hlluInputs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
   def streamApproxUsers(spark: SparkSession, dir: String): DataFrame = hlluLock.synchronized {
     import graft.streaming.ApproxUsers
-    val scratch = graft.Fixtures.reusedScratchDir("hllu_rt")
-    val in = s"$scratch/in"
-    val sink = s"$scratch/sink"
-    val ckpt = s"$scratch/ckpt"
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    Seq(in, sink, ckpt).foreach(p =>
-      fs.delete(new org.apache.hadoop.fs.Path(p), true))
-
     val ev = graft.Tables.load(spark, dir, "events")
       .filter(col("ts").isNotNull && col("user_id").isNotNull)
       .select(col("event_type"),
@@ -470,12 +543,29 @@ object Streaming {
         ((unix_timestamp(date_trunc("week", col("ts"))) + lit(7L * 24 * 3600))
           * 1000L).as("week_end_ms"),
         col("user_id"), col("ts"))
-    // The watermark kicker below reserves this event_type as an in-band
-    // sentinel (filtered from results) — refuse loudly if the corpus
-    // ever carries it. One pushdown-friendly probe, not a scan.
-    require(ev.filter(col("event_type") === "zz_sentinel").head(1).isEmpty,
-      "events table contains event_type zz_sentinel, reserved as the watermark sentinel")
-    ev.repartition(4).write.parquet(in) // 4 files = 4 micro-batches below
+    val staged = hlluInputs.computeIfAbsent(dir, _ => {
+      val d = graft.Fixtures.scratchDir("hllu_in")
+      // The watermark kicker below reserves this event_type as an in-band
+      // sentinel (filtered from results) — refuse loudly if the corpus
+      // ever carries it. One pushdown-friendly probe, not a scan.
+      require(ev.filter(col("event_type") === "zz_sentinel").head(1).isEmpty,
+        "events table contains event_type zz_sentinel, reserved as the watermark sentinel")
+      ev.repartition(4).write.parquet(s"$d/in") // 4 files = 4 micro-batches below
+      import spark.implicits._
+      Seq(("zz_sentinel", "2100-01-04", 4102444800000L, -1L,
+        java.sql.Timestamp.valueOf("2100-01-01 00:00:00")))
+        .toDF("event_type", "week", "week_end_ms", "user_id", "ts")
+        .coalesce(1).write.parquet(s"$d/sentinel")
+      d
+    })
+    val in = s"$staged/in"
+    val scratch = graft.Fixtures.reusedScratchDir("hllu_rt")
+    val sink = s"$scratch/sink"
+    val ckpt = s"$scratch/ckpt"
+    val fs = fsOf(spark)
+    clearSentinel(spark, in)
+    Seq(sink, ckpt).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
 
     def runOnce(): Unit = graft.streaming.StateStores.streamingSession(spark) { s =>
       import s.implicits._
@@ -492,11 +582,7 @@ object Streaming {
       q.awaitTermination()
     }
     runOnce()
-    import spark.implicits._
-    Seq(("zz_sentinel", "2100-01-04", 4102444800000L, -1L,
-      java.sql.Timestamp.valueOf("2100-01-01 00:00:00")))
-      .toDF("event_type", "week", "week_end_ms", "user_id", "ts")
-      .write.mode("append").parquet(in)
+    injectSentinel(spark, s"$staged/sentinel", in)
     runOnce()
 
     val streamed = spark.read.parquet(sink)
@@ -528,20 +614,32 @@ object Streaming {
     * The DuckDB oracle is the equivalent batch join+rollup, so a
     * dropped batch, a stale dim probe, or an unfinalized window all
     * hash-fail. */
+  private val enrichInputs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
   def streamEnrich(spark: SparkSession, dir: String): DataFrame = enrichLock.synchronized {
+    import spark.implicits._
+    val staged = enrichInputs.computeIfAbsent(dir, _ => {
+      val d = graft.Fixtures.scratchDir("enrich_in")
+      val ev = graft.Tables.load(spark, dir, "events")
+        .filter(col("ts").isNotNull && col("user_id").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_type"))
+      require(ev.filter(col("user_id") === -1L).head(1).isEmpty,
+        "events table contains user_id -1, reserved as the enrich watermark sentinel")
+      ev.write.parquet(s"$d/in")
+      Seq((-1L, java.sql.Timestamp.valueOf("2100-01-01 00:00:00"), "zz"))
+        .toDF("user_id", "ts", "event_type")
+        .coalesce(1).write.parquet(s"$d/sentinel")
+      d
+    })
+    val in = s"$staged/in"
     val scratch = graft.Fixtures.reusedScratchDir("enrich_rt")
-    val in = s"$scratch/in"
     val sink = s"$scratch/sink"
     val ckpt = s"$scratch/ckpt"
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    Seq(in, sink, ckpt).foreach(p =>
+    val fs = fsOf(spark)
+    clearSentinel(spark, in)
+    Seq(sink, ckpt).foreach(p =>
       fs.delete(new org.apache.hadoop.fs.Path(p), true))
-    val ev = graft.Tables.load(spark, dir, "events")
-      .filter(col("ts").isNotNull && col("user_id").isNotNull)
-      .select(col("user_id"), col("ts"), col("event_type"))
-    require(ev.filter(col("user_id") === -1L).head(1).isEmpty,
-      "events table contains user_id -1, reserved as the enrich watermark sentinel")
-    ev.write.parquet(in)
 
     def runOnce(): Unit = graft.streaming.StateStores.streamingSession(spark) { s =>
       val dim = graft.Tables.load(s, dir, "customer")
@@ -560,10 +658,7 @@ object Streaming {
       q.awaitTermination()
     }
     runOnce()
-    import spark.implicits._
-    Seq((-1L, java.sql.Timestamp.valueOf("2100-01-01 00:00:00"), "zz"))
-      .toDF("user_id", "ts", "event_type")
-      .write.mode("append").parquet(in)
+    injectSentinel(spark, s"$staged/sentinel", in)
     runOnce()
     spark.read.parquet(sink)
   }

@@ -22,6 +22,19 @@ object PlanShim {
   def analyzed(df: DataFrame): LogicalPlan =
     df.queryExecution.analyzed
 
+  /** Wrap a catalyst Expression as a user-facing Column
+    * (`ExpressionUtils.column` is `private[sql]` in Spark 4). Needed by
+    * native expressions that cannot register through the function
+    * registry because they carry non-SQL constructor state (e.g.
+    * [[graft.functions.BloomMightContain]]'s bitset). */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
+    classic.ExpressionUtils.column(e)
+
+  /** The catalyst Expression behind a Column (same `private[sql]` shim
+    * rationale as [[column]]). */
+  def expression(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
+
   /** True when the session's shared plan cache holds no entries
     * (`sharedState` is `private[sql]`). Lets tests assert an operator
     * released every frame it persisted. */

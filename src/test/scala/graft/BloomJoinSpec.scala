@@ -21,15 +21,14 @@ class BloomJoinSpec extends SparkSpec {
     val bits = inserted.toDF("k").select(a.as("a"), b.as("b"))
       .agg(agg(col("a"), col("b"))).head()
       .getAs[scala.collection.Seq[Long]](0).toSeq
-    val bloom = typedLit(bits)
     // every inserted key probes true — exhaustively
     val fn = inserted.toDF("k")
-      .filter(!BloomProbe.might(bloom, a, b)).count()
+      .filter(!BloomProbe.might(bits, a, b)).count()
     assert(fn === 0L, s"$fn false negatives — the prefilter would drop real matches")
     // disjoint probe set: fp rate stays well under 1% at this load
     val probes = (0L until 20000L).map(_ * 7919L + 1L)
     val fp = probes.toDF("k")
-      .filter(BloomProbe.might(bloom, a, b)).count()
+      .filter(BloomProbe.might(bits, a, b)).count()
     assert(fp < 200L, s"fp rate ${fp / 20000.0} — filter saturated or mis-sized")
   }
 

@@ -152,6 +152,23 @@ class GraphSpec extends SparkSpec {
     Graph.triangles(spark, tmp)
   }
 
+  test("broadcast-adjacency and keyed wedge-join routes agree cell-for-cell") {
+    // r18 optimization: below spark.graft.triangle.broadcastEdges the
+    // enumeration is a broadcast-adjacency array_intersect; above it,
+    // the keyed wedge join. Same fixture, both routes, full-row compare
+    // (suppkey, deg, triangles, clustering).
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toSet
+    val bcast = rows(Graph.triangles(spark, sf0001))
+    spark.conf.set(Graph.BcastEdgesConf, "0")
+    try {
+      val keyed = rows(Graph.triangles(spark, sf0001))
+      assert(bcast === keyed)
+      assert(bcast.exists(_._3 > 0), "route-compare fixture closed no triangle")
+    } finally spark.conf.unset(Graph.BcastEdgesConf)
+  }
+
   /** Plain-Scala replica of the DOULION md5 edge coin. */
   private def edgeKept(u: Long, v: Long): Boolean = {
     val md = java.security.MessageDigest.getInstance("MD5")

@@ -149,14 +149,16 @@ class PlanInvariantSpec extends SparkSpec {
       // pair distinct, degree agg, orientation alignments — the pre-r18
       // pin of 6) sit behind materialized cache boundaries and the
       // model-sized sides broadcast; live = the per-node triangle fold.
-      // The wedge and closure joins still reuse oriented's persisted
-      // (a) partitioning (subset rule)
+      // Unchanged by the r18 broadcast-adjacency enumeration: the
+      // adjacency build reuses oriented's persisted (a) partitioning
+      // and both adjacency sides broadcast
       "rel_triangle_count" -> 1,
-      // the sparsified graph is small enough that the sampled-degree
-      // sides BROADCAST into the orientation (2 of the exact form's
-      // node-sized alignments disappear); live shuffles = the full-deg
-      // agg and the per-node triangle fold
-      "rel_triangle_sample" -> 2,
+      // 1 since the r18 broadcast-adjacency enumeration: the eager |E|
+      // probe (like the exact form's wedge guard) materializes the
+      // persisted caches INCLUDING the full-degree agg, so the only
+      // live shuffle left is the per-node triangle fold — the
+      // adjacency sides broadcast
+      "rel_triangle_sample" -> 1,
       // 2 since the r18 pair-volume probe: its eager agg MATERIALIZES
       // the baskets cache (pre-r18 pin 3 counted the basket
       // collect_set), so live = the item-support agg and the

@@ -416,7 +416,10 @@ class StreamingSpec extends SparkSpec {
     assert(out.contains(3L), "added keys never landed")
     val lake = s"${graft.Fixtures.reusedScratchDir("cdc_rt")}/lake"
     val ckpt = s"${graft.Fixtures.reusedScratchDir("cdc_rt")}/ckpt"
-    val in = s"${graft.Fixtures.reusedScratchDir("cdc_rt")}/in"
+    // The feed is staged once per dir (r18 staged-input memo), no longer
+    // under the per-run scratch root.
+    val in = graft.queries.Streaming.cdcFeedDir(sf0001)
+      .getOrElse(fail("cdc feed not staged"))
     val versionsAfter = graft.LakeCommit.committedVersions(spark, lake)
     // Exactly-once: re-fire the SAME stream over the SAME checkpoint
     // with no new files — the source must deliver nothing, so no merge

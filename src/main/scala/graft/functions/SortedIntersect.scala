@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Scalar kernel shared by the interpreted and codegen paths: two-pointer
+  * merge intersection of two SORTED, DISTINCT long arrays. */
+object SortedIntersectUtil {
+  def intersect(x: ArrayData, y: ArrayData): ArrayData = {
+    val nx = x.numElements()
+    val ny = y.numElements()
+    val out = new Array[Long](math.min(nx, ny))
+    var i = 0; var j = 0; var k = 0
+    while (i < nx && j < ny) {
+      val a = x.getLong(i)
+      val b = y.getLong(j)
+      if (a == b) { out(k) = a; k += 1; i += 1; j += 1 }
+      else if (a < b) i += 1
+      else j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(
+      if (k == out.length) out else java.util.Arrays.copyOf(out, k))
+  }
+}
+
+/** Native `sorted_intersect(xs, ys)` over two SORTED ascending, DISTINCT
+  * `array<bigint>` columns (r18 optimization, triangle enumeration):
+  * `array_intersect` builds a per-row hash set of one side (O(|x|+|y|)
+  * hash inserts/probes plus the set allocation per row — measured ~1.7 s
+  * of the triangle query at sf0.1 across 454k edges × ~450-element
+  * adjacency arrays); with both sides sorted once at build
+  * (`sort_array` over the model-sized adjacency table), the same
+  * intersection is a branchy-but-allocation-free two-pointer merge.
+  *
+  * CONTRACT: both inputs sorted ascending and duplicate-free — the
+  * caller sorts at adjacency build; violating it silently drops or
+  * misorders matches, so this stays a graft-internal expression (not
+  * registry-exposed). Output order = ascending (same set as
+  * `array_intersect` on the same inputs). Null in ⇒ null out.
+  */
+case class SortedIntersect(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sorted_intersect"
+
+  override protected def nullSafeEval(x: Any, y: Any): Any =
+    SortedIntersectUtil.intersect(
+      x.asInstanceOf[ArrayData], y.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y) =>
+      s"graft.functions.SortedIntersectUtil$$.MODULE$$.intersect($x, $y)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

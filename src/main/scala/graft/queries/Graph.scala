@@ -202,7 +202,11 @@ object Graph {
       .map(_.toLong).getOrElse(BcastEdgesDefault)
     if (edgeCount <= bcastMax) {
       // groupBy(a) reuses the persisted repartition(a) — no exchange.
-      val adj = oriented.groupBy(col("a")).agg(collect_list(col("b")).as("nb"))
+      // sort_array once over the model-sized adjacency buys the
+      // allocation-free two-pointer [[graft.functions.SortedIntersect]]
+      // below (vs array_intersect's per-row hash set over ~|adj| longs).
+      val adj = oriented.groupBy(col("a"))
+        .agg(sort_array(collect_list(col("b"))).as("nb"))
       // Inner joins: `a` always has an out-edge so adj(a) exists; a `b`
       // with no out-edges has an empty intersection (zero contribution),
       // so dropping its row is exact.
@@ -210,7 +214,10 @@ object Graph {
         .join(broadcast(adj.select(col("a"), col("nb").as("nba"))), Seq("a"))
         .join(broadcast(adj.select(col("a").as("b"), col("nb").as("nbb"))), Seq("b"))
         .select(col("a"), col("b"),
-          array_intersect(col("nba"), col("nbb")).as("ic"))
+          org.apache.spark.sql.graft.PlanShim.column(
+            graft.functions.SortedIntersect(
+              org.apache.spark.sql.graft.PlanShim.expression(col("nba")),
+              org.apache.spark.sql.graft.PlanShim.expression(col("nbb")))).as("ic"))
         // One Generate pass credits all three corners, exploding PURE
         // LONGS (a struct-per-element first cut measured ~2× slower —
         // per-row transform/named_struct allocation): the c's ride as

@@ -282,8 +282,18 @@ object VectorSearch {
 
   /** SemDeDup's keep-rule over an assignment: within each cell, a vector
     * is dropped when a lower-id member sits at/above the cosine
-    * threshold. Pair test keyed on cid — never corpus × corpus. */
-  private def dropDominated(assign: DataFrame, threshold: Double): DataFrame = {
+    * threshold. Pair test keyed on cid — never corpus × corpus.
+    *
+    * The assignment feeds THREE subtrees (pair a-side, pair b-side, the
+    * final keep join); without a lineage cut the compute-heavy
+    * assignment (k broadcast cosines + per-vector rank per row) re-runs
+    * once per consumer — the r18 plan audit found the whole subtree
+    * repeated 3× in llm_semdedup_kmeans's physical plan. Lazy
+    * localCheckpoint (the dedup-family lifecycle: materializes once,
+    * frees via the ContextCleaner, never pins a CacheManager entry on
+    * the Serve path) makes it one pass. */
+  private def dropDominated(assign0: DataFrame, threshold: Double): DataFrame = {
+    val assign = assign0.localCheckpoint(false)
     val dominated = assign.as("a")
       .join(assign.as("b"), col("a.cid") === col("b.cid") &&
         col("a.vec_id") < col("b.vec_id") &&

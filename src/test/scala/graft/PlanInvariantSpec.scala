@@ -60,7 +60,9 @@ class PlanInvariantSpec extends SparkSpec {
       "llm_centroid_classify" -> 4, "rel_approx_distinct" -> 2,
       "rel_shipping_priority" -> 1, "txt_heavy_hitters" -> 2,
       "evt_cohort_ltv" -> 5, "llm_para_dedup" -> 2,
-      "llm_semdedup" -> 6, "rel_factfact_join" -> 2,
+      // 4 since r18: dropDominated checkpoints the assignment, so its
+      // crossJoin+rank subtree no longer replans under both pair sides
+      "llm_semdedup" -> 4, "rel_factfact_join" -> 2,
       "evt_transitions" -> 5, "rel_dim_join_agg" -> 1,
       "llm_perplexity_filter" -> 7,
       "llm_dsir_weights" -> 5, "llm_curriculum" -> 2,

@@ -83,26 +83,43 @@ object Graph {
     // with exactly ONE small-side broadcast (the rank table).
     val edgesDeg = edges.join(outdeg, "src")
       .select(col("src"), col("dst"), col("deg")).persist(sl)
-    val nn = broadcast(nodes.agg(count(lit(1)).as("nn")))
 
-    var ranks = nodes.crossJoin(nn)
-      .select(col("v"), expr(s"$Scale div nn").as("r"))
-    (1 to Iters).foreach { _ =>
-      val inc = edgesDeg
-        .join(ranks.withColumnRenamed("v", "src"), "src")
-        .select(col("dst").as("v"), expr("r div deg").as("share"))
-        .groupBy(col("v")).agg(sum(col("share")).as("inc"))
-      // lazy localCheckpoint at each round boundary (the dedup_clusters
-      // pattern): the next round plans against a materialized leaf, so
-      // the executed plan stays ~4 exchanges whatever the iteration
-      // count instead of nesting all prior rounds' subtrees (the
-      // un-truncated form planned 27 exchange nodes at 5 rounds).
-      ranks = nodes.crossJoin(nn).join(inc, Seq("v"), "left")
-        .select(col("v"),
-          (expr(s"(15 * ($Scale div nn)) div 100")
-            + expr("(85 * coalesce(inc, 0L)) div 100")).as("r"))
-        .localCheckpoint(false)
+    // The unrolled rounds run on the memoized AQE-OFF clone — the
+    // [[LlmDedup.connectedComponents]] lifecycle, same "cc-aqe-off"
+    // session: every round re-plans the same small query over CACHED
+    // inputs with known sizes, so AQE's per-stage materialization
+    // barriers + re-planning are pure fixed cost here (r18 phase probe:
+    // ~1.2 s/round with AQE, the static planner picks the identical
+    // broadcast+fold plan without the barriers). The shared cache
+    // manager means the persists above are visible in the clone; the
+    // result rebinds to the caller's session below.
+    val shim = org.apache.spark.sql.graft.PlanShim
+    val out = graft.Sessions.confIsolatedCached(spark, "cc-aqe-off")(
+      _.conf.set("spark.sql.adaptive.enabled", "false")) { s =>
+      val ed = shim.ofRows(s, edgesDeg.queryExecution.logical)
+      val nd = shim.ofRows(s, nodes.queryExecution.logical)
+      val nn = broadcast(nd.agg(count(lit(1)).as("nn")))
+      var ranks = nd.crossJoin(nn)
+        .select(col("v"), expr(s"$Scale div nn").as("r"))
+      (1 to Iters).foreach { _ =>
+        val inc = ed
+          .join(ranks.withColumnRenamed("v", "src"), "src")
+          .select(col("dst").as("v"), expr("r div deg").as("share"))
+          .groupBy(col("v")).agg(sum(col("share")).as("inc"))
+        // lazy localCheckpoint at each round boundary (the dedup_clusters
+        // pattern): the next round plans against a materialized leaf, so
+        // the executed plan stays ~4 exchanges whatever the iteration
+        // count instead of nesting all prior rounds' subtrees (the
+        // un-truncated form planned 27 exchange nodes at 5 rounds).
+        ranks = nd.crossJoin(nn).join(inc, Seq("v"), "left")
+          .select(col("v"),
+            (expr(s"(15 * ($Scale div nn)) div 100")
+              + expr("(85 * coalesce(inc, 0L)) div 100")).as("r"))
+          .localCheckpoint(false)
+      }
+      ranks
     }
+    val ranks = shim.ofRows(spark, out.queryExecution.logical)
     val w = Window.orderBy(col("pr_micro").desc, col("suppkey").asc)
     ranks.select(col("v").as("suppkey"), col("r").as("pr_micro"))
       .withColumn("rank", row_number().over(w).cast("long"))

@@ -42,6 +42,26 @@ object Graph {
   private val Scale = 1000000000000L
   private val Iters = 5
 
+  /** Node-count ceiling for the broadcast-rank round route (overridable
+    * via [[BcastNodesConf]] — the [[BcastEdgesConf]] convention). Below
+    * it, each unrolled round is MAP-ONLY over the dst-partitioned
+    * persisted edge table: the |nodes|-row rank table broadcasts
+    * (hinted — a checkpoint leaf carries no stats the static planner
+    * could size it by), the share fold groups by dst and rides the
+    * cached dst-partitioning (zero shuffle per round), and the damped
+    * update is a broadcast left join onto the cached node table. 8M
+    * nodes is ~128 MB of (long, long) rank rows per broadcast — the
+    * triangle-adjacency budget. Above the ceiling the keyed round
+    * shape runs unchanged (src-partitioned edges, two narrow
+    * |nodes|-row exchanges per round) — the 100 TB path never assumes
+    * the rank table fits in executor memory. r19 measurement
+    * (min-of-3, local[32], sf0.1): keyed rounds on the r18 AQE-off
+    * clone 5.8-7.0 s end-to-end, broadcast rounds 5.1-5.3 s same-box
+    * shell (the per-round SMJ/exchange chains become one broadcast
+    * build + one map-side fold each). */
+  private[graft] val BcastNodesConf = "spark.graft.pagerank.broadcastNodes"
+  private[graft] val BcastNodesDefault = 8000000L
+
   def pagerank(spark: SparkSession, dir: String): DataFrame = {
     val sl = StorageLevel.MEMORY_AND_DISK
     val li = Tables.load(spark, dir, "lineitem")
@@ -62,64 +82,76 @@ object Graph {
     val pairs = expr(
       "flatten(transform(ss, x -> transform(filter(ss, y -> y != x), " +
         "y -> struct(x AS src, y AS dst))))")
-    // Persist the static sides ALREADY HASH-PARTITIONED on their join
-    // keys: every unrolled round then consumes them exchange-free (the
-    // cached InMemoryTableScan keeps its child partitioning), and the
-    // only per-round shuffles left are the two narrow |nodes|-row moves
-    // (rank table to the edge partitioning, incoming-share fold). The
-    // first cut skipped the repartition and paid 27 shuffles — each
-    // round re-exchanged the SAME cached edge list.
-    val edges = li.groupBy(col("ok")).agg(collect_set(col("s")).as("ss"))
+    val edgeSet = li.groupBy(col("ok")).agg(collect_set(col("s")).as("ss"))
       .select(explode(pairs).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .distinct().repartition(col("src")).persist(sl)
+      .distinct()
     val nodes = li.select(col("s").as("v")).distinct()
       .repartition(col("v")).persist(sl)
+    // |nodes| as an eager driver scalar (the triangle wedge-guard
+    // convention — one model-sized agg off the persisted node table):
+    // it routes the round shape AND replaces the per-round
+    // crossJoin(nn) broadcast with plain literals. Identical integer
+    // math: `Scale div nn` and the damped base are evaluated once here
+    // with the same Long division the expression form used.
+    val nNodes = nodes.agg(count(lit(1))).head.getLong(0)
+    if (nNodes == 0) {
+      // Empty corpus: no nodes, no rows — short-circuit before the
+      // rank literals would divide by zero.
+      return nodes.select(col("v").as("suppkey"),
+        lit(0L).as("pr_micro"), lit(0L).as("rank"))
+    }
+    val r0 = lit(Scale / nNodes)
+    val base = lit((15L * (Scale / nNodes)) / 100L)
+    val bcastRoute = nNodes <= spark.conf.getOption(BcastNodesConf)
+      .map(_.toLong).getOrElse(BcastNodesDefault)
+    // Persist the static sides ALREADY HASH-PARTITIONED on the key the
+    // rounds consume them by — dst for the broadcast route (the share
+    // fold groups by dst and rides the cached partitioning), src for
+    // the keyed route (the rank join keys on src; the cached
+    // InMemoryTableScan keeps its child partitioning, so the only
+    // per-round shuffles are the two narrow |nodes|-row moves). The
+    // first cut skipped the repartition and paid 27 shuffles — each
+    // round re-exchanged the SAME cached edge list.
+    val edges = edgeSet
+      .repartition(if (bcastRoute) col("dst") else col("src")).persist(sl)
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // Out-degree folded INTO the persisted edge table (r18): the degree
     // is loop-invariant, so joining it per round rebuilt the same
-    // broadcast 5×. groupBy(src) reuses edges' partitioning, the
-    // broadcast back onto edges happens once, and each round is left
-    // with exactly ONE small-side broadcast (the rank table).
-    val edgesDeg = edges.join(outdeg, "src")
+    // broadcast 5×. The broadcast back onto edges happens once, and
+    // each round is left with exactly ONE small side (the rank table).
+    val edgesDeg = edges.join(broadcast(outdeg), "src")
       .select(col("src"), col("dst"), col("deg")).persist(sl)
 
-    // The unrolled rounds run on the memoized AQE-OFF clone — the
-    // [[LlmDedup.connectedComponents]] lifecycle, same "cc-aqe-off"
-    // session: every round re-plans the same small query over CACHED
-    // inputs with known sizes, so AQE's per-stage materialization
-    // barriers + re-planning are pure fixed cost here (r18 phase probe:
-    // ~1.2 s/round with AQE, the static planner picks the identical
-    // broadcast+fold plan without the barriers). The shared cache
-    // manager means the persists above are visible in the clone; the
-    // result rebinds to the caller's session below.
-    val shim = org.apache.spark.sql.graft.PlanShim
-    val out = graft.Sessions.confIsolatedCached(spark, "cc-aqe-off")(
-      _.conf.set("spark.sql.adaptive.enabled", "false")) { s =>
-      val ed = shim.ofRows(s, edgesDeg.queryExecution.logical)
-      val nd = shim.ofRows(s, nodes.queryExecution.logical)
-      val nn = broadcast(nd.agg(count(lit(1)).as("nn")))
-      var ranks = nd.crossJoin(nn)
-        .select(col("v"), expr(s"$Scale div nn").as("r"))
-      (1 to Iters).foreach { _ =>
-        val inc = ed
-          .join(ranks.withColumnRenamed("v", "src"), "src")
-          .select(col("dst").as("v"), expr("r div deg").as("share"))
-          .groupBy(col("v")).agg(sum(col("share")).as("inc"))
-        // lazy localCheckpoint at each round boundary (the dedup_clusters
-        // pattern): the next round plans against a materialized leaf, so
-        // the executed plan stays ~4 exchanges whatever the iteration
-        // count instead of nesting all prior rounds' subtrees (the
-        // un-truncated form planned 27 exchange nodes at 5 rounds).
-        ranks = nd.crossJoin(nn).join(inc, Seq("v"), "left")
-          .select(col("v"),
-            (expr(s"(15 * ($Scale div nn)) div 100")
-              + expr("(85 * coalesce(inc, 0L)) div 100")).as("r"))
-          .localCheckpoint(false)
-      }
-      ranks
+    // The unrolled rounds run on the CALLER's session. The r18 AQE-off
+    // clone is gone: with the rank side explicitly broadcast and the
+    // fold riding the cached dst-partitioning, a round plans ZERO
+    // shuffle stages, so AQE has nothing to barrier on — measured
+    // equal with AQE on vs off (min-of-3 5.11 vs 5.21 s), and the
+    // clone-construction-inside-the-timed-region suspect from the r18
+    // driver-bench regression disappears with the clone itself.
+    //
+    // Lazy localCheckpoint at each round boundary (the dedup_clusters
+    // pattern): the next round plans against a materialized leaf, so
+    // the executed plan stays constant-size whatever the iteration
+    // count instead of nesting all prior rounds' subtrees (the
+    // un-truncated form planned 27 exchange nodes at 5 rounds, and a
+    // no-checkpoint broadcast variant re-ran the optimizer over the
+    // whole nested tree at every broadcast stage — measured 12 s vs
+    // 5.2 s end-to-end).
+    var ranks = nodes.select(col("v"), r0.as("r"))
+    (1 to Iters).foreach { _ =>
+      val rankSrc = ranks.withColumnRenamed("v", "src")
+      val inc = edgesDeg
+        .join(if (bcastRoute) broadcast(rankSrc) else rankSrc, "src")
+        .select(col("dst").as("v"), expr("r div deg").as("share"))
+        .groupBy(col("v")).agg(sum(col("share")).as("inc"))
+      ranks = nodes
+        .join(if (bcastRoute) broadcast(inc) else inc, Seq("v"), "left")
+        .select(col("v"),
+          (base + expr("(85 * coalesce(inc, 0L)) div 100")).as("r"))
+        .localCheckpoint(false)
     }
-    val ranks = shim.ofRows(spark, out.queryExecution.logical)
     val w = Window.orderBy(col("pr_micro").desc, col("suppkey").asc)
     ranks.select(col("v").as("suppkey"), col("r").as("pr_micro"))
       .withColumn("rank", row_number().over(w).cast("long"))

@@ -438,8 +438,76 @@ object LlmDedup {
     * queueing beats the multiplied memory + scheduling contention. */
   private val ccLock = new Object
 
+  /** Edge-count ceiling for the driver union-find route (overridable
+    * via [[CcLocalEdgesConf]] — the triangle [[graft.queries.Graph]]
+    * broadcast-ceiling convention, applied to the driver). Below it the
+    * materialized pair list is a MODEL-SIZED aggregate (1M pairs = 16 MB
+    * of longs, well under the broadcast budget the bloom bitset / Lloyd
+    * centroid collects already ride), so the fixpoint runs as a single
+    * union-find pass on the driver instead of O(log d) distributed
+    * rounds whose per-round cost at small |E| is pure scheduling (r19
+    * probe: the loop's rounds cost ~0.5 s each over a 241-pair graph at
+    * sf0.1). Above the ceiling the pointer-doubling loop below runs
+    * unchanged — the 100 TB path never assumes the pair graph fits
+    * anywhere. Both routes produce the identical min-label fixpoint
+    * (the component minimum is unique); DedupSpec pins them equal on
+    * randomized graphs. */
+  private[graft] val CcLocalEdgesConf = "spark.graft.cc.localEdges"
+  private[graft] val CcLocalEdgesDefault = 1000000L
+
+  /** Min-label connected components of a collected pair list: union-find
+    * with path halving, then one pass electing each root's minimum
+    * member as the component label. */
+  private[graft] def localMinLabel(pairs: Array[(Long, Long)]): scala.collection.mutable.LongMap[Long] = {
+    val parent = new scala.collection.mutable.LongMap[Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrElse(x, x)
+      while (p != x) { // path halving
+        val gp = parent.getOrElse(p, p)
+        parent.update(x, gp)
+        x = gp
+        p = parent.getOrElse(x, x)
+      }
+      x
+    }
+    pairs.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent.update(math.max(ra, rb), math.min(ra, rb))
+    }
+    // Component minimum per root: roots are reached by find(), and the
+    // union above always points the larger root at the smaller, so the
+    // final root IS the component minimum (labels only ever decrease —
+    // the loop's monotone invariant, locally).
+    val labels = new scala.collection.mutable.LongMap[Long]()
+    parent.foreachKey { v => labels.update(v, find(v)) }
+    labels
+  }
+
   private[graft] def connectedComponents(pairsIn: DataFrame): DataFrame = ccLock.synchronized {
     val MaxIters = 20
+    val callerSession = pairsIn.sparkSession
+    val localMax = callerSession.conf.getOption(CcLocalEdgesConf)
+      .map(_.toLong).getOrElse(CcLocalEdgesDefault)
+    // Materialize the pair list once, lineage-truncated (the loop
+    // needed this checkpoint anyway); its count routes the fixpoint.
+    val pairsLocal = pairsIn.select(col("x_id"), col("y_id")).localCheckpoint(false)
+    if (pairsLocal.count() <= localMax) {
+      val edgeArr = pairsLocal.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val labels = localMinLabel(edgeArr)
+      val out = labels.toSeq.map { case (v, lab) => (v, lab, v == lab) }
+      import callerSession.implicits._
+      callerSession.sparkContext
+        .parallelize(out, math.max(1, out.size / 500000))
+        .toDF("doc_id", "cluster_id", "is_survivor")
+    } else connectedComponentsLoop(pairsLocal, MaxIters)
+  }
+
+  /** The distributed pointer-doubling fixpoint — the at-scale route of
+    * [[connectedComponents]]; `pairsIn` arrives checkpointed. */
+  private def connectedComponentsLoop(pairsIn: DataFrame, MaxIters: Int): DataFrame = {
     // The whole loop runs on a conf-isolated clone of the caller's
     // session (AQE off, below): toggling AQE on the shared session races
     // under the concurrent Serve layer (two overlapping set/restore
@@ -471,8 +539,11 @@ object LlmDedup {
     // freed by the ContextCleaner when the round's Dataset reference
     // drops (reassignment below / method exit), so the loop pins at
     // most a couple of label frames plus pairs/edges at a time.
+    // pairsIn is already a checkpointed leaf (the router materialized
+    // it to count it) — rebinding its LogicalRDD into the clone is a
+    // plan-only move, no second materialization.
     val pairs = org.apache.spark.sql.graft.PlanShim
-      .ofRows(spark, pairsIn.queryExecution.logical).localCheckpoint(false)
+      .ofRows(spark, pairsIn.queryExecution.logical)
     val verts = pairs.select(explode(array(col("x_id"), col("y_id"))).as("id"))
       .distinct()
     // Self-loops fold "keep your own label" into the same neighbor-min,

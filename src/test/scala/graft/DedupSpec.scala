@@ -82,6 +82,38 @@ class DedupSpec extends SparkSpec {
     assert(got === (1L to 60L).map(i => (i, 1L, i == 1L)).toSet)
   }
 
+  test("driver union-find and distributed loop routes agree on seeded random graphs") {
+    import spark.implicits._
+    // r19 optimization: below spark.graft.cc.localEdges the fixpoint is
+    // a driver union-find over the collected (model-sized) pair list;
+    // above it, the pointer-doubling loop. Forcing the ceiling to 0
+    // pins the distributed route against the default local route on
+    // the same seeded graphs (chains, cliques, forests), so the
+    // at-scale fallback keeps coverage now that small graphs take the
+    // local route.
+    val rnd = new scala.util.Random(7)
+    val trials = Seq(
+      (1L until 40L).map(i => (i, i + 1)),               // one long chain
+      for { a <- 1L to 8L; b <- 1L to 8L if a < b } yield (a, b)) ++ // clique
+      (1 to 3).map { _ =>
+        val nv = 5 + rnd.nextInt(40)
+        Seq.fill(nv + rnd.nextInt(2 * nv))(
+          (rnd.nextInt(nv).toLong, rnd.nextInt(nv).toLong))
+          .filter { case (a, b) => a != b }.distinct
+      }
+    trials.zipWithIndex.foreach { case (edges, i) =>
+      val df = edges.toDF("x_id", "y_id")
+      val local = LlmDedup.connectedComponents(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      spark.conf.set(LlmDedup.CcLocalEdgesConf, "0")
+      try {
+        val dist = LlmDedup.connectedComponents(df).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+        assert(local === dist, s"trial $i (${edges.size} edges)")
+      } finally spark.conf.unset(LlmDedup.CcLocalEdgesConf)
+    }
+  }
+
   test("connected components equals union-find on seeded random graphs") {
     import spark.implicits._
     // Property-style cross-check against an independent union-find

@@ -169,6 +169,22 @@ class GraphSpec extends SparkSpec {
     } finally spark.conf.unset(Graph.BcastEdgesConf)
   }
 
+  test("pagerank broadcast-rank and keyed round routes agree cell-for-cell") {
+    // r19 optimization: below spark.graft.pagerank.broadcastNodes each
+    // unrolled round broadcasts the rank table and folds map-side over
+    // dst-partitioned edges; above it, the keyed round shape (the r17
+    // form). Same fixture, both routes, full-row compare.
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bcast = rows(Graph.pagerank(spark, sf0001))
+    spark.conf.set(Graph.BcastNodesConf, "0")
+    try {
+      val keyed = rows(Graph.pagerank(spark, sf0001))
+      assert(bcast === keyed)
+      assert(bcast.nonEmpty, "route-compare fixture ranked no node")
+    } finally spark.conf.unset(Graph.BcastNodesConf)
+  }
+
   /** Plain-Scala replica of the DOULION md5 edge coin. */
   private def edgeKept(u: Long, v: Long): Boolean = {
     val md = java.security.MessageDigest.getInstance("MD5")

@@ -38,6 +38,15 @@ object BloomProbeUtil {
   * Semantics are bit-identical to the composed form: same K, same
   * (a + i·b) mod Bits indices, null in ⇒ null out (nullSafeEval /
   * defineCodeGen's null propagation, matching the builtins' chain).
+  *
+  * Equality note (ADVICE r18): case-class equality over the
+  * `Array[Long]` field is REFERENCE equality, so two probes built from
+  * separate array copies never canonicalize equal — a missed (never
+  * wrong) exchange/cache reuse. Deliberate: every caller builds ONE
+  * probe per query from one collected bitset, so content-equal distinct
+  * arrays don't arise; content-based equals/hashCode would pay an
+  * O(|bits|) walk in exactly the tree-compare hot path this expression
+  * exists to remove.
   */
 case class BloomMightContain(bits: Array[Long], left: Expression, right: Expression)
   extends BinaryExpression {

@@ -47,6 +47,24 @@ case class SortedIntersect(left: Expression, right: Expression)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "sorted_intersect"
 
+  // Type contract enforced at analysis (ADVICE r18): a non-long-array
+  // child would otherwise surface as a runtime ClassCastException deep
+  // in a codegen stage. The SORTEDNESS contract stays by-convention
+  // (documented above) — it is not checkable per-row without paying the
+  // scan the expression exists to avoid.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<bigint> inputs, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
   override protected def nullSafeEval(x: Any, y: Any): Any =
     SortedIntersectUtil.intersect(
       x.asInstanceOf[ArrayData], y.asInstanceOf[ArrayData])

@@ -659,15 +659,19 @@ object LlmDedup {
       .withColumn("th", md5(col("norm")))
       .withColumn("is_batch", col("doc_id") % BatchMod === 0)
       .persist(sl)
+    // The rep's norm rides the SAME aggregation that elects it (the
+    // [[repDocs]] trick, r19): all norms in a th group are equal by
+    // construction (th = md5(norm)), so min(norm) IS the rep's text and
+    // the corpus-docs ⋈ rep self-join the previous shape paid to fetch
+    // it (one full corpus re-scan + a corpus-sized join) disappears —
+    // `crd` is now a projection of the cached rep table.
     val cr = d.filter(!col("is_batch")).groupBy(col("th"))
-      .agg(min(col("doc_id")).as("rep")).persist(sl)
+      .agg(min(col("doc_id")).as("rep"), min(col("norm")).as("norm"))
+      .persist(sl)
     val batch = d.filter(col("is_batch"))
-    val ex = batch.join(cr, "th")
+    val ex = batch.join(cr.select(col("th"), col("rep")), "th")
       .select(col("doc_id").as("batch_id"), col("rep").as("dup_of"))
-    val corpusDocs = d.filter(!col("is_batch")).select(col("doc_id"), col("norm"))
-    val crd = corpusDocs
-      .join(cr.select(col("rep")), corpusDocs("doc_id") === col("rep"))
-      .select(col("doc_id"), col("norm"))
+    val crd = cr.select(col("rep").as("doc_id"), col("norm"))
     val bd = batch.join(cr.select(col("th")), Seq("th"), "left_anti")
       .select(col("doc_id"), col("norm"))
     // one md5 per shingle, 64-bit (a, b) identity — strings never shuffle

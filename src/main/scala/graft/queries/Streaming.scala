@@ -27,16 +27,35 @@ object Streaming {
   // ---- staged streaming inputs (the attrInputs convention, generalized)
   //
   // Every stream_* entry's file-source input is a DETERMINISTIC function
-  // of the immutable source tables, so it is staged once per (query, dir)
-  // per JVM and reused by later invocations (Bench's warmup + measured
-  // passes, Serve requests) — re-deriving it per pass times a parquet
+  // of the immutable source tables, ASSUMED IMMUTABLE for the JVM's
+  // lifetime (ADVICE r18): the memo is keyed by directory path, so a
+  // fixture regenerated in place mid-JVM would silently serve the stale
+  // staged copy — regenerating test data requires a fresh JVM, which is
+  // how every harness (Bench, Verify, tests) already runs. Staged once
+  // per (query, dir) per JVM and reused by later invocations (Bench's
+  // warmup + measured passes, Serve requests) — re-deriving it per pass times a parquet
   // write, not the streaming operator (r18 optimization; guide §1.4
   // "time the computation"). The watermark-kicker sentinel is the one
   // per-invocation mutation of a staged dir: it lands as a single
-  // FIXED-NAME file copied in between the two fires, and is deleted at
-  // the next invocation's start so fire 1 always sees exactly the base
-  // files. Sink + checkpoint stay per-run: every run remains a fresh,
-  // complete streaming lifecycle over the full input.
+  // FIXED-NAME file (2 FS ops), refreshed at each invocation's start.
+  // Sink + checkpoint stay per-run: every run remains a fresh, complete
+  // streaming lifecycle over the full input.
+  //
+  // Single-fire lifecycles (r19): the sentinel rides the SAME
+  // AvailableNow run as the data instead of a second fire. Watermarks
+  // only advance at batch boundaries, so a sentinel in the data batch
+  // changes nothing the stateful operators see: the batch processes
+  // under the pre-batch watermark exactly as before, the post-batch
+  // watermark lands past every real window/session/bucket, and the
+  // run's trailing no-data batch (the same mechanism the old fire 2
+  // relied on: stateful operators report needsAnotherBatch when the
+  // watermark moved) flushes them. One lifecycle (source discovery,
+  // state-store open, offset/commit WALs) instead of two, with
+  // row-identical sinks (StreamingSpec + the oracle re-check both).
+  // stream_left_join is NOT converted: stream-stream OUTER eviction
+  // does not get a trailing no-data batch from a single AvailableNow
+  // run (found live in r17 — see its Scaladoc), so it keeps two fires
+  // over one checkpoint.
 
   private val SentinelFile = "zz_sentinel.parquet"
 
@@ -48,9 +67,17 @@ object Streaming {
   private def injectSentinel(spark: SparkSession, sentinelDir: String,
       inDir: String): Unit = {
     val fs = fsOf(spark)
+    // headOption + require (ADVICE r18): the ConcurrentHashMap memo
+    // never re-stages a dir whose creation half-failed (e.g. a crash
+    // between the base write and the sentinel write), so a missing
+    // part-file must name the dir instead of surfacing as a bare
+    // NoSuchElementException.
     val src = fs.listStatus(new org.apache.hadoop.fs.Path(sentinelDir))
       .map(_.getPath).filter(_.getName.startsWith("part-"))
-      .sortBy(_.getName).head
+      .sortBy(_.getName).headOption
+      .getOrElse(throw new IllegalStateException(
+        s"staged sentinel dir $sentinelDir holds no part-file — " +
+          "half-created staging memo entry; restart the JVM to re-stage"))
     org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
       new org.apache.hadoop.fs.Path(inDir, SentinelFile), false,
       spark.sparkContext.hadoopConfiguration): Unit
@@ -78,10 +105,12 @@ object Streaming {
        |WHERE rn = 1""".stripMargin
 
   /** Streaming gap sessionization ([[Sessionize]]) driven end-to-end
-    * through a file source + parquet sink, two AvailableNow fires:
-    * batch 1 is the whole events table (in-batch gap splits), batch 2 a
-    * single far-future sentinel whose only job is to advance the
-    * watermark so every remaining open session times out and emits. The
+    * through a file source + parquet sink, ONE AvailableNow fire:
+    * batch 1 is the whole events table plus a far-future sentinel row
+    * (in-batch gap splits happen under the pre-batch watermark, exactly
+    * as they did when the sentinel rode a second fire); the post-batch
+    * watermark then sits past every real session, so the run's trailing
+    * no-data batch times every one of them out and emits. The
     * sentinel's own session stays open forever, so it never reaches the
     * sink and the result equals the BATCH sessionization of the table —
     * which is exactly what the DuckDB oracle computes. */
@@ -126,7 +155,6 @@ object Streaming {
         q.awaitTermination()
       }
 
-    runOnce()
     injectSentinel(spark, s"$staged/sentinel", in)
     runOnce()
 
@@ -288,9 +316,12 @@ object Streaming {
         .start()
       q.awaitTermination()
     }
-    runOnce()
     // watermark kicker — a doc far enough out that every real window
-    // ends before the new watermark; its own window stays open forever
+    // ends before the new watermark; its own window stays open forever.
+    // It rides the single AvailableNow batch (the file-comment
+    // single-fire argument): dedup and counting run under the pre-batch
+    // watermark either way, and the trailing no-data batch flushes
+    // every real day window.
     java.nio.file.Files.write(java.nio.file.Paths.get(in, "zz_sentinel.json"),
       ("""{"title":"sentinel","desc":null,"date":"2100-01-01T00:00:00",""" +
         """"link":"sentinel","img":null,"lang":"xx","source":null}""")
@@ -581,7 +612,14 @@ object Streaming {
         .start()
       q.awaitTermination()
     }
-    runOnce()
+    // The sentinel is the 5th file of the single run: it carries the
+    // NEWEST mtime (copied now; the base files were staged earlier in
+    // the JVM), and the file source orders a capped trigger's files by
+    // modification time, so under maxFilesPerTrigger=1 it is batch 5 —
+    // after every real batch — and the trailing no-data batch then
+    // closes all real buckets. A withheld or early-closed bucket nulls
+    // the within_band/state_bounded verdicts via the exact-side left
+    // join below, so the oracle hash-fails any ordering regression.
     injectSentinel(spark, s"$staged/sentinel", in)
     runOnce()
 
@@ -657,7 +695,6 @@ object Streaming {
         .start()
       q.awaitTermination()
     }
-    runOnce()
     injectSentinel(spark, s"$staged/sentinel", in)
     runOnce()
     spark.read.parquet(sink)

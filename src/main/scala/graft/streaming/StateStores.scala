@@ -58,21 +58,28 @@ object StateStores {
     * runtime change of `graft.stream.statePartitions` still takes
     * effect on the next lifecycle (ServeSpec pins this).
     *
-    * Changelog checkpointing (r18): each RocksDB commit ships the
-    * batch's CHANGE set instead of a full snapshot per partition per
-    * batch — snapshots still happen, but in the background maintenance
-    * thread. With 8+ state partitions and AvailableNow's short batches
-    * the per-commit snapshot was the measured dominant fixed cost
-    * (state commitTimeMs ≈ 2/3 of addBatch on the sessionize probe;
-    * ~28% off the whole lifecycle), and at production cadence it is the
-    * same setting Spark documents for frequent-commit workloads. */
+    * Changelog checkpointing (r18, per-entry conf since r19): each
+    * RocksDB commit ships the batch's CHANGE set instead of a full
+    * snapshot per partition per batch — snapshots still happen, but in
+    * the background maintenance thread. With 8+ state partitions and
+    * AvailableNow's short batches the per-commit snapshot was the
+    * measured dominant fixed cost (state commitTimeMs ≈ 2/3 of
+    * addBatch on the sessionize probe; ~28% off the whole lifecycle),
+    * and at production cadence it is the same setting Spark documents
+    * for frequent-commit workloads. `graft.stream.changelog`
+    * (default on) rides in the memo key like the width, so a
+    * deployment — or a per-entry probe — can flip it per lifecycle
+    * without touching the shared clone's conf (bodies must NOT set
+    * session confs on the memoized clone: it is shared across entries
+    * and snapshots the parent conf only at first use). */
   def streamingSession[T](spark: SparkSession)(body: SparkSession => T): T = {
     val width = spark.conf.getOption("graft.stream.statePartitions").getOrElse("8")
-    graft.Sessions.confIsolatedCached(spark, s"streaming-state-$width") { s =>
+    val changelog = spark.conf.getOption("graft.stream.changelog").getOrElse("true")
+    graft.Sessions.confIsolatedCached(spark, s"streaming-state-$width-cl$changelog") { s =>
       useRocksDB(s)
       s.conf.set(
         "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
-        "true")
+        changelog)
       s.conf.set("spark.sql.shuffle.partitions", width)
     }(body)
   }

@@ -822,7 +822,14 @@ object LlmDedup {
       .select(col("doc_id"), (col("p0") + 1).as("p"),
         conv(substring(col("g"), 1, 8), 16, 10).cast("long").as("a"),
         conv(substring(col("g"), 9, 8), 16, 10).cast("long").as("b"))
-    val dup = grams.select(col("a"), col("b"), col("doc_id")).distinct()
+    // Dedup rides the (a, b) exchange (the hashedShingles r19 fold):
+    // distinct-then-regroup used to shuffle the gram set twice — once
+    // hash-partitioned by (a, b, doc_id), once by (a, b). One
+    // repartition + exchange-free dropDuplicates + a groupBy that
+    // reuses the same partitioning is a single gram-sized exchange.
+    val dup = grams.select(col("a"), col("b"), col("doc_id"))
+      .repartition(col("a"), col("b"))
+      .dropDuplicates("a", "b", "doc_id")
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2)
       .select(col("a"), col("b"))

@@ -51,9 +51,10 @@ class PlanInvariantSpec extends SparkSpec {
       // like minhash: the persisted block index hides its build behind
       // the cache boundary; the only live exchange is the pair distinct
       "llm_simhash_neardup" -> 1, "llm_embed_ann_pq" -> 3,
-      // 3 since the interval-union rewrite (was 4): the 5x position
-      // explode + corpus-sized distinct became a narrow per-doc window
-      "llm_substr_dup" -> 3, "llm_clean_pipeline" -> 3,
+      // 2 since r19 (was 3 after the interval-union rewrite): the
+      // dup-gram set's distinct now rides the (a,b) repartition its
+      // groupBy reuses, so the gram stream shuffles once, not twice
+      "llm_substr_dup" -> 2, "llm_clean_pipeline" -> 3,
       "rel_table_profile" -> 3, "txt_search_hits" -> 2,
       "txt_repetition" -> 2, "llm_export_jsonl" -> 0,
       "llm_export_sorted" -> 0, "llm_export_sized" -> 0,

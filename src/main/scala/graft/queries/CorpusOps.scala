@@ -47,7 +47,11 @@ object CorpusOps {
       .select(col("doc_id"),
         conv(substring(col("h"), 1, 8), 16, 10).cast("long").as("a"),
         conv(substring(col("h"), 9, 8), 16, 10).cast("long").as("b"))
-      .distinct()
+      // Dedup rides the (a, b) exchange the df window needs anyway
+      // (the [[LlmDedup.hashedShingles]] r19 fold): one index-sized
+      // shuffle instead of distinct's plus the window's.
+      .repartition(col("a"), col("b"))
+      .dropDuplicates("doc_id", "a", "b")
     val w = Window.partitionBy(col("a"), col("b"))
     val g = g0
       .withColumn("df", count(lit(1)).over(w))

@@ -91,42 +91,48 @@ object Growth {
       to.map(d => col("ts") <
         lit(java.sql.Timestamp.valueOf(d.plusDays(1).atStartOfDay))))
       .flatten.foldLeft(base)(_.filter(_))
-    // THE corpus collapse: distinct active (user, day).
-    val ud = maybeCache(sliced
+    // THE corpus collapse: distinct active (user, day), then ONE
+    // per-user window carrying BOTH neighbors — lag classifies the day
+    // (new/retained/resurrected), lead marks each user's last-ever day
+    // (r19: the lead rides the exact same exchange+sort the lag already
+    // paid, which retires the separate groupBy(u) pass the trailing
+    // churn leg used to re-shuffle for).
+    val ud = sliced
       .select(col("user_id").as("u"), to_date(col("ts")).as("day"))
-      .distinct())
+      .distinct()
     val w = Window.partitionBy(col("u")).orderBy(col("day").asc)
-    val lagged = maybeCache(ud.withColumn("prev", lag(col("day"), 1).over(w)))
+    val lagged = maybeCache(ud
+      .withColumn("prev", lag(col("day"), 1).over(w))
+      .withColumn("next", lead(col("day"), 1).over(w)))
+    val maxDay = broadcast(lagged.agg(max(col("day")).as("maxd")))
     val classified = lagged.select(col("day"),
       when(col("prev").isNull, "new")
         .when(datediff(col("day"), col("prev")) === 1, "retained")
         .otherwise("resurrected").as("kind"))
-    val flows = classified.groupBy(col("day"))
-      .agg(sum(when(col("kind") === "new", 1L).otherwise(0L)).as("new_users"),
-        sum(when(col("kind") === "retained", 1L).otherwise(0L)).as("retained"),
-        sum(when(col("kind") === "resurrected", 1L).otherwise(0L)).as("resurrected"))
     // Churn events, re-keyed to the day each silence starts: a GAP
     // start from the same lag (active on prev, silent on prev+1), or
-    // the TRAILING disappearance (a user whose last-ever day precedes
-    // the corpus edge churns the day after it — without this leg the
-    // flow identity active(d) = active(d−1) − churned(d) + new(d) +
-    // resurrected(d) breaks for every user who leaves for good).
+    // the TRAILING disappearance (a user whose last-ever day — lead is
+    // null — precedes the corpus edge churns the day after it; without
+    // this leg the flow identity active(d) = active(d−1) − churned(d) +
+    // new(d) + resurrected(d) breaks for every user who leaves for
+    // good). Flows and churn then fold in ONE day-keyed aggregation
+    // over the union (r19) — the previous flows ⋈ churn full-outer
+    // join paid a second day exchange plus a sort-merge join for what
+    // is a single partition-of-events sum.
     val gaps = lagged.filter(col("prev").isNotNull &&
         datediff(col("day"), col("prev")) > 1)
-      .select(date_add(col("prev"), 1).as("day"))
-    val lastPer = ud.groupBy(col("u")).agg(max(col("day")).as("lastd"))
-    val maxDay = broadcast(lastPer.agg(max(col("lastd")).as("maxd")))
-    val trailing = lastPer.crossJoin(maxDay)
-      .filter(col("lastd") < col("maxd"))
-      .select(date_add(col("lastd"), 1).as("day"))
-    val churn = gaps.union(trailing)
-      .groupBy(col("day")).agg(count(lit(1)).as("churned"))
-    flows.join(churn, Seq("day"), "full_outer")
+      .select(date_add(col("prev"), 1).as("day"), lit("churned").as("kind"))
+    val trailing = lagged.crossJoin(maxDay)
+      .filter(col("next").isNull && col("day") < col("maxd"))
+      .select(date_add(col("day"), 1).as("day"), lit("churned").as("kind"))
+    classified.unionByName(gaps).unionByName(trailing)
+      .groupBy(col("day"))
+      .agg(sum(when(col("kind") === "new", 1L).otherwise(0L)).as("new_users"),
+        sum(when(col("kind") === "retained", 1L).otherwise(0L)).as("retained"),
+        sum(when(col("kind") === "resurrected", 1L).otherwise(0L)).as("resurrected"),
+        sum(when(col("kind") === "churned", 1L).otherwise(0L)).as("churned"))
       .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
-        coalesce(col("new_users"), lit(0L)).as("new_users"),
-        coalesce(col("retained"), lit(0L)).as("retained"),
-        coalesce(col("resurrected"), lit(0L)).as("resurrected"),
-        coalesce(col("churned"), lit(0L)).as("churned"))
+        col("new_users"), col("retained"), col("resurrected"), col("churned"))
   }
 
   val growthAccountingSql: String =

@@ -699,12 +699,33 @@ object LlmDedup {
       .select(col("doc_id"),
         conv(substring(col("h"), 1, 8), 16, 10).cast("long").as("a"),
         conv(substring(col("h"), 9, 8), 16, 10).cast("long").as("b"))
-      .distinct()
-    val cs0 = hashedGrams(crd).persist(sl)
-    val hot = cs0.groupBy(col("a"), col("b")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > DfCap).select(col("a"), col("b"))
-    val cs = cs0.join(hot, Seq("a", "b"), "left_anti").persist(sl)
-    val bs = hashedGrams(bd).join(hot, Seq("a", "b"), "left_anti").persist(sl)
+    // Corpus index in the [[hashedShingles]] shape (r19): ONE (a, b)
+    // exchange carries the dedup (partition keys ⊆ dedup keys), the df
+    // arrives as a count window riding the same partitioning, and both
+    // the kept index (df ≤ cap) and the over-cap key set the batch side
+    // anti-joins are filters over ONE cached pass — replacing the
+    // distinct exchange + separate df aggregation + second cache the
+    // agg-and-anti-join shape paid. Skew: identical to hashedShingles —
+    // hot (a, b) keys hash-spread, per-key locality bounded by df
+    // occurrences, and the oracle re-pins the df-cap semantics.
+    val wdf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a"), col("b"))
+    val csdf = hashedGrams(crd)
+      .repartition(col("a"), col("b"))
+      .dropDuplicates("doc_id", "a", "b")
+      .withColumn("df", count(lit(1)).over(wdf))
+      .persist(sl)
+    val cs = csdf.filter(col("df") <= DfCap).drop("df")
+    val hot = csdf.filter(col("df") > DfCap)
+      .dropDuplicates("a", "b").select(col("a"), col("b"))
+    // Batch side: the dedup rides a doc_id repartition instead — the
+    // per-doc gram-count agg below (bsz) then reuses that partitioning
+    // exchange-free, and per-doc locality is bounded by document length
+    // (no corpus-hot key class on this side).
+    val bs = hashedGrams(bd)
+      .repartition(col("doc_id"))
+      .dropDuplicates("doc_id", "a", "b")
+      .join(hot, Seq("a", "b"), "left_anti").persist(sl)
     val csz = cs.groupBy(col("doc_id")).agg(count(lit(1)).as("cn"))
     val bsz = bs.groupBy(col("doc_id")).agg(count(lit(1)).as("bn"))
     val sh = bs.select(col("doc_id").as("batch_id"), col("a"), col("b"))
@@ -731,7 +752,7 @@ object LlmDedup {
     // whole pipeline cache-less. Checkpoint blocks are executor-local and
     // freed by the ContextCleaner with the frame, not cacheManager entries.
     val snap = out.localCheckpoint()
-    Seq(d, cr, cs0, cs, bs).foreach(_.unpersist())
+    Seq(d, cr, csdf, bs).foreach(_.unpersist())
     snap
   }
 

@@ -53,9 +53,10 @@ import graft.Tables
   * recent = 5): recency scores ascend with `max_day − last_day`, so
   * r_score = 6 − quintile(recency_days).
   *
-  * Scale shape: one corpus exchange (the per-user metric fold); three
-  * model-sized histogram aggs off the persisted user table; three
-  * broadcast joins; one ≤125-key fold.
+  * Scale shape: one corpus exchange (the per-user metric fold); ONE
+  * model-sized histogram pass for all three metrics (unpivoted,
+  * metric-keyed); one broadcast join + per-user fold; one ≤125-key
+  * fold.
   */
 object Growth {
 
@@ -187,20 +188,35 @@ object Growth {
     val n = broadcast(metrics.agg(count(lit(1)).as("n")))
     // Value-histogram quintile: score(v) = 1 + (5·|{value < v}|) div n
     // — the running count comes from the model-sized histogram's own
-    // cumulative window, never a per-user global sort.
-    def cuts(metric: String): DataFrame = {
-      val hw = Window.orderBy(col(metric).asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      metrics.groupBy(col(metric)).agg(count(lit(1)).as("cnt"))
-        .withColumn("cum", sum(col("cnt")).over(hw))
-        .crossJoin(n)
-        .select(col(metric),
-          (lit(1L) + expr("(5 * (cum - cnt)) div n")).as(s"q_$metric"))
-    }
-    metrics
-      .join(broadcast(cuts("rec")), "rec")
-      .join(broadcast(cuts("freq")), "freq")
-      .join(broadcast(cuts("mon")), "mon")
+    // cumulative window, never a per-user global sort. All THREE
+    // histograms ride ONE pass (r19): the metrics unpivot to
+    // (metric, value), a metric-keyed repartition carries the histogram
+    // aggregation AND its cumulative window exchange-free (partition
+    // key ⊆ group keys; three keys, each partition bounded by one
+    // metric's model-sized distinct-value set), and one broadcast join
+    // + per-user conditional fold replaces the three per-metric
+    // histogram subtrees and their three joins the previous shape paid.
+    val melted = metrics.select(col("u"), expr(
+      "stack(3, 'rec', rec, 'freq', freq, 'mon', mon) as (mname, v)"))
+    val hw = Window.partitionBy(col("mname")).orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scores = melted
+      .repartition(col("mname"))
+      .groupBy(col("mname"), col("v")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(hw))
+      .crossJoin(n)
+      .select(col("mname"), col("v"),
+        (lit(1L) + expr("(5 * (cum - cnt)) div n")).as("q"))
+    melted.join(broadcast(scores), Seq("mname", "v"))
+      .groupBy(col("u"))
+      .agg(max(when(col("mname") === "rec", col("q"))).as("q_rec"),
+        max(when(col("mname") === "freq", col("q"))).as("q_freq"),
+        max(when(col("mname") === "mon", col("q"))).as("q_mon"),
+        max(when(col("mname") === "mon", col("v"))).as("mon"))
+      // a NULL metric value never matches the equi-join — exactly the
+      // rows the previous per-metric inner joins dropped
+      .filter(col("q_rec").isNotNull && col("q_freq").isNotNull &&
+        col("q_mon").isNotNull)
       .select(col("u"), (lit(6L) - col("q_rec")).as("r"),
         col("q_freq").as("f"), col("q_mon").as("m"), col("mon"))
       .groupBy(col("r"), col("f"), col("m"))

@@ -204,17 +204,20 @@ class PlanInvariantSpec extends SparkSpec {
       // the |parts|-row ranking window (dim-sized by construction —
       // the pagerank final-window convention), and the 3-key class fold
       "rel_abc_analysis" -> 3,
-      // 5 = the (u,day) distinct (the ONE corpus exchange, map-side
-      // partial dedup before the wire), the per-user lag alignment
-      // over the deduped table, the two flow folds, and the day join;
-      // the corpus-edge scalar broadcasts
-      "evt_growth_accounting" -> 5,
-      // 10, but only the per-user metric fold is corpus-sized: the
-      // other 9 are the edge/N scalars and the three model-sized
-      // value-histogram aggs + their single-partition cut windows
-      // (each histogram ≤ |distinct metric values| rows); cut maps
-      // broadcast back onto users
-      "evt_rfm" -> 10,
+      // 2 since r19 (was 5): lead rides the lag window's exchange (the
+      // separate last-day groupBy(u) is gone) and flows ∪ churn fold in
+      // ONE day-keyed aggregation (the flows ⋈ churn full-outer join is
+      // gone); the (u,day) distinct + per-user window alignment hide
+      // behind the cached window frame, so live = the day fold + the
+      // corpus-edge scalar
+      "evt_growth_accounting" -> 2,
+      // 4 since r19 (was 10): the three per-metric histogram subtrees
+      // (agg + single-partition cut window each) collapsed into one
+      // unpivoted metric-keyed pass whose window rides the repartition;
+      // live = that repartition, the per-user score fold, the ≤125-key
+      // cell fold, and the N scalar — the per-user metric fold hides
+      // behind the metrics cache
+      "evt_rfm" -> 4,
       // the persisted dense spine hides its corpus agg behind the
       // cache boundary (the minhash convention); live = the shared
       // per-type window alignment all four median/rank windows reuse
